@@ -1,0 +1,342 @@
+"""Deduplication operators for training-data pipelines [EXT].
+
+Exact and near-duplicate detection over a document table, designed for
+100 TB scale:
+
+- **exact**: hash-groupBy on the normalized-text fingerprint — one
+  shuffle of (hash, id), map-side partial aggregation.
+- **MinHash + LSH**: shingle -> per-seed min-hash signature -> band ->
+  bucket-join. Candidate generation never compares all pairs: docs
+  only meet inside an LSH bucket, so the join key is (band, band
+  signature) and skew is bounded by bucket size. All hashing is
+  ``md5``-based (deterministic, available in every engine — no
+  Python UDFs).
+- **SimHash**: 60-bit bitwise-majority signature via explode +
+  groupBy-sum — two narrow shuffles; near-pairs by hamming distance
+  with pigeonhole segment blocking.
+- **n-gram Jaccard**: exact pairwise similarity *within LSH candidate
+  pairs* (or all pairs for small inputs) via shingle-set intersection
+  counts.
+- **embedding cosine**: near-dup by vector similarity, delegated to
+  :mod:`datacamp_etl_spark.operators.similarity`.
+
+Every op returns DataFrames (lazy plans) and avoids driver-side
+materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datacamp_etl_spark.operators.text import fingerprint, normalize_text
+
+__all__ = [
+    "exact_duplicates",
+    "dedup_exact",
+    "shingles",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_pairs",
+]
+
+
+# ---------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exact duplicates (by normalized-text MD5): returns
+    ``(fingerprint, n_dups, keep_id)`` for groups with >1 member;
+    ``keep_id`` is the smallest id (deterministic survivor)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: keep the smallest-id row per fingerprint. One
+    shuffle on the 16-byte digest; survivor selection is a semi-join
+    back (no wide row in the shuffle)."""
+    keep = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# ---------------------------------------------------------------------
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text
+    (``array<string>``). Word shingles (not char) keep cardinality
+    manageable at scale; k=3 is the usual near-dup setting."""
+    toks = F.split(normalize_text(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)  # empty when n < k
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signatures: ``(id, seed, minhash)`` with
+    ``minhash = min(md5(seed || ':' || shingle))`` per seed.
+
+    md5-per-seed is pricier than a single 64-bit hash family but is
+    exactly reproducible in any engine (the correctness gate) and
+    still a narrow projection+explode; the per-doc state in the
+    aggregation is ``num_hashes`` 32-char strings.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select(
+        id_col,
+        seeds,
+        "shingle",
+    ).select(
+        id_col,
+        "seed",
+        F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their MinHash signature
+    become a candidate pair ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Scale shape: signatures (num_hashes rows/doc) -> band signatures
+    (bands rows/doc) -> self-equi-join on (band, band_sig). The join
+    key is a 32-char digest; bucket sizes are the only skew source and
+    are bounded by real near-dup density.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes, k=k)
+    band_sig = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("minhash")), "|")
+            ).alias("band_sig")
+        )
+    )
+    a = band_sig.select(
+        F.col(id_col).alias("id_a"), "band", "band_sig"
+    )
+    b = band_sig.select(
+        F.col(id_col).alias("id_b"), "band", "band_sig"
+    )
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs with shingle-set Jaccard >= threshold:
+    ``(id_a, id_b, jaccard)``.
+
+    Without ``candidates`` this blocks on shared shingles (a pair is
+    only scored if it shares at least one shingle — an inverted-index
+    join, never a cross join); pass LSH candidates to prune further at
+    scale. Jaccard is computed from intersection counts:
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. The threshold compare is done in
+    integer arithmetic (``n_common * D >= threshold*D * n_union``) so
+    boundary cases are exact — no float/decimal rounding drift.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    thr_num = int(round(threshold * 10000))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .where(F.col("n_common") * 10000 >= F.col("n_union") * thr_num)
+        .withColumn(
+            "jaccard",
+            (
+                F.col("n_common").cast("decimal(18,2)") / F.col("n_union")
+            ).cast("decimal(18,4)"),
+        )
+        .select("id_a", "id_b", "n_common", "n_union", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 md5 hex chars x 4 bits; fits BIGINT in any engine
+_HEX = "0123456789abcdef"
+
+
+def _simhash_bits(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document signature bits: ``(id, bit, bitval)``.
+
+    Token hash bits come from the first 15 hex chars of md5(token):
+    bit (4*p + b) of the hash is bit b of hex char p. All arithmetic is
+    on values <= 15 (exact in every engine — no 64-bit shifts, which
+    decimal/double math can't do exactly). Signature bit = majority
+    vote over distinct tokens.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("tok"),
+    )
+    pos = F.explode(F.sequence(F.lit(0), F.lit(14))).alias("p")
+    chars = toks.select(id_col, F.md5("tok").alias("h"), pos).select(
+        id_col,
+        "p",
+        (F.instr(F.lit(_HEX), F.substring(F.col("h"), F.col("p") + 1, 1)) - 1).alias(
+            "hexv"
+        ),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b")
+    contrib = chars.select(id_col, "p", "hexv", b).select(
+        id_col,
+        (F.col("p") * 4 + F.col("b")).alias("bit"),
+        (
+            2 * (F.floor(F.col("hexv") / F.pow(F.lit(2.0), F.col("b"))).cast("int") % 2)
+            - 1
+        ).alias("c"),
+    )
+    return (
+        contrib.groupBy(id_col, "bit")
+        .agg(F.sum("c").alias("s"))
+        .select(
+            id_col, "bit", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bitval")
+        )
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash per document: ``(id, simhash)`` with simhash as
+    BIGINT. Two narrow shuffles (token-bit contribs, then bit
+    assembly); signature width is constant regardless of doc size."""
+    bits = _simhash_bits(df, id_col, text_col)
+    # shiftleft, NOT pow()+cast: Spark's double->decimal cast goes
+    # through the shortest string repr and corrupts 2^58, 2^59.
+    return bits.groupBy(id_col).agg(
+        F.sum(F.col("bitval") * F.expr("shiftleft(1L, bit)"))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= ``max_hamming``:
+    ``(id_a, id_b, hamming)``.
+
+    Blocking: split the 60-bit signature into ``bands`` segments; by
+    pigeonhole, any pair with hamming distance < bands shares at least
+    one exact segment -> per-segment equi-join, then verify true
+    hamming distance from the bit table. No cross join at any scale.
+    """
+    seg_bits = SIMHASH_BITS // bands
+    bits = _simhash_bits(df, id_col, text_col).cache()
+
+    segs = (
+        bits.withColumn("band", (F.col("bit") / seg_bits).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.sum(
+                F.col("bitval") * F.expr(f"shiftleft(1L, bit % {seg_bits})")
+            )
+            .cast("long")
+            .alias("seg")
+        )
+    )
+    a = segs.select(F.col(id_col).alias("id_a"), "band", "seg")
+    b = segs.select(F.col(id_col).alias("id_b"), "band", "seg")
+    cand = (
+        a.join(b, on=["band", "seg"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    bits_a = bits.select(F.col(id_col).alias("id_a"), "bit", F.col("bitval").alias("v_a"))
+    bits_b = bits.select(F.col(id_col).alias("id_b"), "bit", F.col("bitval").alias("v_b"))
+    return (
+        cand.join(bits_a, "id_a")
+        .join(bits_b, ["id_b", "bit"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("v_a") != F.col("v_b")).cast("int")).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )

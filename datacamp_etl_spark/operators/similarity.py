@@ -1,0 +1,301 @@
+"""Vector similarity search over embedding columns [EXT].
+
+Operators over an ``array<float>`` embedding column:
+
+- **brute_force_topk**: exact cosine top-k of every row vs a query
+  vector — the correctness baseline. JVM-side ``zip_with`` +
+  ``aggregate`` dot products (no Python in the loop); top-k via
+  ``orderBy().limit()`` which Spark executes as TakeOrdered (per
+  partition heap + driver merge of k rows — no global sort shuffle).
+- **knn_join_topk**: top-k neighbors for EVERY row of a query table
+  (k-NN join) via a window over blocked candidates.
+- **random_hyperplane_lsh**: the scale path — sign-of-projection LSH
+  bucketing. Hyperplanes are derived deterministically from md5, so
+  bucket assignment is reproducible across engines and runs (no RNG
+  state to ship). At 100 TB: bucketing is a narrow projection; probing
+  only joins on (table, bucket) — a broadcast-able equi-join key.
+- **ivf_topk**: IVF-style two-stage search — coarse quantization to
+  the nearest of C centroids, then exact search within the probed
+  cells. Centroids here are sampled deterministically from the data
+  (id-hash order) — a kmeans refinement can slot in without changing
+  the query path.
+- **cosine_near_dup_pairs**: embedding near-dup pairs (dedup by
+  semantic similarity) using LSH blocking + exact verification.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from datacamp_etl_spark.functions import cosine_similarity, dot_product, l2_norm
+
+__all__ = [
+    "normalize_vector",
+    "brute_force_topk",
+    "knn_join_topk",
+    "random_hyperplane_lsh",
+    "lsh_topk",
+    "ivf_topk",
+    "cosine_near_dup_pairs",
+]
+
+
+def normalize_vector(col: Column | str) -> Column:
+    """Unit-normalize an array vector (cosine -> dot product)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = l2_norm(c)
+    return F.when(norm != 0, F.transform(c, lambda x: x.cast("double") / norm))
+
+
+def _query_lit(query: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k vs a constant query vector:
+    ``(id, cosine)`` ordered desc, ties broken by id.
+
+    The query vector is a literal folded into the plan (broadcast by
+    value); the scan is a single narrow projection -> TakeOrdered(k).
+    ``cosine`` is rounded to ``decimals`` for cross-engine stability.
+    """
+    q = _query_lit(query)
+    cos = cosine_similarity(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), F.round(cos, decimals).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def knn_join_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """k-NN join: for each query row, its top-k corpus neighbors
+    ``(query_id, neighbor_id, cosine, rank)``.
+
+    Without ``candidates`` this is a full cross join — only for small
+    query sets or verification; pass LSH buckets for scale. The
+    ranking window partitions by query, so the heavy sort is
+    per-query-key, AQE-splittable on skew.
+    """
+    qa = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    ca = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    if candidates is not None:
+        joined = candidates.join(qa, "query_id").join(ca, "neighbor_id")
+    else:
+        joined = qa.crossJoin(ca)
+    joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    cos = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    # Rank on the ROUNDED cosine (+ id tiebreak): fully deterministic
+    # across engines — raw-double ordering is summation-order-sensitive.
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        joined.select(
+            "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------
+# LSH (random hyperplane / sign projection)
+# ---------------------------------------------------------------------
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component values in
+    [-1, 1), derived from md5(plane:dim_index) — reproducible anywhere
+    without RNG state."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}:{d}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)
+    return out
+
+
+def random_hyperplane_lsh(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    num_planes: int = 8,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Add an LSH bucket id: ``bucket = sum_j sign(v . h_j) * 2^j``.
+
+    The planes are literal arrays folded into the plan (tiny:
+    num_planes x dim doubles), so bucketing is a pure projection —
+    shuffle-free, pushdown-friendly, identical across runs/engines.
+    """
+    bucket = F.lit(0)
+    for j in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, j)])
+        dp = dot_product(F.col(vec_col), plane)
+        bucket = bucket + F.when(dp >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket.cast("int"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's LSH bucket.
+
+    Same output shape as :func:`brute_force_topk`. Recall improves
+    with fewer planes (bigger buckets) — at scale, tune
+    ``num_planes`` so a bucket is ~1/2^planes of the corpus.
+    """
+    dim = len(query)
+    bucketed = random_hyperplane_lsh(
+        df, vec_col=vec_col, dim=dim, num_planes=num_planes
+    )
+    qbucket = 0
+    for j in range(num_planes):
+        plane = _hyperplane(dim, j)
+        dp = sum(float(a) * b for a, b in zip(query, plane))
+        if dp >= 0:
+            qbucket += 2**j
+    q = _query_lit(query)
+    cos = cosine_similarity(F.col(vec_col), q)
+    return (
+        bucketed.where(F.col("bucket") == qbucket)
+        .select(F.col(id_col), F.round(cos, decimals).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted-file two-stage search)
+# ---------------------------------------------------------------------
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_cells: int = 16,
+    num_probes: int = 4,
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of
+    ``num_cells`` centroids (coarse quantization), search only the
+    ``num_probes`` cells nearest the query.
+
+    Centroids are the vectors of the ``num_cells`` smallest-md5(id)
+    rows — a deterministic sample (kmeans refinement is a drop-in).
+    The cell assignment is computed per-row against broadcast
+    centroids (greatest-of-N expression — no shuffle); the probe
+    filter is an ``isin`` over cell ids, so the exact-search scan
+    prunes to ~num_probes/num_cells of the data.
+    """
+    centroids_rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(num_cells)
+        .collect()
+    )
+    centroids = [list(r[vec_col]) for r in centroids_rows]
+
+    def nearest_cell(vc: Column) -> Column:
+        best_cell = F.lit(0)
+        best_sim = F.lit(-2.0)
+        for i, cen in enumerate(centroids):
+            c = F.array(*[F.lit(float(x)) for x in cen])
+            sim = cosine_similarity(vc, c)
+            better = sim > best_sim
+            best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+            best_sim = F.when(better, sim).otherwise(best_sim)
+        return best_cell
+
+    def py_cos(a: Sequence[float], b: Sequence[float]) -> float:
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) ** 2 for x in a) ** 0.5
+        nb = sum(float(y) ** 2 for y in b) ** 0.5
+        return num / (na * nb) if na and nb else -2.0
+
+    probe_cells = sorted(
+        range(len(centroids)), key=lambda i: -py_cos(query, centroids[i])
+    )[:num_probes]
+
+    assigned = df.withColumn("__cell", nearest_cell(F.col(vec_col)))
+    q = _query_lit(query)
+    cos = cosine_similarity(F.col(vec_col), q)
+    return (
+        assigned.where(F.col("__cell").isin(probe_cells))
+        .select(F.col(id_col), F.round(cos, decimals).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding near-dup pairs: ``(id_a, id_b, cosine)`` with cosine
+    >= threshold.
+
+    ``exact=False`` (default, the scale path): candidates must share
+    an LSH bucket -> per-bucket self-join. ``exact=True`` compares all
+    pairs (verification/small data only).
+    """
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = random_hyperplane_lsh(
+            df, vec_col=vec_col, dim=dim, num_planes=num_planes
+        )
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
+        )
+        pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,163 @@
+"""Text-analysis operators for large-scale training-data pipelines [EXT].
+
+Not present in the reference (its data plane is purely relational —
+SURVEY §2.14); these are the north-star operators mandated by
+BASELINE.json: language ID, quality scoring, token counting, document
+fingerprinting. All are built from JVM-side ``pyspark.sql.functions``
+(regex/array/lambda expressions) — no Python UDFs in the hot path, so
+whole-stage codegen applies and the ops are embarrassingly parallel:
+at 100 TB they run as a single narrow (shuffle-free) projection pass.
+
+Cross-engine notes (for the DuckDB oracle): normalization uses
+global-flag regex replace (DuckDB needs the explicit ``'g'`` flag) and
+single-space splitting after whitespace collapse, so Spark and SQL
+tokenizations agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "tokens",
+    "token_count",
+    "regex_token_count",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "text_profile",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+#: Small English stopword list for quality scoring (public-domain set).
+STOPWORDS = (
+    "the a an and or of to in is are was were be been on at by for with as"
+).split()
+
+#: Per-language marker words for the n-gram/stopword-hit language ID
+#: heuristic. Ordered dict: ties resolve to the earlier language.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and of to in is with for on small fast".split(),
+    "de": "der die das und ist mit für von nicht ein".split(),
+    "fr": "le la les et est pour dans une avec sur".split(),
+    "es": "el la los y es para en una con por".split(),
+    "zh": "的 了 在 是 我 有 和 就 不 人".split(),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form: lowercase, non-alphanumerics -> space, collapse
+    whitespace, trim. The shared normalization for fingerprints, exact
+    dedup and shingling."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}]+", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (``array<string>``);
+    empty text -> empty array."""
+    norm = normalize_text(col)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and single
+    non-space symbols each count as one token (a cheap, deterministic
+    proxy for subword tokenizer load)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(_c(col)), F.lit(r"[\p{L}]+|[0-9]+|[^\p{L}0-9\s]"), 0
+        )
+    )
+
+
+def quality_score(col: Column | str) -> dict[str, Column]:
+    """Quality signals: length, token stats, stopword ratio, alpha
+    ratio. Returned as named columns so callers select what they need
+    (column pruning keeps unused signals out of the plan)."""
+    c = _c(col)
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    alpha_chars = F.length(F.regexp_replace(c, r"[^\p{L}]+", ""))
+    return {
+        "n_chars": n_chars.cast("int"),
+        "n_tokens": n_tok.cast("int"),
+        "n_stopwords": n_stop.cast("int"),
+        "n_alpha_chars": alpha_chars.cast("int"),
+        "avg_token_len": F.when(
+            n_tok > 0,
+            (F.length(F.concat_ws("", toks)).cast("decimal(18,2)") / n_tok)
+            .cast("decimal(18,4)"),
+        ),
+        "stopword_ratio": F.when(
+            n_tok > 0,
+            (n_stop.cast("decimal(18,2)") / n_tok).cast("decimal(18,4)"),
+        ),
+        "alpha_ratio": F.when(
+            n_chars > 0,
+            (alpha_chars.cast("decimal(18,2)") / n_chars).cast("decimal(18,4)"),
+        ),
+    }
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: count marker-word hits per language over
+    the token set; argmax wins, ties resolve in LANG_MARKERS order,
+    zero hits -> 'und'. Deterministic and pure-JVM (arrays + lambdas),
+    so it scales as a projection."""
+    toks = tokens(col)
+
+    def _contains(arr: Column):
+        # single-arg lambda factory: F.filter inspects the signature,
+        # so default-arg capture would be misread as (element, index)
+        return lambda x: F.array_contains(arr, x)
+
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        scores.append((lang, F.size(F.filter(toks, _contains(arr)))))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Fold right-to-left so earlier languages win ties with strict '>'.
+    for lang, score in reversed(scores):
+        cond = score > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: MD5 of the normalized text — the exact-dup
+    key. (Reuses the reference's row-digest idea P4, loading.rb:254-270,
+    applied to documents.)"""
+    return F.md5(normalize_text(col))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile: all text-analysis signals as extra columns."""
+    out = df
+    for name, colexpr in quality_score(text_col).items():
+        out = out.withColumn(name, colexpr)
+    return (
+        out.withColumn("lang_pred", language_id(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+        .withColumn("n_tokens_bpe", regex_token_count(text_col))
+    )

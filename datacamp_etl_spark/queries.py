@@ -401,3 +401,318 @@ def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+# =====================================================================
+# [EXT] Text analysis (operators/text.py)
+# =====================================================================
+
+# Shared SQL fragments mirroring text.normalize_text / text.tokens.
+_NORM_SQL = (
+    r"trim(regexp_replace(regexp_replace(lower(text), "
+    r"'[^\p{L}\p{N}]+', ' ', 'g'), '\s+', ' ', 'g'))"
+)
+_TOKS_CTE = f"""
+    WITH n AS (SELECT doc_id, lang, text, {_NORM_SQL} AS norm FROM documents),
+    tk AS (SELECT doc_id, lang, text, norm,
+                  CASE WHEN norm = '' THEN []::VARCHAR[]
+                       ELSE string_split(norm, ' ') END AS toks
+           FROM n)
+"""
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in
+    "the a an and or of to in is are was were be been on at by for with as".split()) + "]"
+
+
+@register(
+    "text_stats",
+    f"""
+    {_TOKS_CTE}
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS BIGINT)
+             AS n_stopwords,
+           CAST(length(regexp_replace(text, '[^\\p{{L}}]+', '', 'g')) AS BIGINT)
+             AS n_alpha_chars,
+           md5(norm) AS fingerprint,
+           CAST(len(regexp_extract_all(lower(text),
+                '[\\p{{L}}]+|[0-9]+|[^\\p{{L}}0-9\\s]')) AS BIGINT) AS n_tokens_bpe
+    FROM tk
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] token counting + quality signals + fingerprint over
+    documents — pure-JVM regex/array expressions (operators/text.py)."""
+    from datacamp_etl_spark.operators import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    qs = X.quality_score("text")
+    return docs.select(
+        "doc_id",
+        qs["n_tokens"].cast("long").alias("n_tokens"),
+        qs["n_stopwords"].cast("long").alias("n_stopwords"),
+        qs["n_alpha_chars"].cast("long").alias("n_alpha_chars"),
+        X.fingerprint("text").alias("fingerprint"),
+        X.regex_token_count("text").cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def _lang_scores_sql() -> str:
+    from datacamp_etl_spark.operators.text import LANG_MARKERS
+
+    parts = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
+        parts.append(
+            f"len(list_filter(toks, x -> list_contains({arr}, x))) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@register(
+    "language_id",
+    f"""
+    {_TOKS_CTE},
+    sc AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM tk),
+    g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS gmax FROM sc)
+    SELECT doc_id, lang,
+           CASE WHEN gmax <= 0 THEN 'und'
+                WHEN s_en = gmax THEN 'en'
+                WHEN s_de = gmax THEN 'de'
+                WHEN s_fr = gmax THEN 'fr'
+                WHEN s_es = gmax THEN 'es'
+                ELSE 'zh' END AS lang_pred
+    FROM g
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] heuristic language ID (marker-word argmax; ties resolve in
+    LANG_MARKERS order) next to the labeled lang column."""
+    from datacamp_etl_spark.operators import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", X.language_id("text").alias("lang_pred"))
+
+
+# =====================================================================
+# [EXT] Deduplication (operators/dedup.py)
+# =====================================================================
+
+@register(
+    "dedup_exact",
+    f"""
+    {_TOKS_CTE}
+    SELECT min(doc_id) AS doc_id FROM tk GROUP BY md5(norm)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact dedup: survivor ids (min doc_id per normalized-text
+    MD5). One shuffle on the 16-byte digest."""
+    from datacamp_etl_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(t(spark, sf_dir, "documents")).select("doc_id")
+
+
+_SHINGLES_CTE = f"""
+    {_TOKS_CTE},
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(len(toks) - 2),
+                         i -> array_to_string(toks[(i+1):(i+3)], ' ')))) AS shingle
+           FROM tk WHERE len(toks) >= 3)
+"""
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    {_SHINGLES_CTE},
+    hx AS (SELECT doc_id, s.seed AS seed,
+                  md5(concat(s.seed, ':', shingle)) AS h
+           FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) s)
+    SELECT doc_id, seed, min(h) AS minhash
+    FROM hx GROUP BY doc_id, seed
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MinHash signatures (16 md5 hash families over word
+    3-shingles) — the near-dup building block."""
+    from datacamp_etl_spark.operators.dedup import minhash_signature
+
+    sig = minhash_signature(t(spark, sf_dir, "documents"))
+    return sig.select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
+
+
+@register(
+    "lsh_candidate_pairs",
+    f"""
+    {_SHINGLES_CTE},
+    hx AS (SELECT doc_id, s.seed AS seed,
+                  md5(concat(s.seed, ':', shingle)) AS h
+           FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) s),
+    sig AS (SELECT doc_id, seed, min(h) AS minhash
+            FROM hx GROUP BY doc_id, seed),
+    bs AS (SELECT doc_id, seed // 4 AS band,
+                  md5(array_to_string(list_sort(list(minhash)), '|')) AS band_sig
+           FROM sig GROUP BY doc_id, seed // 4)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bs a JOIN bs b ON a.band = b.band AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MinHash-LSH banding (4 bands x 4 rows): near-dup candidate
+    pairs via bucket equi-join — no cross join at any scale."""
+    from datacamp_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, n_common,
+           (sa.n_sh + sb.n_sh - n_common) AS n_union
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 10000 >= (sa.n_sh + sb.n_sh - n_common) * 2000
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] n-gram Jaccard near-dup pairs (threshold 0.2) via
+    inverted-index join on shared shingles; integer-exact threshold."""
+    from datacamp_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.2)
+    return out.select("id_a", "id_b", "n_common", "n_union")
+
+
+@register(
+    "simhash_signatures",
+    f"""
+    {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
+    hx AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    ch AS (SELECT doc_id,
+                  p.p AS p,
+                  strpos('0123456789abcdef', substr(h, CAST(p.p + 1 AS INT), 1)) - 1 AS hexv
+           FROM hx CROSS JOIN (SELECT unnest(range(15)) AS p) p),
+    bits AS (SELECT doc_id, p * 4 + b.b AS bit,
+                    2 * ((hexv >> b.b) & 1) - 1 AS c
+             FROM ch CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+    s AS (SELECT doc_id, bit, sum(c) AS s FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] 60-bit SimHash signatures (bitwise majority over distinct
+    token md5 bits) — single-signature near-dup sketch."""
+    from datacamp_etl_spark.operators.dedup import simhash
+
+    return simhash(t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# [EXT] Similarity search (operators/similarity.py)
+# =====================================================================
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list:
+    row = (
+        t(spark, sf_dir, "embeddings").where(F.col("vec_id") == vec_id).collect()
+    )
+    return list(row[0]["embedding"])
+
+
+@register(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] brute-force cosine top-k vs the vec_id=0 query vector —
+    exact ANN baseline (JVM zip_with/aggregate dot products,
+    TakeOrdered instead of global sort)."""
+    from datacamp_etl_spark.operators.similarity import brute_force_topk
+
+    q = _query_vector(spark, sf_dir, 0)
+    return brute_force_topk(t(spark, sf_dir, "embeddings"), q, k=10)
+
+
+@register(
+    "knn_join",
+    """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                         CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                            b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 3
+    ) WHERE rank <= 5
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] k-NN join: top-5 neighbors for each of 3 query vectors;
+    ranking on rounded cosine + id tiebreak (cross-engine exact)."""
+    from datacamp_etl_spark.operators.similarity import knn_join_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = knn_join_topk(emb.where(F.col("vec_id") < 3), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# =====================================================================
+# [EXT] Streaming-shaped windowed aggregation (batch-equivalent oracle)
+# =====================================================================
+
+@register(
+    "events_window_agg",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tumbling-window aggregation over the events stream table —
+    the batch-equivalent of the Structured Streaming operator in
+    streaming/ (same plan shape Catalyst produces under
+    Trigger.AvailableNow)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

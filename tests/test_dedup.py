@@ -1,0 +1,88 @@
+"""Dedup operators [EXT]: exact, MinHash/LSH, Jaccard, SimHash."""
+
+from __future__ import annotations
+
+from datacamp_etl_spark.operators import dedup as D
+
+
+def _docs(spark):
+    base = "spark filter join group agg window sort merge scan hash"
+    near = "spark filter join group agg window sort merge scan vector"  # 1 word off
+    other = "completely different words about cats dogs birds and fish today"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                   # exact dup of 1
+            (3, near),                   # near dup of 1
+            (4, other),
+            (5, "Spark  Filter join GROUP agg window sort merge scan hash"),  # exact after normalize
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(spark):
+    groups = D.exact_duplicates(_docs(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3
+    assert groups[0]["keep_id"] == 1
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    out = D.dedup_exact(_docs(spark))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    rows = df.select(D.shingles("text", 3).alias("sh")).collect()
+    assert sorted(rows[0]["sh"]) == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert short.select(D.shingles("text", 3).alias("sh")).collect()[0]["sh"] == []
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    sig = D.minhash_signature(_docs(spark)).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], {})[r["seed"]] = r["minhash"]
+    assert by_doc[1] == by_doc[2] == by_doc[5]
+    assert by_doc[1] != by_doc[4]
+    assert len(by_doc[1]) == 16
+
+
+def test_lsh_candidates_find_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(_docs(spark)).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    # near-dup 3 should collide with 1 on at least one band (13/16 seeds shared is likely)
+    # the unrelated doc must not pair with the base cluster
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_ngram_jaccard(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): float(r["jaccard"])
+        for r in D.ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_properties(spark):
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash(_docs(spark)).collect()}
+    assert sig[1] == sig[2] == sig[5]
+    assert sig[1] != sig[4]
+    assert all(0 <= s < 2**60 for s in sig.values())
+
+
+def test_simhash_near_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(_docs(spark), max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 5)] == 0
+    assert (1, 4) not in pairs
+    if (1, 3) in pairs:  # near dup within 10 bits
+        assert pairs[(1, 3)] > 0

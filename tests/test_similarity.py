@@ -1,0 +1,76 @@
+"""Similarity-search operators [EXT]."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from datacamp_etl_spark.operators import similarity as S
+
+
+def _vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+        (5, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_ordering(spark):
+    out = S.brute_force_topk(_vectors(spark), [1.0, 0.0, 0.0, 0.0], k=3)
+    rows = out.collect()
+    assert [r["vec_id"] for r in rows] == [1, 2, 5]
+    assert float(rows[0]["cosine"]) == 1.0
+    expected2 = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(float(rows[1]["cosine"]) - expected2) < 1e-5
+
+
+def test_lsh_topk_contains_query_bucket_hits(spark):
+    query = [1.0, 0.0, 0.0, 0.0]
+    out = S.lsh_topk(_vectors(spark), query, k=5, num_planes=2)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert 1 in ids            # identical vector always in the query's bucket
+    assert 4 not in ids or len(ids) == 5  # opposite vector rarely shares bucket
+
+
+def test_ivf_topk_matches_bruteforce_top1(spark):
+    df = _vectors(spark)
+    query = [0.9, 0.1, 0.0, 0.0]
+    exact = S.brute_force_topk(df, query, k=1).collect()[0]
+    approx = S.ivf_topk(df, query, k=1, num_cells=3, num_probes=3).collect()[0]
+    assert approx["vec_id"] == exact["vec_id"]
+
+
+def test_cosine_near_dup_pairs_exact(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): float(r["cosine"])
+        for r in S.cosine_near_dup_pairs(
+            _vectors(spark), threshold=0.9, exact=True
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(v >= 0.9 for v in pairs.values())
+    assert (1, 4) not in pairs
+
+
+def test_knn_join_topk(spark):
+    df = _vectors(spark)
+    out = S.knn_join_topk(df.limit(2), df, k=2)
+    rows = [r for r in out.collect() if r["query_id"] == 1]
+    assert [r["neighbor_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [2, 5]
+
+
+def test_embeddings_table_topk(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    query = emb.where("vec_id = 0").collect()[0]["embedding"]
+    out = S.brute_force_topk(emb, query, k=5).collect()
+    assert out[0]["vec_id"] == 0 and abs(float(out[0]["cosine"]) - 1.0) < 1e-6
+    assert len(out) == 5
+    # LSH variant returns a subset ordered the same way
+    lsh = S.lsh_topk(emb, query, k=5, num_planes=4).collect()
+    assert lsh[0]["vec_id"] == 0

@@ -1,0 +1,70 @@
+"""Text-analysis operators [EXT]."""
+
+from __future__ import annotations
+
+import hashlib
+
+from datacamp_etl_spark.operators import text as X
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick brown Fox, jumps!  Over the lazy dog."),
+            (2, "der hund und die katze ist mit für von nicht ein gut"),
+            (3, ""),
+            (4, "12345 !!!"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_normalize_and_tokens(spark):
+    df = _docs(spark).select("doc_id", X.normalize_text("text").alias("n"),
+                             X.token_count("text").alias("tc"))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["n"] == "the quick brown fox jumps over the lazy dog"
+    assert rows[1]["tc"] == 9
+    assert rows[3]["n"] == ""
+    assert rows[3]["tc"] == 0
+    assert rows[4]["n"] == "12345"
+    assert rows[4]["tc"] == 1
+
+
+def test_language_id(spark):
+    df = _docs(spark).select("doc_id", X.language_id("text").alias("lang"))
+    rows = {r["doc_id"]: r["lang"] for r in df.collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"
+    assert rows[3] == "und"   # no tokens -> undetermined
+    assert rows[4] == "und"
+
+
+def test_fingerprint_matches_md5_of_normalized(spark):
+    df = _docs(spark).select("doc_id", X.fingerprint("text").alias("fp"))
+    rows = {r["doc_id"]: r["fp"] for r in df.collect()}
+    expected = hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert rows[1] == expected
+
+
+def test_quality_scores(spark):
+    df = _docs(spark)
+    out = df.select("doc_id", *[c.alias(n) for n, c in X.quality_score("text").items()])
+    rows = {r["doc_id"]: r for r in out.collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 9
+    # 'the' twice + 'over' not in list... stopwords: the, the -> 2/9
+    assert float(r1["stopword_ratio"]) == round(2 / 9, 4)
+    assert rows[3]["stopword_ratio"] is None
+    assert 0 < float(r1["alpha_ratio"]) <= 1
+
+
+def test_profile_on_real_documents(spark, sf_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    prof = X.text_profile(docs.limit(50))
+    rows = prof.collect()
+    assert all(r["fingerprint"] is not None for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+    assert all(r["n_tokens_bpe"] >= r["n_tokens"] for r in rows)
