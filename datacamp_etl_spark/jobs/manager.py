@@ -123,6 +123,35 @@ class ETLManager:
         opts.update(options or {})
         job.launch_with_argument(argument, opts)
 
+    # -- J4: monitoring view (install/etl_tables.mysql.sql:56-64) ------
+    def monitoring_view(self):
+        """``v_etl_enabled_job_status``: job status rows joined with
+        enabled jobs, newest first, with run duration — the reference's
+        only reporting join (J4)."""
+        from pyspark.sql import functions as F
+
+        status = self.store.to_spark(self.spark, "etl_job_status")
+        jobs = self.store.to_spark(self.spark, "etl_jobs").where(
+            F.col("is_enabled") == 1
+        )
+        return (
+            status.alias("s")
+            .join(jobs.alias("j"), F.col("s.job_id") == F.col("j.id"))
+            .select(
+                F.col("j.name").alias("name"),
+                F.col("s.status"),
+                F.col("s.phase"),
+                F.col("s.message"),
+                F.col("s.start_time"),
+                F.col("s.end_time"),
+                (
+                    F.col("s.end_time").cast("timestamp").cast("double")
+                    - F.col("s.start_time").cast("timestamp").cast("double")
+                ).alias("duration_sec"),
+            )
+            .orderBy(F.desc("start_time"))
+        )
+
     # -- O5: scheduling (etl_manager.rb:85-136) ------------------------
     @staticmethod
     def _today() -> date:

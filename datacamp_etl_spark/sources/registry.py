@@ -59,6 +59,24 @@ class RepositoryManager:
     def add_repository(self, name: str, spec: dict[str, Any]) -> None:
         self._repositories[name] = dict(spec)
 
+    def scan_search_path(self) -> None:
+        """Eagerly merge every YAML file on the search path (the
+        reference's fallback scan, done up-front for listings)."""
+        for d in self.search_path:
+            if not os.path.isdir(d):
+                continue
+            for fname in sorted(os.listdir(d)):
+                full = os.path.join(d, fname)
+                if os.path.isfile(full):
+                    try:
+                        self.add_repositories_from_file(full)
+                    except Exception:
+                        continue
+
+    def names(self) -> list[str]:
+        self.scan_search_path()
+        return sorted(self._repositories)
+
     def repository(self, name: str) -> dict[str, Any] | None:
         """Resolve a named spec; on miss, scan every file in each search
         dir and merge (the reference's fallback scan,

@@ -1,0 +1,161 @@
+"""Incremental loading with a metadata high-watermark (reference F2/K3).
+
+The reference tracked incremental progress two ways:
+
+- a designed-but-commented predicate ``date_created > <last_run>``
+  (``loading.rb:142-145``, ``job_manager.rb:112``)
+- the ``etl_loaded_date`` staging-column stamp (``loading.rb:198-201``)
+
+At scale the in-table flag is an anti-pattern (rewrites the whole
+staging table every load); the first-class mechanism here is a
+**high-watermark stored in the defaults KV** (domain-scoped, C1-C6),
+with the column stamp available as a compat mode in
+:func:`datacamp_etl_spark.operators.loading.set_loaded_flag`.
+
+With date-partitioned staging layouts the watermark predicate becomes
+partition pruning at the parquet scan — verified by
+``plans.assert_partition_filter``.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from datacamp_etl_spark.metadata.defaults import ETLDefaults
+
+__all__ = ["IncrementalLoader"]
+
+_WM_KEY = "incremental_watermark"
+_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+class IncrementalLoader:
+    """Watermark-driven incremental reads over an append-only staging
+    table.
+
+    Usage::
+
+        inc = IncrementalLoader(job.defaults, watermark_column="ts")
+        fresh = inc.filter_new(staging_df)     # rows past the watermark
+        ... process ...
+        inc.advance(fresh)                     # commit max(ts) as new WM
+
+    ``advance`` computes the max watermark of the processed batch with
+    a single narrow agg (no driver materialization of data rows).
+    """
+
+    def __init__(
+        self,
+        defaults: "ETLDefaults",
+        *,
+        watermark_column: str = "date_created",
+        key: str = _WM_KEY,
+    ):
+        self.defaults = defaults
+        self.watermark_column = watermark_column
+        self.key = key
+
+    def current_watermark(self) -> datetime | None:
+        raw = self.defaults.get(self.key)
+        if raw is None:
+            return None
+        return datetime.strptime(raw, _FMT)
+
+    def filter_new(self, staging: DataFrame) -> DataFrame:
+        """Reference F2: ``col > watermark``; full scan on first run."""
+        wm = self.current_watermark()
+        if wm is None:
+            return staging
+        return staging.where(F.col(self.watermark_column) > F.lit(wm))
+
+    def advance(self, processed: DataFrame) -> datetime | None:
+        """Commit the batch's max watermark (inclusive semantics: the
+        next ``filter_new`` uses strict ``>``, so reprocessing is
+        impossible for monotonic sources; late data below the watermark
+        is the caller's policy decision, as in Structured Streaming)."""
+        row = processed.agg(
+            F.max(self.watermark_column).alias("wm")
+        ).collect()[0]
+        wm = row["wm"]
+        if wm is None:
+            return self.current_watermark()
+        if isinstance(wm, datetime):
+            value = wm.strftime(_FMT)
+        else:
+            value = str(wm)
+        self.defaults[self.key] = value
+        return wm
+
+    def reset(self) -> None:
+        self.defaults.delete(self.key)
+
+
+def streaming_events(
+    spark,
+    path: str,
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ),
+):
+    """``readStream`` over a parquet events directory — the idiomatic
+    upgrade of the incremental pattern (Trigger.AvailableNow drains
+    exactly the unprocessed files; checkpoint = the watermark)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (works on both batch and
+    streaming DataFrames; in streaming mode late data beyond
+    ``watermark`` is dropped and state is evicted — bounded memory at
+    any scale)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Sessionization: assign session ids per user from inactivity gaps
+    (batch form: lag + cumulative sum — two window passes over the
+    user partition; streaming form would use ``session_window``).
+
+    Returns events plus ``session_id`` (``<user_id>-<n>``)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = (gap.isNull() | (gap > gap_minutes * 60)).cast("int")
+    session_n = F.sum(new_session).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    return events.withColumn(
+        "session_id",
+        F.concat_ws("-", F.col("user_id"), session_n),
+    )
