@@ -231,15 +231,17 @@ def ivf_topk(
     centroids = [list(r[vec_col]) for r in centroids_rows]
 
     def nearest_cell(vc: Column) -> Column:
-        best_cell = F.lit(0)
-        best_sim = F.lit(-2.0)
-        for i, cen in enumerate(centroids):
-            c = F.array(*[F.lit(float(x)) for x in cen])
-            sim = cosine_similarity(vc, c)
-            better = sim > best_sim
-            best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-            best_sim = F.when(better, sim).otherwise(best_sim)
-        return best_cell
+        # One similarity per centroid, materialized once into an array;
+        # argmax = position of the first max (ties -> lowest cell id).
+        # A when/otherwise fold would nest each step's expression inside
+        # the next (O(2^cells) tree) and OOM the driver at plan time.
+        sims = F.array(
+            *[
+                cosine_similarity(vc, F.array(*[F.lit(float(x)) for x in cen]))
+                for cen in centroids
+            ]
+        )
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
     def py_cos(a: Sequence[float], b: Sequence[float]) -> float:
         num = sum(float(x) * float(y) for x, y in zip(a, b))

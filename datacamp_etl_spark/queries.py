@@ -716,3 +716,544 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# =====================================================================
+# Relational widening: TPC-H-shaped queries over the testdata schema
+# (semi-join, having/in-subquery, conditional agg, rollup, set ops)
+# =====================================================================
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS -> LEFT SEMI join with a
+    non-equi term in the join condition. The semi join never widens
+    lineitem (probe side carries only the keys it needs)."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + filter + global agg. All four
+    predicates push to the parquet scan (PushedFilters); the agg is a
+    partial/final two-phase with no wide shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+           CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact join keyed on orderkey, customer dim
+    broadcast, top-20 via TakeOrdered (no global sort shuffle)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.sum(rev).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_effect",
+    """
+    SELECT sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_revenue,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS total_revenue,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast dim
+    join; decimal-exact sums, ratio computed on the exact sums."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(promo).alias("promo_revenue"),
+        F.sum(rev).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.col("promo_revenue").cast("double") * 100
+            / F.col("total_revenue").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "q18_large_volume",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS total, lq.sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN (SELECT l_orderkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) lq
+      ON o.o_orderkey = lq.l_orderkey
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg -> HAVING -> join back to orders/customer.
+    The having filter runs before the join, so only qualifying order
+    keys (a tiny set) reach the join — broadcast both sides up."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "rollup_returns",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (SURVEY §2.6 upgrade): subtotal
+    + grand-total rows in one pass (Spark expands grouping sets
+    map-side; one shuffle)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "set_ops_repeat_buyers",
+    """
+    (SELECT o_custkey FROM orders
+     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+     INTERSECT
+     SELECT o_custkey FROM orders
+     WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def q_set_ops_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.9): INTERSECT/EXCEPT — customers who
+    bought in both 1996 and 1997 minus any very-large-order customer."""
+    o = t(spark, sf_dir, "orders")
+    y96 = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    big = o.where(F.col("o_totalprice") > 400000).select("o_custkey")
+    return y96.intersect(y97).subtract(big)
+
+
+# =====================================================================
+# [EXT] As-of join + sessionization over the events stream table
+# =====================================================================
+
+@register(
+    "asof_join_last_click",
+    """
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts FROM (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               CAST(c.event_id AS VARCHAR) AS click_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM events p LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def q_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] as-of join (operators/asof.py): for every purchase, the
+    latest click at-or-before it by the same user. Union-merge + one
+    window pass — no range-join candidate explosion at scale."""
+    from datacamp_etl_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts"],
+        tiebreak="click_id",
+    )
+    # string-typed click_id on both engines: the left as-of join makes it
+    # nullable, and a nullable int64 degrades to float64 in the pandas
+    # bridge the comparator uses
+    return joined.withColumn("click_id", F.col("click_id").cast("string"))
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH g AS (
+        SELECT event_id, user_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                     OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000000
+                    THEN 1 ELSE 0 END AS new_s,
+               ts
+        FROM events)
+    SELECT event_id, user_id,
+           CAST(user_id AS VARCHAR) || '-' || CAST(
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS VARCHAR) AS session_id
+    FROM g
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] gap-based sessionization (streaming/incremental.py):
+    lag + running sum over the user partition; integer-microsecond gap
+    arithmetic (exact, engine-portable)."""
+    from datacamp_etl_spark.streaming.incremental import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30, tiebreak_cols=("event_id",)).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+# =====================================================================
+# [EXT] Embedding near-dup + approximate similarity (full oracles:
+# hyperplanes/centroids are md5-derived, so the oracle replays them)
+# =====================================================================
+
+from datacamp_etl_spark.operators.similarity import _hyperplane  # noqa: E402
+
+
+def _bucket_sql(vec_sql: str, dim: int = 64, num_planes: int = 8) -> str:
+    """DuckDB expression computing the engine's LSH bucket id for a
+    DOUBLE[] expression — same md5-derived hyperplanes folded in as
+    literals (similarity.random_hyperplane_lsh)."""
+    terms = []
+    for j in range(num_planes):
+        plane = "[" + ", ".join(repr(x) for x in _hyperplane(dim, j)) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_sql}, {plane}) >= 0"
+            f" THEN {2 ** j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "cosine_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    """,
+)
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact embedding near-dup pairs (cosine >= 0.45) — the
+    brute-force verification baseline (small data / recall audits)."""
+    from datacamp_etl_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.45, exact=True
+    )
+
+
+@register(
+    "cosine_near_dup_lsh",
+    f"""
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.45
+    """,
+)
+def q_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] LSH-blocked embedding near-dup pairs — the 100 TB path:
+    candidates must share a sign-projection bucket (equi-join on
+    bucket), exact cosine verifies. The oracle replays the same
+    md5-derived hyperplanes, so this checks blocking AND verification."""
+    from datacamp_etl_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.45, exact=False
+    )
+
+
+@register(
+    "lsh_topk",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+          FROM embeddings),
+    qb AS (SELECT {_bucket_sql("qv")} AS qbucket FROM q)
+    SELECT vec_id, round(list_cosine_similarity(v, q.qv), 6) AS cosine
+    FROM b CROSS JOIN q CROSS JOIN qb
+    WHERE b.bucket = qb.qbucket
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] approximate top-k: score only the query's LSH bucket
+    (~1/2^planes of the corpus scanned; bucket filter is a pushdown-
+    friendly projection predicate)."""
+    from datacamp_etl_spark.operators.similarity import lsh_topk
+
+    q = _query_vector(spark, sf_dir, 0)
+    return lsh_topk(t(spark, sf_dir, "embeddings"), q, k=10)
+
+
+@register(
+    "ivf_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cen AS (SELECT v AS cv, cell_id FROM (
+                SELECT v, row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell_id
+                FROM e) WHERE cell_id < 16),
+    assigned AS (SELECT vec_id, v, cell_id FROM (
+                SELECT e.vec_id, e.v, cen.cell_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, cen.cv) DESC,
+                                    cen.cell_id) AS rn
+                FROM e CROSS JOIN cen) WHERE rn = 1),
+    probe AS (SELECT cell_id FROM cen CROSS JOIN q
+              ORDER BY list_cosine_similarity(cv, qv) DESC, cell_id LIMIT 4)
+    SELECT s.vec_id, round(list_cosine_similarity(s.v, q.qv), 6) AS cosine
+    FROM assigned s CROSS JOIN q
+    WHERE s.cell_id IN (SELECT cell_id FROM probe)
+    ORDER BY cosine DESC, s.vec_id
+    LIMIT 10
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] IVF two-stage ANN: nearest-of-16 deterministic centroids
+    coarse quantization, probe the 4 cells nearest the query, exact
+    search inside (~4/16 of the corpus scanned). Oracle replays the
+    same md5-ordered centroid choice."""
+    from datacamp_etl_spark.operators.similarity import ivf_topk
+
+    q = _query_vector(spark, sf_dir, 0)
+    return ivf_topk(
+        t(spark, sf_dir, "embeddings"), q, k=10, num_cells=16, num_probes=4
+    )
+
+
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH sig AS ({{SIMHASH_SIG}})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SimHash near-dup pairs (hamming <= 3) via band blocking:
+    4 x 15-bit segments; pigeonhole makes blocking EXACT for
+    hamming < 4 — per-segment equi-join, no cross join at any scale."""
+    from datacamp_etl_spark.operators.dedup import simhash_near_pairs
+
+    out = simhash_near_pairs(
+        t(spark, sf_dir, "documents"), max_hamming=3, bands=4
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# Splice the already-registered signature SQL into the pairs oracle
+# (single source of truth for the signature computation).
+ORACLE["simhash_near_pairs"] = ORACLE["simhash_near_pairs"].replace(
+    "{SIMHASH_SIG}", ORACLE["simhash_signatures"]
+)
+
+
+# =====================================================================
+# [EXT] Multimodal plumbing: binary decode via mapInPandas
+# =====================================================================
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(1 + ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+                    % 64 AS INT) AS width,
+           CAST(1 + ((strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
+                    % 64 AS INT) AS height,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal decode plumbing (operators/multimodal.py):
+    documents' text bytes stand in for image content; decode runs as a
+    deterministic stub codec inside mapInPandas (Arrow batches). The
+    oracle replays the stub's md5-derived dimensions — so schema,
+    batching, and UDF signature are all correctness-gated."""
+    from datacamp_etl_spark.operators.multimodal import decode_images
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("image/fake").alias("mime"),
+    )
+    return decode_images(media)

@@ -141,17 +141,23 @@ def sessionize(
     events: DataFrame,
     *,
     gap_minutes: int = 30,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sessionization: assign session ids per user from inactivity gaps
     (batch form: lag + cumulative sum — two window passes over the
     user partition; streaming form would use ``session_window``).
 
+    Gap arithmetic is integer microseconds (``unix_micros``) — exact
+    and engine-portable, no float epoch. ``tiebreak_cols`` extend the
+    within-user ordering so ties on ``ts`` are deterministic.
+
     Returns events plus ``session_id`` (``<user_id>-<n>``)."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = (gap.isNull() | (gap > gap_minutes * 60)).cast("int")
+    w = W.partitionBy("user_id").orderBy("ts", *tiebreak_cols)
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    new_session = (gap.isNull() | (gap > gap_minutes * 60 * 1_000_000)).cast("int")
     session_n = F.sum(new_session).over(
         w.rowsBetween(W.unboundedPreceding, 0)
     )
