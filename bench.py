@@ -21,15 +21,36 @@ from datacamp_etl_spark.queries import QUERIES  # noqa: E402
 from datacamp_etl_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # TPC-H-shaped relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_effect",
+    "q18_large_volume",
+    "q19_disjunctive_pred",
+    # Loading / CDC operator family (reference parity)
     "mapped_append",
     "update_join",
     "table_diff",
     "incremental_load",
-    "topk_orders_per_customer",
     "md5_digest",
+    # analytic windows / top-k
+    "topk_orders_per_customer",
+    "window_suite",
+    "rollup_returns",
+    # [EXT] LLM-data-pipeline operators
+    "dedup_exact",
+    "lsh_candidate_pairs",
+    "simhash_near_pairs",
+    "embedding_topk",
+    "asof_join_last_click",
+    "events_sessionize",
+    "events_window_agg",
 ]
 
 

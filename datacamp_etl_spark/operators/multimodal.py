@@ -186,7 +186,10 @@ def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
                 duration = (row.meta or {}).get("duration_ms") or 0
                 content = bytes(row.content)
                 for i, ts in enumerate(range(0, int(duration), every_ms)):
-                    sha = hashlib.sha256(content + ts.to_bytes(4, "big")).hexdigest()
+                    # ASCII timestamp suffix (not raw bytes) so the
+                    # digest is replayable by SQL oracles whose sha256
+                    # operates on strings
+                    sha = hashlib.sha256(content + str(ts).encode()).hexdigest()
                     out.append(
                         {
                             "media_id": row.media_id,

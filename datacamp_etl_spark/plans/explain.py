@@ -85,5 +85,16 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (lower = better, given
-    equal semantics)."""
-    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", explain_str(df)))
+    equal semantics). Counts both simple-mode ("Exchange
+    hashpartitioning(...)") and formatted-mode ("(3) Exchange") nodes;
+    ReusedExchange is free and not counted."""
+    text = explain_str(df)
+    n = len(
+        re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            text,
+        )
+    )
+    if n:
+        return n
+    return len(re.findall(r"\(\d+\) Exchange\b", text))

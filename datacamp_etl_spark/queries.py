@@ -1257,3 +1257,492 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image/fake").alias("mime"),
     )
     return decode_images(media)
+
+
+# =====================================================================
+# Relational breadth 2: multi-way joins, outer-join distributions,
+# distinct aggs, disjunctive pushdown, scalar subqueries, windows,
+# pivot, cube, percentiles
+# =====================================================================
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS ship_year,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: five-way join — the two dims chains (supplier→
+    nation, customer→nation) broadcast onto the lineitem⋈orders fact
+    join; only the fact-fact join shuffles, keyed on l_orderkey."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(vol).alias("volume"))
+    )
+
+
+@register(
+    "q11_top_value_parts",
+    """
+    WITH pv AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+        FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, part_value FROM pv
+    WHERE CAST(part_value AS DOUBLE)
+          > 0.0005 * (SELECT CAST(sum(part_value) AS DOUBLE) FROM pv)
+    """,
+)
+def q11_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-agg filtered against a global-total
+    scalar subquery. The one-row global agg joins in as a broadcast
+    nested-loop (free); the group agg is the only shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("part_value")
+    )
+    total = pv.agg(
+        F.sum("part_value").cast("double").alias("__total")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("part_value").cast("double") > 0.0005 * F.col("__total"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join preserving zero-order
+    customers, two-level aggregation (per-customer count, then
+    distribution). Second agg's input is one row per customer — tiny."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) grouped agg over a broadcast
+    dim join; Spark expands distinct-agg to a two-phase partial
+    aggregate (dedup map-side first — shuffle carries distinct tuples
+    only)."""
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total_price,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+          FROM lineitem GROUP BY l_partkey) pa
+      ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.half_avg
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery decorrelated into an
+    agg + self-join (per-part averages are tiny — broadcast). Quantity
+    sums are exact small-integer doubles, so the avg threshold is
+    engine-deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == F.col("pa_partkey"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_pred",
+    """
+    SELECT sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixed join/filter predicate.
+    Catalyst pushes the part-only disjuncts below the join (CNF
+    conversion), so the broadcast hash join sees pre-filtered build
+    rows; the residual mixed predicate stays on the join."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    SELECT c.c_custkey, CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+    FROM customer c
+    WHERE CAST(c.c_acctbal AS DOUBLE) > (
+            SELECT avg(CAST(c2.c_acctbal AS DOUBLE)) FROM customer c2
+            WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery threshold + NOT EXISTS
+    anti-join. The one-row average broadcasts; the anti-join probes
+    orders with only its key column."""
+    c = t(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("double")).alias("__avg")
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal").cast("double") > F.col("__avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal")
+        )
+    )
+
+
+@register(
+    "window_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS price_rank,
+           CAST(lag(o_orderkey) OVER w AS VARCHAR) AS prev_order,
+           CAST(lead(o_orderkey) OVER w AS VARCHAR) AS next_order,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth (SURVEY §2.7 upgrade): ranking, offset,
+    and sliding-frame aggregates share ONE partitioning — Spark plans
+    a single shuffle + sort for all five functions."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    wp = W.partitionBy("o_custkey").orderBy(F.desc(price))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wp).alias("price_rank"),
+        # string-typed: lag/lead are nullable, and nullable int64
+        # degrades to float64 in the comparator's pandas bridge
+        F.lag("o_orderkey").over(w).cast("string").alias("prev_order"),
+        F.lead("o_orderkey").over(w).cast("string").alias("next_order"),
+        F.sum(price).over(w.rowsBetween(-2, 0)).alias("moving_sum"),
+    )
+
+
+@register(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): explicit value list keeps
+    it one pass — no extra distinct-values job, map-side partial aggs."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "cube_status_flag",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four grouping combinations in one
+    shuffle (Spark expands rows map-side with grouping ids)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+    )
+
+
+@register(
+    "percentiles_quantity",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics on
+    both engines). Exact percentile shuffles the column values; for
+    100 TB dashboards swap in approx_percentile (t-digest sketch,
+    map-side mergeable) — same call shape."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {q})"), 6).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.50, 0.75, 0.99)
+        ]
+    )
+
+
+# =====================================================================
+# [EXT] Structured Streaming (Trigger.AvailableNow) + multimodal
+# feature extraction / frame sampling
+# =====================================================================
+
+_STREAM_RUN = [0]
+
+
+@register(
+    "streaming_window_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] genuinely streaming-executed windowed aggregation:
+    readStream over the events parquet, 2h watermark, tumbling 1h
+    windows, drained to completion with Trigger.AvailableNow into a
+    memory sink. With all data available the watermark drops nothing,
+    so the full batch oracle applies — correctness-gating the
+    streaming plan itself (state store, watermark eviction, sink
+    commit), not a batch stand-in."""
+    import tempfile
+
+    from datacamp_etl_spark.streaming.incremental import windowed_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource wants a directory: stream sf_dir with a glob
+    # filter so only the events file matches (no copy, no symlink).
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = windowed_event_counts(raw, window="1 hour", watermark="2 hours")
+    _STREAM_RUN[0] += 1
+    sink = f"stream_window_counts_{_STREAM_RUN[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def _feature_component_sql() -> str:
+    """DuckDB replay of multimodal.extract_features' stub kernel:
+    component j = uint32-little-endian(sha256(text)[(4j)%32 ..+4])
+    / uint32_max, as float32. Hex-digit arithmetic over the digest."""
+    def hx(pos: str) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte_at(off_expr: str) -> str:
+        hi = hx(f"2*({off_expr}) + 1")
+        lo = hx(f"2*({off_expr}) + 2")
+        return f"({hi} * 16 + {lo})"
+
+    terms = []
+    for k in range(4):
+        off = f"(4 * dim_i + {k}) % 32"
+        terms.append(f"{byte_at(off)} * {256 ** k}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "multimodal_features",
+    f"""
+    WITH m AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents),
+    c AS (SELECT media_id, unnest(generate_series(0, 15)) AS dim_i, h FROM m)
+    SELECT media_id, CAST(dim_i AS INT) AS dim_i,
+           round(CAST(CAST({_feature_component_sql()} AS DOUBLE)
+                      / 4294967295 AS REAL) :: DOUBLE, 6) AS component
+    FROM c
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal feature extraction (mapInPandas stub kernel:
+    sha256-derived 16-dim float32 vector per media blob). Output is
+    exploded to (media_id, dim_i, component) scalars; the oracle
+    replays the digest arithmetic in SQL, so the Arrow batch plumbing
+    and vector layout are value-checked end to end."""
+    from datacamp_etl_spark.operators.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id", F.posexplode("embedding").alias("dim_i", "component")
+    ).select(
+        "media_id",
+        "dim_i",
+        F.round(F.col("component").cast("double"), 6).alias("component"),
+    )
+
+
+@register(
+    "frame_sample",
+    """
+    WITH v AS (SELECT doc_id AS media_id, text AS t,
+                      CAST(n_chars % 5000 AS INT) AS duration_ms
+               FROM documents WHERE n_chars % 5000 > 0)
+    SELECT media_id, CAST(i AS INT) AS frame_no,
+           CAST(i * 1000 AS INT) AS ts_ms,
+           sha256(t || CAST(i * 1000 AS VARCHAR)) AS frame_sha
+    FROM (SELECT media_id, t,
+                 unnest(generate_series(0, (duration_ms - 1) // 1000)) AS i
+          FROM v)
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] video frame sampling (1->N mapInPandas fan-out): synthetic
+    videos from documents (duration = n_chars mod 5000 ms), one frame
+    per second; frame digests replayed by the oracle."""
+    from datacamp_etl_spark.operators.multimodal import sample_frames
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.where(F.col("n_chars") % 5000 > 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.create_map(
+            F.lit("duration_ms"), (F.col("n_chars") % 5000).cast("int")
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_ms=1000)

@@ -75,3 +75,66 @@ def test_topk_is_take_ordered(spark, sf):
     assert "TakeOrderedAndProject" in plans.explain_str(df)
     df2 = QUERIES["embedding_topk"](spark, sf)
     assert "TakeOrderedAndProject" in plans.explain_str(df2)
+
+
+def test_q6_all_predicates_pushed(spark, sf):
+    df = QUERIES["q6_revenue_forecast"](spark, sf)
+    plans.assert_filter_pushed(df, "l_shipdate")
+    plans.assert_filter_pushed(df, "l_discount")
+    plans.assert_filter_pushed(df, "l_quantity")
+    # 4-column projection from the 11-column lineitem
+    plans.assert_column_pruned(df, "l_partkey")
+    plans.assert_column_pruned(df, "l_returnflag")
+
+
+def test_q7_five_way_join_broadcasts_dims(spark, sf):
+    df = QUERIES["q7_nation_volume"](spark, sf)
+    # supplier, 2x nation, customer all broadcast; only lineitem join
+    # orders shuffles
+    plans.assert_broadcast_join(df, at_least=4)
+    plans.assert_no_cartesian(df)
+
+
+def test_q19_part_disjuncts_pushed_below_join(spark, sf):
+    df = QUERIES["q19_disjunctive_pred"](spark, sf)
+    plans.assert_no_cartesian(df)
+    plans.assert_broadcast_join(df, at_least=1)
+    # CNF extraction pushes the quantity disjunction to the lineitem
+    # scan and a brand/size disjunction to the part scan
+    filters = plans.pushed_filters(df)
+    assert any("l_quantity" in f for f in filters), filters
+    assert any("p_brand" in f for f in filters), filters
+
+
+def test_window_suite_single_exchange(spark, sf):
+    df = QUERIES["window_suite"](spark, sf)
+    # all five window functions share partitionBy(o_custkey): one
+    # hash exchange total, however many sorts follow
+    assert plans.count_exchanges(df) == 1, plans.explain_str(df)
+
+
+def test_q13_outer_join_no_cartesian(spark, sf):
+    df = QUERIES["q13_order_count_distribution"](spark, sf)
+    plans.assert_no_cartesian(df)
+
+
+def test_q16_distinct_agg_broadcast_dim(spark, sf):
+    df = QUERIES["q16_supplier_variety"](spark, sf)
+    plans.assert_broadcast_join(df, at_least=1)
+    plans.assert_filter_pushed(df, "p_size")
+
+
+def test_q22_anti_join_no_cartesian(spark, sf):
+    df = QUERIES["q22_dormant_customers"](spark, sf)
+    # scalar-avg crossJoin is a broadcast nested loop over ONE row —
+    # fine; a true CartesianProduct is not
+    plans.assert_no_cartesian(df)
+
+
+def test_asof_join_single_shuffle(spark, sf):
+    df = QUERIES["asof_join_last_click"](spark, sf)
+    plans.assert_no_cartesian(df)
+    # union-merge as-of: no range join, no nested loop
+    text = plans.explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
