@@ -95,6 +95,24 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
     )
 
 
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime: (a*h + b) % p stays < 2^62
+
+
+def minhash_constants(num_hashes: int = 16) -> tuple[list[int], list[int]]:
+    """Deterministic md5-derived universal-hash constants
+    ``a_j in [1, p-1], b_j in [0, p-1]`` — reproducible anywhere
+    without RNG state, inlineable as literals in SQL oracles."""
+    import hashlib
+
+    a, b = [], []
+    for j in range(num_hashes):
+        ha = int(hashlib.md5(f"minhash-a:{j}".encode()).hexdigest()[:8], 16)
+        hb = int(hashlib.md5(f"minhash-b:{j}".encode()).hexdigest()[:8], 16)
+        a.append(ha % (MINHASH_PRIME - 1) + 1)
+        b.append(hb % MINHASH_PRIME)
+    return a, b
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -103,28 +121,37 @@ def minhash_signature(
     num_hashes: int = 16,
     k: int = 3,
 ) -> DataFrame:
-    """MinHash signatures: ``(id, seed, minhash)`` with
-    ``minhash = min(md5(seed || ':' || shingle))`` per seed.
+    """MinHash signatures: ``(id, seed, minhash)`` (minhash BIGINT).
 
-    md5-per-seed is pricier than a single 64-bit hash family but is
-    exactly reproducible in any engine (the correctness gate) and
-    still a narrow projection+explode; the per-doc state in the
-    aggregation is ``num_hashes`` 32-char strings.
+    One md5 per shingle (folded to a 60-bit int, reduced mod the
+    Mersenne prime 2^31-1), then ``num_hashes`` universal-hash mixes
+    ``(a_j*h + b_j) % p`` — integer-exact, reproducible in any engine.
+    All mins are computed as parallel agg columns in a SINGLE
+    groupBy (one shuffle, no seed-explosion row blowup), then
+    unpivoted to the (id, seed, minhash) shape.
     """
+    a, b = minhash_constants(num_hashes)
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
     )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = sh.select(
-        id_col,
-        seeds,
-        "shingle",
-    ).select(
-        id_col,
-        "seed",
-        F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
     )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+    hashed = sh.select(id_col, h.alias("h"))
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a[j]) * F.col("h") + F.lit(b[j])) % MINHASH_PRIME).alias(
+                f"m{j}"
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    stack = ", ".join(f"{j}L, m{j}" for j in range(num_hashes))
+    return mins.select(
+        id_col,
+        F.expr(f"stack({num_hashes}, {stack}) AS (seed, minhash)"),
+    ).select(id_col, "seed", "minhash")
 
 
 def lsh_candidate_pairs(
@@ -151,7 +178,13 @@ def lsh_candidate_pairs(
         .groupBy(id_col, "band")
         .agg(
             F.md5(
-                F.array_join(F.array_sort(F.collect_list("minhash")), "|")
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("minhash")),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                )
             ).alias("band_sig")
         )
     )
@@ -257,13 +290,23 @@ def _simhash_bits(
             "hexv"
         ),
     )
+    # Pre-aggregate on (id, p, hexv) BEFORE the x4 bit expansion: at
+    # most 16 hexv values x 15 positions per doc survive, so the bit
+    # explode runs over ~240 rows/doc instead of 15x(distinct tokens).
+    hex_counts = chars.groupBy(id_col, "p", "hexv").agg(
+        F.count("*").alias("n")
+    )
     b = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b")
-    contrib = chars.select(id_col, "p", "hexv", b).select(
+    contrib = hex_counts.select(id_col, "p", "hexv", "n", b).select(
         id_col,
         (F.col("p") * 4 + F.col("b")).alias("bit"),
         (
-            2 * (F.floor(F.col("hexv") / F.pow(F.lit(2.0), F.col("b"))).cast("int") % 2)
-            - 1
+            (
+                2
+                * (F.floor(F.col("hexv") / F.pow(F.lit(2.0), F.col("b"))).cast("int") % 2)
+                - 1
+            )
+            * F.col("n")
         ).alias("c"),
     )
     return (
@@ -304,22 +347,23 @@ def simhash_near_pairs(
 
     Blocking: split the 60-bit signature into ``bands`` segments; by
     pigeonhole, any pair with hamming distance < bands shares at least
-    one exact segment -> per-segment equi-join, then verify true
-    hamming distance from the bit table. No cross join at any scale.
+    one exact segment -> per-segment equi-join. Verification is
+    ``bit_count(xor)`` on the packed BIGINT signatures — one integer
+    op per candidate, no per-bit join.
     """
     seg_bits = SIMHASH_BITS // bands
-    bits = _simhash_bits(df, id_col, text_col).cache()
+    sig = simhash(df, id_col, text_col).cache()
 
-    segs = (
-        bits.withColumn("band", (F.col("bit") / seg_bits).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.sum(
-                F.col("bitval") * F.expr(f"shiftleft(1L, bit % {seg_bits})")
-            )
-            .cast("long")
-            .alias("seg")
-        )
+    segs = sig.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "simhash",
+    ).select(
+        id_col,
+        "band",
+        F.expr(f"shiftrightunsigned(simhash, band * {seg_bits}) % {1 << seg_bits}").alias(
+            "seg"
+        ),
     )
     a = segs.select(F.col(id_col).alias("id_a"), "band", "seg")
     b = segs.select(F.col(id_col).alias("id_b"), "band", "seg")
@@ -330,13 +374,14 @@ def simhash_near_pairs(
         .distinct()
     )
 
-    bits_a = bits.select(F.col(id_col).alias("id_a"), "bit", F.col("bitval").alias("v_a"))
-    bits_b = bits.select(F.col(id_col).alias("id_b"), "bit", F.col("bitval").alias("v_b"))
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
     return (
-        cand.join(bits_a, "id_a")
-        .join(bits_b, ["id_b", "bit"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum((F.col("v_a") != F.col("v_b")).cast("int")).alias("hamming"))
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )

@@ -521,20 +521,42 @@ _SHINGLES_CTE = f"""
 """
 
 
+def _minhash_sig_cte() -> str:
+    """DuckDB replay of dedup.minhash_signature: md5(shingle) hex
+    folded to a 60-bit int mod the Mersenne prime, then the same
+    md5-derived universal-hash constants inlined as list literals."""
+    from datacamp_etl_spark.operators.dedup import MINHASH_PRIME, minhash_constants
+
+    a, b = minhash_constants(16)
+    fold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(mh, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    a_arr = "[" + ", ".join(str(x) for x in a) + "]"
+    b_arr = "[" + ", ".join(str(x) for x in b) + "]"
+    return f"""
+    hx AS (SELECT doc_id, ({fold}) % {MINHASH_PRIME} AS hm
+           FROM (SELECT doc_id, md5(shingle) AS mh FROM sh)),
+    sig AS (SELECT doc_id, s.seed AS seed,
+                   min(({a_arr}[s.seed + 1] * hm + {b_arr}[s.seed + 1])
+                       % {MINHASH_PRIME}) AS minhash
+            FROM hx CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+            GROUP BY doc_id, s.seed)
+    """
+
+
 @register(
     "minhash_signatures",
     f"""
     {_SHINGLES_CTE},
-    hx AS (SELECT doc_id, s.seed AS seed,
-                  md5(concat(s.seed, ':', shingle)) AS h
-           FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) s)
-    SELECT doc_id, seed, min(h) AS minhash
-    FROM hx GROUP BY doc_id, seed
+    {_minhash_sig_cte()}
+    SELECT doc_id, seed, minhash FROM sig
     """,
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] MinHash signatures (16 md5 hash families over word
-    3-shingles) — the near-dup building block."""
+    """[EXT] MinHash signatures (one md5 per word-3-shingle + 16
+    universal-hash mixes, single-shuffle parallel mins) — the near-dup
+    building block."""
     from datacamp_etl_spark.operators.dedup import minhash_signature
 
     sig = minhash_signature(t(spark, sf_dir, "documents"))
@@ -545,11 +567,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lsh_candidate_pairs",
     f"""
     {_SHINGLES_CTE},
-    hx AS (SELECT doc_id, s.seed AS seed,
-                  md5(concat(s.seed, ':', shingle)) AS h
-           FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) s),
-    sig AS (SELECT doc_id, seed, min(h) AS minhash
-            FROM hx GROUP BY doc_id, seed),
+    {_minhash_sig_cte()},
     bs AS (SELECT doc_id, seed // 4 AS band,
                   md5(array_to_string(list_sort(list(minhash)), '|')) AS band_sig
            FROM sig GROUP BY doc_id, seed // 4)
@@ -1746,3 +1764,95 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return sample_frames(media, every_ms=1000)
+
+
+# =====================================================================
+# [EXT] Dedup clustering (connected components) + stateful streaming
+# =====================================================================
+
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS ({LSH_PAIRS}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(c.component, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] full dedup assignment: MinHash-LSH candidate pairs →
+    connected components (iterative min-label propagation, one shuffle
+    join per round — operators/graph.py) → every document labeled with
+    its cluster's canonical id; singletons keep their own id. The
+    oracle replays the clustering with a recursive CTE."""
+    from datacamp_etl_spark.operators.dedup import lsh_candidate_pairs
+    from datacamp_etl_spark.operators.graph import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    return dedup_clusters(docs, pairs)
+
+
+ORACLE["dedup_clusters"] = ORACLE["dedup_clusters"].replace(
+    "{LSH_PAIRS}", ORACLE["lsh_candidate_pairs"]
+)
+
+
+@register(
+    "stateful_user_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] custom stateful streaming operator
+    (applyInPandasWithState, streaming/stateful.py): per-user running
+    totals held in the engine's state store, drained with
+    Trigger.AvailableNow. Integer-cents accumulation makes the final
+    state exact, so the full batch oracle applies; the last update per
+    user (n_events is monotone per key) is the final total."""
+    import tempfile
+
+    from datacamp_etl_spark.streaming.stateful import running_user_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "value")
+    )
+    totals = running_user_totals(raw)
+    _STREAM_RUN[0] += 1
+    sink = f"stateful_user_totals_{_STREAM_RUN[0]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table(sink)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sunk.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
