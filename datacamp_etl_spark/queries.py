@@ -1856,3 +1856,131 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# =====================================================================
+# [EXT] Training-data curation: PII redaction, deterministic
+# sampling / split, vocabulary
+# =====================================================================
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+@register(
+    "redact_pii",
+    f"""
+    SELECT doc_id,
+           regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails
+    FROM documents
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PII scrubbing: email redaction as a pure-JVM projection
+    (regexp_replace; the pattern sticks to RE2-compatible syntax so
+    the oracle replays it). At scale this is a zero-shuffle map."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+    )
+
+
+def _hash_bucket_sql(expr: str) -> str:
+    """First 8 hex chars of md5(expr) as an int in [0, 2^32) — the
+    deterministic sampling/splitting key, identical in both engines."""
+    fold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({fold})"
+
+
+def _hash_bucket_col(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+@register(
+    "hash_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")} % 100 < 10
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic 10% sample: md5(id)-derived bucket < 10.
+    Unlike seed-based sample(), this is reproducible across engines,
+    runs, and partitionings — the property a 100 TB curation pipeline
+    actually needs (resampling stability under re-partition)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.where(
+        _hash_bucket_col(F.col("doc_id")) % 100 < 10
+    ).select("doc_id", "lang")
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    WITH b AS (SELECT doc_id,
+                      {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+               FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM b GROUP BY 1
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] 80/10/10 train/val/test assignment from the same
+    deterministic hash bucket (a doc's split never changes as the
+    corpus grows — append-stable)."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = _hash_bucket_col(F.col("doc_id")) % 100
+    return (
+        docs.select(
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "vocab_topk",
+    """
+    WITH norm AS (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'))
+                           AS n0 FROM documents),
+    tk AS (SELECT doc_id,
+                  unnest(string_split_regex(trim(regexp_replace(n0, ' +', ' ', 'g')), ' '))
+                    AS tok
+           FROM norm)
+    SELECT tok, count(*) AS n FROM tk WHERE tok <> ''
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] corpus vocabulary: top-50 tokens by frequency. Two-phase
+    agg (map-side combine on token) + TakeOrdered — the full vocab
+    never sits on one node."""
+    from datacamp_etl_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(50)
+    )
