@@ -1984,3 +1984,111 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "tok")
         .limit(50)
     )
+
+
+# =====================================================================
+# JSON extraction + q2/q15 scalar-subquery shapes
+# =====================================================================
+
+@register(
+    "json_props_agg",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           count(CAST(props->>'k' AS BIGINT)) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column: extract props.k JVM-side
+    (get_json_object — no Python, no full JSON parse materialization)
+    and aggregate. At 100 TB prefer from_json with an explicit schema
+    so the parse is vectorized once per column, not per path."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )
+
+
+@register(
+    "q2_cheapest_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_acctbal, s.s_name
+                FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    mn AS (SELECT l_partkey, min(s_acctbal) AS min_bal FROM ps GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_brand, ps.s_name,
+           CAST(ps.s_acctbal AS DECIMAL(18,2)) AS acctbal
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN mn ON mn.l_partkey = ps.l_partkey AND ps.s_acctbal = mn.min_bal
+    WHERE p.p_size = 1
+    """,
+)
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery decorrelated into an
+    agg + equality join-back (all suppliers tied at the min survive —
+    Q2's semantics). The part-supplier relation derives from lineitem
+    distinct pairs; supplier is broadcast."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal", "s_name")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") == 1).select(
+        "p_partkey", "p_brand"
+    )
+    ps = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    mn = ps.groupBy(F.col("l_partkey").alias("mn_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        ps.join(
+            mn,
+            (ps.l_partkey == mn.mn_partkey)
+            & (ps.s_acctbal == mn.min_bal),
+        )
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("s_acctbal").cast("decimal(18,2)").alias("acctbal"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (SELECT l_suppkey,
+                        sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                 GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: derived revenue view + MAX scalar subquery
+    (ties kept). The one-row max broadcasts onto the per-supplier
+    aggregate; decimal-exact revenue makes the equality portable."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
