@@ -63,9 +63,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("datacamp-etl-spark-bench")
 
-    # Warm up the JVM/codegen once so per-query numbers measure the
-    # queries, not session startup.
+    # Warm-up pass: run every headline query once so the measured pass
+    # reports steady-state throughput (JIT/codegen compiled, parquet
+    # footers and pages in cache) rather than first-touch costs that
+    # a long-running cluster never pays per query.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is not None:
+            _execute(fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

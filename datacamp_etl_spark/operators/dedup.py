@@ -329,16 +329,49 @@ def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """60-bit SimHash per document: ``(id, simhash)`` with simhash as
-    BIGINT. Two narrow shuffles (token-bit contribs, then bit
-    assembly); signature width is constant regardless of doc size."""
-    bits = _simhash_bits(df, id_col, text_col)
-    # shiftleft, NOT pow()+cast: Spark's double->decimal cast goes
-    # through the shortest string repr and corrupts 2^58, 2^59.
-    return bits.groupBy(id_col).agg(
-        F.sum(F.col("bitval") * F.expr("shiftleft(1L, bit)"))
-        .cast("long")
-        .alias("simhash")
+    BIGINT.
+
+    Fast path: ONE row per distinct token (md5 hex folded to a packed
+    60-bit long via conv), then 60 parallel bit-popcount aggregates in
+    a single groupBy — no explode, map-side combine, one shuffle of 61
+    longs per doc. Majority vote per bit = ``2*popcount > n_tokens``
+    (ties -> 0, matching the ±1-sum formulation in
+    ``_simhash_bits``, which stays as the row-shaped reference
+    implementation — signature values are identical).
+
+    Bit numbering parity: ``_simhash_bits`` defines signature bit
+    ``4p + b`` as bit ``b`` of the p-th hex CHAR (p=0 leftmost), while
+    the conv-packed long has the leftmost char in its TOP nibble — so
+    signature bit k reads packed bit ``4*(14 - k//4) + k%4``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(text_col), " "))
+        ).alias("tok"),
     )
+    packed = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    pops = packed.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.expr(f"shiftrightunsigned(h, {4 * (14 - k // 4) + k % 4}) & 1L")
+            ).alias(f"s{k}")
+            for k in range(SIMHASH_BITS)
+        ],
+    )
+    # shiftleft literals, NOT pow()+cast: Spark's double->decimal cast
+    # goes through the shortest string repr and corrupts 2^58, 2^59.
+    sim = None
+    for k in range(SIMHASH_BITS):
+        term = F.when(2 * F.col(f"s{k}") > F.col("n"), F.lit(1 << k)).otherwise(
+            F.lit(0)
+        )
+        sim = term if sim is None else sim + term
+    return pops.select(id_col, sim.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(

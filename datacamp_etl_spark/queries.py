@@ -2092,3 +2092,90 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+# =====================================================================
+# Data-quality / integrity checks (ETL guardrails)
+# =====================================================================
+
+@register(
+    "fk_integrity",
+    """
+    SELECT 'orders->customer' AS fk, count(*) AS n_orphans
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part' AS fk, count(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    """,
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per FK edge via
+    anti-joins (broadcast for dims, shuffle for fact-fact). An ETL
+    guardrail the reference's RDBMS got from constraints; on a data
+    lake it must be a query."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey")
+
+    def orphans(fact, dim, cond, label):
+        return fact.join(dim, cond, "left_anti").agg(
+            F.lit(label).alias("fk"), F.count("*").alias("n_orphans")
+        )
+
+    return (
+        orphans(o, F.broadcast(c), o.o_custkey == c.c_custkey, "orders->customer")
+        .unionByName(
+            orphans(
+                li,
+                o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "lineitem->orders",
+            )
+        )
+        .unionByName(
+            orphans(
+                li, F.broadcast(p), li.l_partkey == p.p_partkey, "lineitem->part"
+            )
+        )
+    )
+
+
+@register(
+    "null_and_domain_audit",
+    """
+    SELECT count(*) AS n_rows,
+           count(*) FILTER (WHERE l_orderkey IS NULL) AS null_keys,
+           count(*) FILTER (WHERE l_quantity < 0) AS neg_qty,
+           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+             AS bad_discount,
+           count(*) FILTER (WHERE l_shipdate < TIMESTAMP '1990-01-01 00:00:00'
+                               OR l_shipdate >= TIMESTAMP '2030-01-01 00:00:00')
+             AS bad_dates
+    FROM lineitem
+    """,
+)
+def q_null_and_domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-domain audit in ONE scan: conditional counts for nulls,
+    negative quantities, out-of-range discounts/dates (map-side
+    partial aggs; no shuffle of row data)."""
+    li = t(spark, sf_dir, "lineitem")
+    cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        cnt(F.col("l_orderkey").isNull()).alias("null_keys"),
+        cnt(F.col("l_quantity") < 0).alias("neg_qty"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "bad_discount"
+        ),
+        cnt(
+            (F.col("l_shipdate") < F.lit("1990-01-01 00:00:00").cast("timestamp"))
+            | (F.col("l_shipdate") >= F.lit("2030-01-01 00:00:00").cast("timestamp"))
+        ).alias("bad_dates"),
+    )

@@ -86,3 +86,24 @@ def test_simhash_near_pairs(spark):
     assert (1, 4) not in pairs
     if (1, 3) in pairs:  # near dup within 10 bits
         assert pairs[(1, 3)] > 0
+
+
+def test_simhash_fast_path_matches_bits_reference(spark):
+    """The packed 60-agg simhash must equal assembly from the
+    row-shaped _simhash_bits reference implementation."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    fast = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    ref = {
+        r["doc_id"]: r["simhash"]
+        for r in D._simhash_bits(docs, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("bitval") * F.expr("shiftleft(1L, bit)"))
+            .cast("long")
+            .alias("simhash")
+        )
+        .collect()
+    }
+    assert fast == ref
