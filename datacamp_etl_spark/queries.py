@@ -2179,3 +2179,81 @@ def q_null_and_domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("l_shipdate") >= F.lit("2030-01-01 00:00:00").cast("timestamp"))
         ).alias("bad_dates"),
     )
+
+
+# =====================================================================
+# [EXT] Skew-aware join + sliding windows
+# =====================================================================
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT n.n_name, count(*) AS n_orders,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] salted join (operators/skew.py): same result as the plain
+    equi-join — the oracle IS the plain join — but each (possibly hot)
+    customer key is spread over 8 sub-keys, bounding worst-case task
+    input under skew that AQE can't split (broadcast-ineligible
+    build sides). Dims here are small so the demo forces the shuffle
+    path via the salt column."""
+    from datacamp_etl_spark.operators.skew import salted_join
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(o, c, ["o_custkey"], salt=8)
+    return (
+        joined.join(F.broadcast(n), joined.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH w AS (SELECT event_type,
+                      make_timestamp(
+                          epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000
+                              * 1800000000 - s.k * 1800000000) AS window_start,
+                      value
+               FROM events
+               CROSS JOIN (SELECT unnest([0, 1]) AS k) s)
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sliding-window aggregation (1h window, 30min slide): every
+    event lands in 2 overlapping windows — Spark expands map-side with
+    no self-join; the oracle replays via a 2-offset cross join."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
