@@ -2036,15 +2036,13 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_brand"
     )
     ps = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-    mn = ps.groupBy(F.col("l_partkey").alias("mn_partkey")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    # window-min instead of agg + join-back: one shuffle on l_partkey
+    # replaces the aggregate plus a sort-merge self-join (5 exchanges
+    # -> 3 for the whole query)
+    w = W.partitionBy("l_partkey")
     return (
-        ps.join(
-            mn,
-            (ps.l_partkey == mn.mn_partkey)
-            & (ps.s_acctbal == mn.min_bal),
-        )
+        ps.withColumn("__min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("__min_bal"))
         .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
         .select(
             "p_partkey",
