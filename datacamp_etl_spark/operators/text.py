@@ -161,3 +161,50 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", fingerprint(text_col))
         .withColumn("n_tokens_bpe", regex_token_count(text_col))
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-training / RAG corpus preparation step. One output
+    row per chunk: ``(id, chunk_no, n_tokens, chunk)``.
+
+    Pure JVM (split -> stride indices -> slice/join -> posexplode):
+    no UDF, scales as a map-side projection; chunk boundaries are
+    token-aligned so no mid-word cuts. Stride = chunk_tokens - overlap.
+    The final window is emitted only when it adds new tokens (i.e.
+    starts before the end of the previous stride or is the only one).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... while start < n (at least
+    # one window even for empty-ish docs with n>0)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1), lambda i: i * stride
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(toks, s + 1, chunk_tokens), " "),
+    )
+    out = df.where(n > 0).select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_no", "chunk"),
+    )
+    return out.select(
+        id_col,
+        "chunk_no",
+        F.size(F.split(F.col("chunk"), " ")).cast("int").alias("n_tokens"),
+        "chunk",
+    )

@@ -2255,3 +2255,38 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# =====================================================================
+# [EXT] Document chunking (pre-training / RAG corpus preparation)
+# =====================================================================
+
+@register(
+    "chunk_documents",
+    f"""
+    {_TOKS_CTE},
+    c AS (SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) <= 64 THEN 1
+                      ELSE CAST(ceil((len(toks) - 64) / 48.0) AS INT) + 1
+                 END AS n_chunks
+          FROM tk WHERE len(toks) > 0),
+    e AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, n_chunks - 1)) AS chunk_no
+          FROM c)
+    SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+           CAST(len(string_split(
+               array_to_string(toks[(chunk_no*48 + 1):(chunk_no*48 + 64)], ' '),
+               ' ')) AS INT) AS n_tokens,
+           array_to_string(toks[(chunk_no*48 + 1):(chunk_no*48 + 64)], ' ')
+             AS chunk
+    FROM e
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] overlapping token-window chunking (64-token windows,
+    16-token overlap / 48 stride) — operators/text.py::chunk_text.
+    Pure-JVM projection (no UDF); one output row per chunk."""
+    from datacamp_etl_spark.operators.text import chunk_text
+
+    docs = t(spark, sf_dir, "documents")
+    return chunk_text(docs, chunk_tokens=64, overlap=16)

@@ -68,3 +68,28 @@ def test_profile_on_real_documents(spark, sf_dir):
     assert all(r["fingerprint"] is not None for r in rows)
     assert all(r["n_tokens"] > 0 for r in rows)
     assert all(r["n_tokens_bpe"] >= r["n_tokens"] for r in rows)
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    from datacamp_etl_spark.operators.text import chunk_text
+
+    toks = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_no"], r["n_tokens"], r["chunk"])
+        for r in chunk_text(df, chunk_tokens=4, overlap=2).collect()
+    )
+    # stride 2: starts 0,2,4,6 (ceil((10-4)/2)+1 = 4 chunks)
+    assert [r[0] for r in rows] == [0, 1, 2, 3]
+    assert rows[0][2] == "w0 w1 w2 w3"
+    assert rows[1][2] == "w2 w3 w4 w5"
+    assert rows[3][2] == "w6 w7 w8 w9"
+    assert all(r[1] == 4 for r in rows)
+
+
+def test_chunk_text_short_doc_single_chunk(spark):
+    from datacamp_etl_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    rows = chunk_text(df, chunk_tokens=4, overlap=2).collect()
+    assert len(rows) == 1 and rows[0]["chunk"] == "a b" and rows[0]["n_tokens"] == 2
