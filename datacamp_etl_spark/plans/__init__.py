@@ -10,6 +10,7 @@ stopped pushing down) fail CI instead of surfacing at 100 TB.
 from datacamp_etl_spark.plans.explain import (  # noqa: F401
     explain_str,
     pushed_filters,
+    partition_filters,
     read_schema_columns,
     assert_filter_pushed,
     assert_column_pruned,

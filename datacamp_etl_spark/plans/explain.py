@@ -98,3 +98,14 @@ def count_exchanges(df: DataFrame) -> int:
     if n:
         return n
     return len(re.findall(r"\(\d+\) Exchange\b", text))
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """All ``PartitionFilters: [...]`` entries from the scans (non-empty
+    only) — proof that partition pruning reached the file index."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", text):
+        if m.group(1).strip():
+            out.extend(p.strip() for p in m.group(1).split(","))
+    return out

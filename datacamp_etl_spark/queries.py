@@ -2290,3 +2290,92 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return chunk_text(docs, chunk_tokens=64, overlap=16)
+
+
+# =====================================================================
+# Statistical aggregates from exact sums + applyInPandas grouped map
+# =====================================================================
+
+@register(
+    "stats_summary",
+    """
+    WITH s AS (SELECT l_returnflag,
+                      count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                               * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           round(sx / n, 6) AS mean_qty,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean/stddev/corr) computed from
+    DECIMAL-EXACT sums, with the float math done once on the exact
+    totals — order-independent and engine-portable, unlike streaming
+    float moments (Spark's stddev/corr built-ins are fine in
+    production; this pattern is how to make them reproducible)."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("std_qty"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "grouped_topk_pandas",
+    """
+    SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id DESC) AS rn
+        FROM events) WHERE rn <= 3
+    """,
+)
+def q_grouped_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] applyInPandas grouped-map: per-user top-3 events by
+    (value, event_id) computed in an Arrow-batched pandas kernel —
+    the escape hatch for per-group logic DataFrame ops can't express
+    (here deliberately something they CAN, so the window-function
+    oracle value-checks the grouped-map machinery end to end)."""
+    import pandas as pd
+
+    def topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, False]
+        ).head(3)
+        return out[["user_id", "event_id", "value"]]
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    res = ev.groupBy("user_id").applyInPandas(
+        topk, schema="user_id long, event_id long, value double"
+    )
+    return res.withColumn("value", F.col("value").cast("decimal(18,2)"))

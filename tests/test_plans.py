@@ -138,3 +138,28 @@ def test_asof_join_single_shuffle(spark, sf):
     text = plans.explain_str(df)
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
+
+
+def test_date_partitioned_staging_prunes(spark, sf, tmp_path):
+    """The 100 TB staging layout: date-partitioned parquet + a
+    watermark predicate on the partition column must prune at the
+    file index (PartitionFilters), not post-scan."""
+    from pyspark.sql import functions as F
+
+    from datacamp_etl_spark.queries import t as load_t
+
+    path = str(tmp_path / "events_by_day")
+    ev = load_t(spark, sf, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.partitionBy("event_date").parquet(path)
+
+    df = spark.read.parquet(path).where(
+        F.col("event_date") >= F.lit("2024-01-15").cast("date")
+    )
+    pf = plans.partition_filters(df)
+    assert any("event_date" in f for f in pf), plans.explain_str(df)
+    # and the data predicate is NOT re-read as a data filter: the scan
+    # reads no event_date column from the files themselves
+    for cols in plans.read_schema_columns(df):
+        assert "event_date" not in cols
