@@ -163,3 +163,45 @@ def test_date_partitioned_staging_prunes(spark, sf, tmp_path):
     # reads no event_date column from the files themselves
     for cols in plans.read_schema_columns(df):
         assert "event_date" not in cols
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf, tmp_path):
+    """K7's Spark analog: co-located bucketed layout. Two tables
+    bucketed+sorted on the join key join with ZERO exchanges — at
+    100 TB this turns the nightly fact-fact join into a local merge."""
+    from pyspark.sql import functions as F
+
+    from datacamp_etl_spark.queries import t as load_t
+
+    o = load_t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load_t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    for df, name, key in ((o, "orders_bkt", "o_orderkey"), (li, "lineitem_bkt", "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(4, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("orders_bkt")
+            .join(
+                spark.table("lineitem_bkt"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        text = plans.explain_str(joined)
+        assert "SortMergeJoin" in text, text
+        # the join itself is exchange-free; only the groupBy shuffles
+        assert plans.count_exchanges(joined) == 1, text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
