@@ -2379,3 +2379,92 @@ def q_grouped_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk, schema="user_id long, event_id long, value double"
     )
     return res.withColumn("value", F.col("value").cast("decimal(18,2)"))
+
+
+# =====================================================================
+# q21 shape (multi-correlated exists/not-exists) + range-frame window
+# =====================================================================
+
+@register(
+    "q21_sole_late_supplier",
+    """
+    WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT s.s_name, count(DISTINCT a.l_orderkey) AS numwait
+    FROM l a
+    JOIN supplier s ON a.l_suppkey = s.s_suppkey
+    WHERE a.l_shipdate > a.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM l b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l c
+                      WHERE c.l_orderkey = a.l_orderkey
+                        AND c.l_suppkey <> a.l_suppkey
+                        AND c.l_shipdate > c.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS / NOT EXISTS — the
+    hardest decorrelation in the suite. Expressed as a left-semi join
+    (another supplier on the order) plus a left-anti join (no OTHER
+    late supplier), both keyed on l_orderkey; 'late' adapted to the
+    schema as shipped >60 days after order date."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+
+    a = l.where(late).alias("a")
+    b = l.select("l_orderkey", "l_suppkey").alias("b")
+    c = l.where(late).select("l_orderkey", "l_suppkey").alias("c")
+    with_other = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        c,
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )
+
+
+@register(
+    "rolling_7day_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS rev_7d
+    FROM orders
+    """,
+)
+def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-based sliding total): per customer,
+    revenue of all orders in the trailing 7 days — frame bounds by
+    VALUE (seconds), not row count, so same-timestamp orders share a
+    frame. One shuffle+sort per customer partition."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("rev_7d"),
+    )
