@@ -44,6 +44,9 @@ def asof_join(
     with left column names). Among right rows tied on ``right_ts``,
     the greatest ``tiebreak`` value wins (deterministic output).
     """
+    right_cols = list(right_cols)
+    if not right_cols:
+        raise ValueError("right_cols must name at least one column to carry")
     clash = set(right_cols) & set(left.columns)
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
@@ -69,17 +72,20 @@ def asof_join(
         .orderBy("__ts", "__side", "__tb")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # Carry ONE struct of all right columns, not each independently:
+    # last(col, ignorenulls) per column would back-fill a NULL field of
+    # the winning right row from an OLDER right row, mixing values from
+    # different rows. The struct is non-null exactly for right rows, so
+    # every carried field comes from the same (latest) right row.
+    rstruct = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in right_cols])
+    )
     carried = merged.select(
         "*",
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"__carry_{c}")
-            for c in right_cols
-        ],
+        F.last(rstruct, ignorenulls=True).over(w).alias("__carry"),
     )
     out = carried.where(F.col("__side") == 1).select(
         *left.columns,
-        *[F.col(f"__carry_{c}").alias(c) for c in right_cols],
+        *[F.col(f"__carry.{c}").alias(c) for c in right_cols],
     )
     return out

@@ -169,14 +169,22 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their MinHash signature
     become a candidate pair ``(id_a, id_b)`` with ``id_a < id_b``.
 
     Scale shape: signatures (num_hashes rows/doc) -> band signatures
     (bands rows/doc) -> self-equi-join on (band, band_sig). The join
-    key is a 32-char digest; bucket sizes are the only skew source and
-    are bounded by real near-dup density.
+    key is a 32-char digest; bucket sizes are the only skew source.
+
+    ``max_bucket_size`` is the mega-bucket guard: a degenerate band
+    key (e.g. the signature of near-empty documents) holding m docs
+    would emit m^2/2 candidate pairs from ONE join key — an n^2 hot
+    task no AQE split can fix at 100 TB. Buckets above the cap are
+    dropped entirely (their pairs are overwhelmingly spurious: a band
+    matching millions of docs carries no near-dup signal). Set
+    ``None`` to disable.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes, k=k)
@@ -195,6 +203,17 @@ def lsh_candidate_pairs(
             ).alias("band_sig")
         )
     )
+    if max_bucket_size is not None:
+        # Count + left-semi on the SAME key the join shuffles on, so
+        # both extra ops are co-partitioned with the candidate join
+        # (no additional exchange under AQE reuse).
+        small = (
+            band_sig.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") <= max_bucket_size)
+            .select("band", "band_sig")
+        )
+        band_sig = band_sig.join(small, ["band", "band_sig"], "left_semi")
     a = band_sig.select(
         F.col(id_col).alias("id_a"), "band", "band_sig"
     )

@@ -87,13 +87,21 @@ def knn_join_topk(
     vec_col: str = "embedding",
     k: int = 5,
     candidates: DataFrame | None = None,
+    max_inline_queries: int = 128,
 ) -> DataFrame:
     """k-NN join: for each query row, its top-k corpus neighbors
     ``(query_id, neighbor_id, cosine, rank)``.
 
-    Without ``candidates`` this is a full cross join — only for small
-    query sets or verification; pass LSH buckets for scale. The
-    ranking window partitions by query, so the heavy sort is
+    Scale posture: with ``candidates`` (e.g. LSH bucket pairs), two
+    equi-joins — the scale path for large query sets. Without it, the
+    query set must be small (<= ``max_inline_queries``): the query
+    vectors are collected and folded into the plan as literals, and
+    each corpus row is exploded against them in ONE narrow scan — no
+    join operator at all, so no CartesianProduct/BroadcastNestedLoop
+    on the corpus side. A large query set without candidates raises
+    rather than silently planning an all-pairs join.
+
+    The ranking window partitions by query, so the heavy sort is
     per-query-key, AQE-splittable on skew.
     """
     qa = queries.select(
@@ -105,7 +113,37 @@ def knn_join_topk(
     if candidates is not None:
         joined = candidates.join(qa, "query_id").join(ca, "neighbor_id")
     else:
-        joined = qa.crossJoin(ca)
+        qrows = qa.limit(max_inline_queries + 1).collect()
+        if len(qrows) > max_inline_queries:
+            raise ValueError(
+                f"knn_join_topk without candidates is exact and inlines the "
+                f"query set into the plan; got >{max_inline_queries} query "
+                f"rows. Pass candidates= (e.g. LSH bucket pairs) for large "
+                f"query sets, or raise max_inline_queries deliberately."
+            )
+        if not qrows:
+            # Degenerate empty query set: preserve the output schema.
+            joined = qa.crossJoin(ca)
+        else:
+            qlits = F.array(
+                *[
+                    F.struct(
+                        F.lit(r["query_id"]).alias("query_id"),
+                        F.array(
+                            *[F.lit(float(x)) for x in r["__qv"]]
+                        ).alias("__qv"),
+                    )
+                    for r in qrows
+                ]
+            )
+            joined = ca.select(
+                F.explode(qlits).alias("__q"), "neighbor_id", "__cv"
+            ).select(
+                F.col("__q.query_id").alias("query_id"),
+                F.col("__q.__qv").alias("__qv"),
+                "neighbor_id",
+                "__cv",
+            )
     joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     cos = cosine_similarity(F.col("__qv"), F.col("__cv"))
     # Rank on the ROUNDED cosine (+ id tiebreak): fully deterministic

@@ -10,8 +10,10 @@ the probe side uniformly — worst-case task input shrinks by the salt
 factor, deterministically, on any Spark version or join strategy.
 
 Semantics are identical to ``left.join(right, on=keys, how=...)`` for
-equi-joins (each probe row meets exactly one copy of its matching
-build rows, selected by its salt).
+the LEFT-PRESERVING join types (each probe row meets exactly one copy
+of its matching build rows, selected by its salt). Right-preserving
+joins (right/full outer) are rejected: the exploded right side would
+emit every unmatched right row ``salt`` times.
 """
 
 from __future__ import annotations
@@ -22,6 +24,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["salted_join"]
+
+# Join types where only the left side's match multiplicity matters —
+# the salt-exploded right side never surfaces unmatched rows.
+_LEFT_PRESERVING = {
+    "inner",
+    "cross",
+    "left",
+    "left_outer",
+    "leftouter",
+    "left_semi",
+    "leftsemi",
+    "semi",
+    "left_anti",
+    "leftanti",
+    "anti",
+}
 
 
 def salted_join(
@@ -40,10 +58,22 @@ def salted_join(
     ``right`` rows are exploded ``salt`` times. Output columns match
     the plain join (salt column dropped). ``right`` grows by the salt
     factor — keep it the smaller side.
+
+    Only left-preserving ``how`` values are allowed (inner/left/
+    semi/anti): right/full outer would duplicate unmatched right rows
+    ``salt`` times.
     """
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _LEFT_PRESERVING
+    }:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got how={how!r}"
+        )
     on = list(on)
-    lsalt = (
-        F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % salt
+    # pmod, not abs(...)%salt: abs(Long.MIN_VALUE) overflows negative
+    # in Java two's complement, which would yield a negative salt.
+    lsalt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
     ).cast("int")
     l_salted = left.withColumn("__salt", lsalt)
     r_salted = right.withColumn(

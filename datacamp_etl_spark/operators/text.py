@@ -136,8 +136,11 @@ def language_id(col: Column | str) -> Column:
         scores.append((lang, F.size(F.filter(toks, _contains(arr)))))
     best = F.lit("und")
     best_score = F.lit(0)
-    # Fold right-to-left so earlier languages win ties with strict '>'.
-    for lang, score in reversed(scores):
+    # Forward fold with strict '>': a later language must strictly beat
+    # the running best (which already includes every earlier language),
+    # so ties resolve to the EARLIER entry in LANG_MARKERS — matching
+    # the docstring and the oracle's CASE order.
+    for lang, score in scores:
         cond = score > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, score).otherwise(best_score)

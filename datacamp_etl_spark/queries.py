@@ -239,7 +239,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     WHERE date_trunc('microseconds', ts) > TIMESTAMP '2024-01-04 00:00:00'
     GROUP BY event_type
@@ -253,7 +253,7 @@ def q_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
 
 
@@ -265,10 +265,10 @@ def q_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -276,7 +276,10 @@ def q_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-heavy groupBy with decimal-exact sums."""
+    """TPC-H Q1 shape: scan-heavy groupBy with decimal-exact sums.
+    Accumulation stays decimal-exact; only the FINAL aggregates cast to
+    double so both engines render identical float64 (the hasher is
+    representation-sensitive: '138014.00' != '138014.0')."""
     li = t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -285,9 +288,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (1 - disc)).alias("sum_disc_price"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -297,8 +300,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -313,7 +316,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
-    customer is broadcast (small dim); lineitem never shuffles wider
+    No forced broadcasts: orders and customer both scale with sf, so
+    AQE picks the strategy (broadcast at small sf, shuffle on
+    o_custkey / l_orderkey at 100 TB). lineitem never shuffles wider
     than (orderkey, revenue)."""
     c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").where(
@@ -326,10 +331,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        l.join(o.join(c, o.o_custkey == c.c_custkey),
                l.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -340,8 +345,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n.n_name,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -354,7 +359,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (no c_nation = s_nation clause; testdata schema
-    keeps it simpler): star join with all dims broadcast."""
+    keeps it simpler). Broadcast hints ONLY on fixed-cardinality dims
+    (nation=25, region=5); orders/customer/supplier scale with sf, so
+    AQE picks their join strategy (broadcast at small sf, shuffle at
+    100 TB) — a forced broadcast there would OOM executors at scale."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     l = t(spark, sf_dir, "lineitem")
@@ -370,11 +378,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "n_name")
     )
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(dims, l.l_suppkey == dims.s_suppkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
     )
 
 
@@ -570,15 +578,22 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_minhash_sig_cte()},
     bs AS (SELECT doc_id, seed // 4 AS band,
                   md5(array_to_string(list_sort(list(minhash)), '|')) AS band_sig
-           FROM sig GROUP BY doc_id, seed // 4)
+           FROM sig GROUP BY doc_id, seed // 4),
+    bn AS (SELECT band, band_sig, count(*) AS n FROM bs
+           GROUP BY band, band_sig),
+    bs2 AS (SELECT bs.doc_id, bs.band, bs.band_sig
+            FROM bs JOIN bn ON bs.band = bn.band AND bs.band_sig = bn.band_sig
+            WHERE bn.n <= 10000)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bs a JOIN bs b ON a.band = b.band AND a.band_sig = b.band_sig
+    FROM bs2 a JOIN bs2 b ON a.band = b.band AND a.band_sig = b.band_sig
     WHERE a.doc_id < b.doc_id
     """,
 )
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] MinHash-LSH banding (4 bands x 4 rows): near-dup candidate
-    pairs via bucket equi-join — no cross join at any scale."""
+    pairs via bucket equi-join — no cross join at any scale. The
+    mega-bucket cap (10k docs/bucket) is replayed in the oracle, so
+    the scale guard itself is correctness-gated."""
     from datacamp_etl_spark.operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(t(spark, sf_dir, "documents"))
@@ -710,7 +725,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -725,7 +740,7 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -777,8 +792,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_forecast",
     """
-    SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -804,7 +819,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * F.col("l_discount").cast("decimal(18,2)")
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -814,9 +829,9 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
-           CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -829,8 +844,10 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: fact-fact join keyed on orderkey, customer dim
-    broadcast, top-20 via TakeOrdered (no global sort shuffle)."""
+    """TPC-H Q10 shape: fact-fact join keyed on orderkey, top-20 via
+    TakeOrdered (no global sort shuffle). orders and customer scale
+    with sf, so no forced broadcasts — AQE chooses (broadcast at small
+    sf, shuffle join at 100 TB)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -841,15 +858,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
             "revenue",
-            F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -891,7 +908,9 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
         F.lit(0).cast("decimal(18,2)")
     )
-    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    # part scales with sf (~2 TB at the 100 TB point): no forced
+    # broadcast; AQE picks broadcast at small sf, shuffle at scale.
+    agg = li.join(p, li.l_partkey == p.p_partkey).agg(
         F.sum(promo).alias("promo_revenue"),
         F.sum(rev).alias("total_revenue"),
     )
@@ -909,7 +928,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume",
     """
     SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS total, lq.sum_qty
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+           CAST(lq.sum_qty AS DOUBLE) AS sum_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN (SELECT l_orderkey,
@@ -921,8 +941,9 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: agg -> HAVING -> join back to orders/customer.
-    The having filter runs before the join, so only qualifying order
-    keys (a tiny set) reach the join — broadcast both sides up."""
+    The HAVING output is genuinely tiny (a handful of order keys at
+    any sf) so it keeps an explicit broadcast; customer scales with sf
+    and gets none — AQE decides that side."""
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -933,13 +954,13 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select("c_custkey")
     return (
         o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
-            "sum_qty",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
         )
     )
 
@@ -948,7 +969,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_returns",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            count(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -957,10 +978,11 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregation (SURVEY §2.6 upgrade): subtotal
     + grand-total rows in one pass (Spark expands grouping sets
-    map-side; one shuffle)."""
+    map-side; one shuffle). Final sum cast to double for
+    cross-engine-identical rendering."""
     li = t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         F.count("*").alias("n_rows"),
     )
 
@@ -1288,8 +1310,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            EXTRACT(year FROM l.l_shipdate) AS ship_year,
-           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS volume
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation sn ON s.s_nationkey = sn.n_nationkey
@@ -1301,9 +1323,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: five-way join — the two dims chains (supplier→
-    nation, customer→nation) broadcast onto the lineitem⋈orders fact
-    join; only the fact-fact join shuffles, keyed on l_orderkey."""
+    """TPC-H Q7 shape: five-way join. Only the two nation aliases
+    (fixed 25 rows) carry broadcast hints; supplier and customer scale
+    with sf, so AQE picks their strategy. The fact-fact join shuffles
+    keyed on l_orderkey."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
@@ -1318,13 +1341,13 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
-        .agg(F.sum(vol).alias("volume"))
+        .agg(F.sum(vol).cast("double").alias("volume"))
     )
 
 
@@ -1335,7 +1358,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey,
                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
         FROM lineitem GROUP BY l_partkey)
-    SELECT l_partkey, part_value FROM pv
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value FROM pv
     WHERE CAST(part_value AS DOUBLE)
           > 0.0005 * (SELECT CAST(sum(part_value) AS DOUBLE) FROM pv)
     """,
@@ -1354,7 +1377,7 @@ def q11_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pv.crossJoin(F.broadcast(total))
         .where(F.col("part_value").cast("double") > 0.0005 * F.col("__total"))
-        .select("l_partkey", "part_value")
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
     )
 
 
@@ -1396,16 +1419,16 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: COUNT(DISTINCT) grouped agg over a broadcast
-    dim join; Spark expands distinct-agg to a two-phase partial
-    aggregate (dedup map-side first — shuffle carries distinct tuples
-    only)."""
+    """TPC-H Q16 shape: COUNT(DISTINCT) grouped agg over a dim join;
+    Spark expands distinct-agg to a two-phase partial aggregate (dedup
+    map-side first — shuffle carries distinct tuples only). part
+    scales with sf, so no forced broadcast — AQE decides."""
     p = t(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1414,7 +1437,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     """
-    SELECT sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total_price,
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
            count(*) AS n_rows
     FROM lineitem l
     JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
@@ -1425,18 +1448,22 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated AVG subquery decorrelated into an
-    agg + self-join (per-part averages are tiny — broadcast). Quantity
-    sums are exact small-integer doubles, so the avg threshold is
+    agg + self-join. Per-part averages are one row per part — they
+    scale with sf, so no forced broadcast (AQE decides; at 100 TB this
+    is a shuffle join co-partitioned on partkey). Quantity sums are
+    exact small-integer doubles, so the avg threshold is
     engine-deterministic."""
     li = t(spark, sf_dir, "lineitem")
     pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(pa), li.l_partkey == F.col("pa_partkey"))
+        li.join(pa, li.l_partkey == F.col("pa_partkey"))
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("total_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -1445,8 +1472,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_pred",
     """
-    SELECT sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            count(*) AS n_rows
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
@@ -1460,8 +1487,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs mixed join/filter predicate.
     Catalyst pushes the part-only disjuncts below the join (CNF
-    conversion), so the broadcast hash join sees pre-filtered build
-    rows; the residual mixed predicate stays on the join."""
+    conversion) so the join sees pre-filtered build rows; the residual
+    mixed predicate stays on the join. part scales with sf — no forced
+    broadcast, AQE decides."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
@@ -1483,16 +1511,20 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(cond)
-        .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_rows"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
     )
 
 
 @register(
     "q22_dormant_customers",
     """
-    SELECT c.c_custkey, CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+    SELECT c.c_custkey,
+           CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
     FROM customer c
     WHERE CAST(c.c_acctbal AS DOUBLE) > (
             SELECT avg(CAST(c2.c_acctbal AS DOUBLE)) FROM customer c2
@@ -1514,7 +1546,8 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_acctbal").cast("double") > F.col("__avg"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select(
-            "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal")
+            "c_custkey",
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
         )
     )
 
@@ -1528,9 +1561,9 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS price_rank,
            CAST(lag(o_orderkey) OVER w AS VARCHAR) AS prev_order,
            CAST(lead(o_orderkey) OVER w AS VARCHAR) AS next_order,
-           sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -1552,7 +1585,7 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degrades to float64 in the comparator's pandas bridge
         F.lag("o_orderkey").over(w).cast("string").alias("prev_order"),
         F.lead("o_orderkey").over(w).cast("string").alias("next_order"),
-        F.sum(price).over(w.rowsBetween(-2, 0)).alias("moving_sum"),
+        F.sum(price).over(w.rowsBetween(-2, 0)).cast("double").alias("moving_sum"),
     )
 
 
@@ -1582,18 +1615,19 @@ def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_status_flag",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
 def q_cube_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets: all four grouping combinations in one
-    shuffle (Spark expands rows map-side with grouping ids)."""
+    shuffle (Spark expands rows map-side with grouping ids). Final sum
+    cast to double for cross-engine-identical rendering."""
     li = t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
 
 
@@ -1636,7 +1670,7 @@ _STREAM_RUN = [0]
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -1677,7 +1711,14 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    # Final rendering cast only — the streaming state still
+    # accumulated decimal-exact inside the query.
+    return spark.table(sink).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
 
 
 def _feature_component_sql() -> str:
@@ -2018,7 +2059,7 @@ def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
     mn AS (SELECT l_partkey, min(s_acctbal) AS min_bal FROM ps GROUP BY l_partkey)
     SELECT p.p_partkey, p.p_brand, ps.s_name,
-           CAST(ps.s_acctbal AS DECIMAL(18,2)) AS acctbal
+           CAST(CAST(ps.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
     FROM part p
     JOIN ps ON ps.l_partkey = p.p_partkey
     JOIN mn ON mn.l_partkey = ps.l_partkey AND ps.s_acctbal = mn.min_bal
@@ -2029,13 +2070,14 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated MIN subquery decorrelated into an
     agg + equality join-back (all suppliers tied at the min survive —
     Q2's semantics). The part-supplier relation derives from lineitem
-    distinct pairs; supplier is broadcast."""
+    distinct pairs; supplier and part scale with sf, so AQE picks
+    their join strategy (no forced broadcasts)."""
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal", "s_name")
     p = t(spark, sf_dir, "part").where(F.col("p_size") == 1).select(
         "p_partkey", "p_brand"
     )
-    ps = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    ps = li.join(s, li.l_suppkey == s.s_suppkey)
     # window-min instead of agg + join-back: one shuffle on l_partkey
     # replaces the aggregate plus a sort-merge self-join (5 exchanges
     # -> 3 for the whole query)
@@ -2043,12 +2085,12 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ps.withColumn("__min_bal", F.min("s_acctbal").over(w))
         .where(F.col("s_acctbal") == F.col("__min_bal"))
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(p, ps.l_partkey == p.p_partkey)
         .select(
             "p_partkey",
             "p_brand",
             "s_name",
-            F.col("s_acctbal").cast("decimal(18,2)").alias("acctbal"),
+            F.col("s_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
         )
     )
 
@@ -2063,15 +2105,16 @@ def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
                    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
                  GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, r.total_rev
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
     FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
     WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: derived revenue view + MAX scalar subquery
-    (ties kept). The one-row max broadcasts onto the per-supplier
-    aggregate; decimal-exact revenue makes the equality portable."""
+    (ties kept). The one-row max broadcasts (genuinely bounded) onto
+    the per-supplier aggregate; supplier scales with sf so its join is
+    AQE's choice. Decimal-exact revenue makes the equality portable."""
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -2087,8 +2130,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_rev") == F.col("__mx"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_rev")
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
     )
 
 
@@ -2114,9 +2161,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan counts per FK edge via
-    anti-joins (broadcast for dims, shuffle for fact-fact). An ETL
-    guardrail the reference's RDBMS got from constraints; on a data
-    lake it must be a query."""
+    anti-joins (customer/part scale with sf — AQE picks the strategy;
+    fact-fact stays a shuffle). An ETL guardrail the reference's RDBMS
+    got from constraints; on a data lake it must be a query."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").select("c_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -2128,7 +2175,7 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        orphans(o, F.broadcast(c), o.o_custkey == c.c_custkey, "orders->customer")
+        orphans(o, c, o.o_custkey == c.c_custkey, "orders->customer")
         .unionByName(
             orphans(
                 li,
@@ -2139,7 +2186,7 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             orphans(
-                li, F.broadcast(p), li.l_partkey == p.p_partkey, "lineitem->part"
+                li, p, li.l_partkey == p.p_partkey, "lineitem->part"
             )
         )
     )
@@ -2187,7 +2234,7 @@ def q_null_and_domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_join_revenue",
     """
     SELECT n.n_name, count(*) AS n_orders,
-           sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -2214,7 +2261,9 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -2231,7 +2280,7 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                CROSS JOIN (SELECT unnest([0, 1]) AS k) s)
     SELECT window_start, event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM w GROUP BY 1, 2
     """,
 )
@@ -2246,7 +2295,7 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -2353,7 +2402,7 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "grouped_topk_pandas",
     """
-    SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS value FROM (
+    SELECT user_id, event_id, value FROM (
         SELECT user_id, event_id, value,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY value DESC, event_id DESC) AS rn
@@ -2378,7 +2427,7 @@ def q_grouped_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = ev.groupBy("user_id").applyInPandas(
         topk, schema="user_id long, event_id long, value double"
     )
-    return res.withColumn("value", F.col("value").cast("decimal(18,2)"))
+    return res
 
 
 # =====================================================================
@@ -2434,7 +2483,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        sole_late.join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
     )
@@ -2444,11 +2493,11 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_7day_revenue",
     """
     SELECT o_custkey, o_orderkey,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey
                ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
-           ) AS rev_7d
+           ) AS DOUBLE) AS rev_7d
     FROM orders
     """,
 )
@@ -2466,5 +2515,8 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("rev_7d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_7d"),
     )

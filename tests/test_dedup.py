@@ -59,6 +59,23 @@ def test_lsh_candidates_find_near_dups(spark):
     assert not any({a, b} == {1, 4} for a, b in pairs)
 
 
+def test_lsh_mega_bucket_cap_bounds_fanout(spark):
+    """The max_bucket_size guard: a degenerate bucket (here 6 exact
+    copies of one text) emits NO pairs when the cap is below the
+    bucket size — bounding the per-key join fan-out that would be n^2
+    at 100 TB. With the cap disabled the same bucket emits all 15
+    pairs."""
+    clones = [(i, "same exact text repeated for every clone row") for i in range(6)]
+    df = spark.createDataFrame(
+        clones + [(10, "an unrelated document with distinct words in it ok")],
+        "doc_id long, text string",
+    )
+    capped = D.lsh_candidate_pairs(df, max_bucket_size=5).collect()
+    assert capped == []
+    uncapped = D.lsh_candidate_pairs(df, max_bucket_size=None).collect()
+    assert len(uncapped) == 15  # C(6,2)
+
+
 def test_ngram_jaccard(spark):
     pairs = {
         (r["id_a"], r["id_b"]): float(r["jaccard"])

@@ -28,16 +28,27 @@ def test_q1_filter_pushed_and_pruned(spark, sf):
     plans.assert_column_pruned(df, "l_partkey")
 
 
-def test_q3_broadcasts_dims(spark, sf):
+def test_q3_no_forced_fact_broadcast(spark, sf):
+    """q3 carries NO broadcast hints (orders/customer scale with sf).
+    At test sf Spark's size stats still pick broadcast joins — proving
+    hint removal costs nothing locally — and the logical plan must be
+    hint-free so a 100 TB run can shuffle instead of OOM."""
     df = QUERIES["q3_shipping_priority"](spark, sf)
-    plans.assert_broadcast_join(df, at_least=2)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    plans.assert_broadcast_join(df, at_least=2)  # stats-chosen, not forced
     plans.assert_no_cartesian(df)
     plans.assert_filter_pushed(df, "c_mktsegment")
 
 
-def test_q5_star_join_broadcasts(spark, sf):
+def test_q5_star_join_dims_only_broadcast(spark, sf):
+    """q5 hints only nation (25 rows) and region (5): fixed-cardinality
+    dims. The fact-side joins are stats/AQE-chosen."""
     df = QUERIES["q5_local_supplier_volume"](spark, sf)
-    plans.assert_broadcast_join(df, at_least=3)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly the two dim-side hints (nation, region) survive analysis
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+    plans.assert_broadcast_join(df, at_least=2)
     plans.assert_no_cartesian(df)
 
 
@@ -89,9 +100,11 @@ def test_q6_all_predicates_pushed(spark, sf):
 
 def test_q7_five_way_join_broadcasts_dims(spark, sf):
     df = QUERIES["q7_nation_volume"](spark, sf)
-    # supplier, 2x nation, customer all broadcast; only lineitem join
-    # orders shuffles
-    plans.assert_broadcast_join(df, at_least=4)
+    # only the two nation aliases are FORCED broadcasts; supplier /
+    # customer joins are stats/AQE-chosen (they scale with sf)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+    plans.assert_broadcast_join(df, at_least=2)
     plans.assert_no_cartesian(df)
 
 
@@ -118,10 +131,12 @@ def test_q13_outer_join_no_cartesian(spark, sf):
     plans.assert_no_cartesian(df)
 
 
-def test_q16_distinct_agg_broadcast_dim(spark, sf):
+def test_q16_distinct_agg_no_forced_broadcast(spark, sf):
     df = QUERIES["q16_supplier_variety"](spark, sf)
-    plans.assert_broadcast_join(df, at_least=1)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # part scales with sf
     plans.assert_filter_pushed(df, "p_size")
+    plans.assert_no_cartesian(df)
 
 
 def test_q22_anti_join_no_cartesian(spark, sf):
@@ -138,6 +153,44 @@ def test_asof_join_single_shuffle(spark, sf):
     text = plans.explain_str(df)
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"]
+)
+def test_aqe_picks_broadcast_after_hint_removal(spark, sf, name):
+    """VERDICT r1 item 8: with the forced fact-table broadcasts gone,
+    AQE (or the static size estimate) must still pick broadcast joins
+    at local sf — hint removal costs nothing here while fixing the
+    100 TB OOM posture. Runs the query to completion so the ADAPTIVE
+    final plan is inspected, not the static guess."""
+    df = QUERIES[name](spark, sf)
+    df.collect()
+    text = plans.explain_str(df)
+    assert "BroadcastHashJoin" in text, text
+    assert "CartesianProduct" not in text
+
+
+def test_knn_join_no_join_on_corpus_side(spark, sf):
+    """knn_join without candidates inlines the (small) query set as
+    literals: the corpus side must see NO join operator at all — no
+    CartesianProduct, no BroadcastNestedLoopJoin."""
+    df = QUERIES["knn_join"](spark, sf)
+    text = plans.explain_str(df)
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoopJoin" not in text, text
+    # the corpus scan feeds a generator (explode of the literal
+    # query array), not a join build side
+    assert "Generate explode" in text or "Generate" in text, text
+
+
+def test_knn_join_rejects_large_query_set_without_candidates(spark, sf):
+    from datacamp_etl_spark.operators.similarity import knn_join_topk
+    from datacamp_etl_spark.queries import t as load_t
+
+    emb = load_t(spark, sf, "embeddings")
+    with pytest.raises(ValueError, match="candidates"):
+        knn_join_topk(emb, emb, k=3, max_inline_queries=4).collect()
 
 
 def test_date_partitioned_staging_prunes(spark, sf, tmp_path):

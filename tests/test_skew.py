@@ -32,6 +32,22 @@ def test_salted_join_left_outer(spark):
     assert out == {(1, 10, "a"), (2, 20, None)}
 
 
+def test_salted_join_rejects_right_preserving(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10)], "k long, v long")
+    right = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(left, right, ["k"], how=how)
+    # semi/anti stay supported: right is exploded to every salt value,
+    # so membership semantics are unchanged
+    semi = salted_join(left, right, ["k"], how="left_semi", salt=4)
+    assert [r["k"] for r in semi.collect()] == [1]
+    anti = salted_join(left, right, ["k"], how="left_anti", salt=4)
+    assert anti.collect() == []
+
+
 def test_salt_spreads_hot_key(spark):
     left = spark.createDataFrame([(1, i) for i in range(500)], "k long, v long")
     salts = (
