@@ -46,6 +46,9 @@ HEADLINE = [
     # [EXT] LLM-data-pipeline operators
     "dedup_exact",
     "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "chunk_documents",
     "simhash_near_pairs",
     "embedding_topk",
     "asof_join_last_click",

@@ -204,16 +204,17 @@ def lsh_candidate_pairs(
         )
     )
     if max_bucket_size is not None:
-        # Count + left-semi on the SAME key the join shuffles on, so
-        # both extra ops are co-partitioned with the candidate join
-        # (no additional exchange under AQE reuse).
-        small = (
-            band_sig.groupBy("band", "band_sig")
-            .agg(F.count("*").alias("__n"))
+        # Window count over the SAME key the candidate join shuffles
+        # on: one exchange (reused by the join side) instead of the
+        # agg + semi-join alternative's two.
+        from pyspark.sql import Window as W
+
+        wcnt = W.partitionBy("band", "band_sig")
+        band_sig = (
+            band_sig.withColumn("__n", F.count("*").over(wcnt))
             .where(F.col("__n") <= max_bucket_size)
-            .select("band", "band_sig")
+            .drop("__n")
         )
-        band_sig = band_sig.join(small, ["band", "band_sig"], "left_semi")
     a = band_sig.select(
         F.col(id_col).alias("id_a"), "band", "band_sig"
     )

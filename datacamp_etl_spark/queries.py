@@ -1529,18 +1529,25 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(c.c_acctbal AS DOUBLE) > (
             SELECT avg(CAST(c2.c_acctbal AS DOUBLE)) FROM customer c2
             WHERE c2.c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     """,
 )
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar AVG subquery threshold + NOT EXISTS
-    anti-join. The one-row average broadcasts; the anti-join probes
-    orders with only its key column."""
+    anti-join. 'Dormant' = no orders since 2000 (every testdata
+    customer has SOME order, so the classic zero-orders predicate
+    would make this a vacuous 0-row check). The one-row average
+    broadcasts; the anti-join probes orders with only key + date."""
     c = t(spark, sf_dir, "customer")
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(
         F.avg(F.col("c_acctbal").cast("double")).alias("__avg")
     )
-    o = t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .where(F.col("c_acctbal").cast("double") > F.col("__avg"))
@@ -2520,3 +2527,306 @@ def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev_7d"),
     )
+
+
+# =====================================================================
+# Relational breadth 3: remaining TPC-H shapes (q8, q9, q12, q20),
+# window suite 2 (distribution functions), explicit grouping sets,
+# verified near-dup pipeline composition
+# =====================================================================
+
+@register(
+    "q8_market_share",
+    """
+    WITH base AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — 8-way join, conditional
+    share ratio per year. Only the two nation aliases and region are
+    forced broadcasts (fixed cardinality); the customer/supplier/part
+    joins are AQE's choice. Ratio computed once on decimal-exact sums."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(zero))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM l.l_shipdate) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    - CAST(l.l_quantity AS DECIMAL(18,2))
+                        * CAST(p.p_retailprice AS DECIMAL(18,2))
+                        * CAST(0.5 AS DECIMAL(18,2))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in the testdata, so
+    cost = 0.5 * p_retailprice * quantity): profit per supplier nation
+    per year for LIKE-filtered parts. Decimal-exact profit sum; LIKE
+    pushes to the part scan; nation broadcast, part/supplier AQE."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    profit = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("l_quantity").cast("decimal(18,2)") * F.col("p_retailprice").cast(
+        "decimal(18,2)"
+    ) * F.lit(0.5).cast("decimal(18,2)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode column — grouped by
+    l_returnflag instead): late lineitems classified by order
+    priority. The non-equi lateness predicate stays on the join; the
+    conditional counts are map-side partial aggs."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_top_quantity_suppliers",
+    """
+    WITH sq AS (SELECT l.l_suppkey,
+                       sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty_total
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_name LIKE 'red%'
+                GROUP BY l.l_suppkey)
+    SELECT s.s_name, CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM sq
+        WHERE CAST(qty_total AS DOUBLE)
+              > 1.1 * (SELECT avg(CAST(qty_total AS DOUBLE)) FROM sq))
+    """,
+)
+def q20_top_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: availqty threshold becomes 1.5x the
+    average per-supplier shipped quantity of LIKE-filtered parts):
+    nested IN subqueries decorrelated into agg -> scalar-threshold
+    filter -> left-semi join back to supplier."""
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey", "l_quantity")
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select("p_partkey")
+    s = t(spark, sf_dir, "supplier")
+    sq = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_total"))
+    )
+    avg_q = sq.agg(F.avg(F.col("qty_total").cast("double")).alias("__avg"))
+    heavy = (
+        sq.crossJoin(F.broadcast(avg_q))
+        .where(F.col("qty_total").cast("double") > 1.1 * F.col("__avg"))
+        .select("l_suppkey")
+    )
+    return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_name",
+        F.col("s_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
+    )
+
+
+@register(
+    "window_suite2",
+    """
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(first_value(o_orderkey) OVER w AS VARCHAR) AS first_order,
+           CAST(nth_value(o_orderkey, 2) OVER w AS VARCHAR) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution functions (SURVEY §2.7 upgrade): ntile /
+    percent_rank / cume_dist / first_value / nth_value share ONE
+    partitioning — a single shuffle+sort serves all five. nth_value
+    is nullable, so it is stringified (nullable int64 degrades to
+    float64 in the pandas bridge)."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).cast("string").alias("first_order"),
+        F.nth_value("o_orderkey", 2).over(w).cast("string").alias("second_order"),
+    )
+
+
+@register(
+    "grouping_sets_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicator columns —
+    disambiguates real NULLs from subtotal placeholders (the part of
+    rollup/cube output a downstream consumer actually needs). One
+    shuffle; rows expand map-side with grouping ids."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "near_dup_verified",
+    f"""
+    {_SHINGLES_CTE},
+    {_minhash_sig_cte()},
+    bs AS (SELECT doc_id, seed // 4 AS band,
+                  md5(array_to_string(list_sort(list(minhash)), '|')) AS band_sig
+           FROM sig GROUP BY doc_id, seed // 4),
+    bn AS (SELECT band, band_sig, count(*) AS n FROM bs
+           GROUP BY band, band_sig),
+    bs2 AS (SELECT bs.doc_id, bs.band, bs.band_sig
+            FROM bs JOIN bn ON bs.band = bn.band AND bs.band_sig = bn.band_sig
+            WHERE bn.n <= 10000),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bs2 a JOIN bs2 b
+               ON a.band = b.band AND a.band_sig = b.band_sig
+             WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT i.id_a, i.id_b, i.n_common,
+           (sa.n_sh + sb.n_sh - i.n_common) AS n_union
+    FROM inter i
+    JOIN cand ON cand.id_a = i.id_a AND cand.id_b = i.id_b
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_common * 10000 >= (sa.n_sh + sb.n_sh - i.n_common) * 2000
+    """,
+)
+def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] composed near-dup pipeline: LSH banding proposes candidate
+    pairs, n-gram Jaccard verifies them (candidates= pruning path of
+    ngram_jaccard_pairs). This is the shape a 100 TB dedup actually
+    runs — candidate generation bounded by banding, exact verification
+    bounded by the candidate set."""
+    from datacamp_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs)
+    out = ngram_jaccard_pairs(docs, threshold=0.2, candidates=cand)
+    return out.select("id_a", "id_b", "n_common", "n_union")

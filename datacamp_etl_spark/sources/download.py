@@ -23,11 +23,16 @@ preserved exactly (SURVEY §3.3):
   (``download_manager.rb:250,303-305``)
 - ``stop_download`` flag (``download_manager.rb:151-155``)
 
-The reference's four engines (curl-multi/curb/shell-curl/hydra) were
-transport variants of the same contract; here one engine
-(urllib + ThreadPoolExecutor, ``max_concurrency`` fan-out inside a
-batch mirroring hydra's ``max_concurrency = 20``,
-``download_manager.rb:290``) serves all of them. The reference's
+The reference dispatches over four engines (``download_manager.rb:
+216-231``: curlmulti / curleasy / curl / hydra, plus a wget URL-list
+variant) that are transport variants of the same contract. The
+``engine=`` knob reproduces that dispatch: ``hydra`` / ``curlmulti`` /
+``curleasy`` use the in-process HTTP transport (urllib +
+ThreadPoolExecutor, ``max_concurrency`` fan-out inside a batch
+mirroring hydra's ``max_concurrency = 20``,
+``download_manager.rb:290``); ``curl`` and ``wget`` shell out to the
+respective binary when present (``download_manager.rb:340-371,
+427-480``), raising at construction if it isn't. The reference's
 ``download_meethod`` attr_accessor typo that made engine selection
 dead code (``download_manager.rb:71`` vs ``:218``) is intentionally
 not reproduced.
@@ -123,6 +128,15 @@ class DownloadManager:
     """Producer/consumer download pipeline with the reference's
     threading contract."""
 
+    #: engine name -> transport attribute (download_manager.rb:216-231)
+    ENGINES = {
+        "hydra": "_http_fetch",
+        "curlmulti": "_http_fetch",
+        "curleasy": "_http_fetch",
+        "curl": "_shell_curl_fetch",
+        "wget": "_shell_wget_fetch",
+    }
+
     def __init__(
         self,
         delegate: DownloadDelegate,
@@ -130,13 +144,27 @@ class DownloadManager:
         download_directory: str = ".",
         max_concurrency: int = DEFAULT_MAX_CONCURRENCY,
         timeout: float = DEFAULT_TIMEOUT,
+        engine: str = "hydra",
         transport=None,
     ):
         self.delegate = delegate
         self.download_directory = download_directory
         self.max_concurrency = max_concurrency
         self.timeout = timeout
-        self._transport = transport or self._http_fetch
+        if engine not in self.ENGINES:
+            raise ValueError(
+                f"unknown download engine {engine!r}; "
+                f"valid: {sorted(self.ENGINES)}"
+            )
+        self.engine = engine
+        if engine in ("curl", "wget"):
+            import shutil
+
+            if shutil.which(engine) is None:
+                raise ValueError(
+                    f"engine {engine!r} requires the {engine} binary on PATH"
+                )
+        self._transport = transport or getattr(self, self.ENGINES[engine])
         self._batch_lock = threading.Lock()
         self._batch_counter = 0
         self._processing_queue: "queue.Queue[DownloadBatch | None]" = queue.Queue()
@@ -232,10 +260,51 @@ class DownloadManager:
         req = Request(url, headers={"User-Agent": "datacamp-etl-spark/0.1"})
         try:
             with urlopen(req, timeout=self.timeout) as resp:
-                return resp.status, resp.read()
+                status = getattr(resp, "status", 200) or 200
+                return status, resp.read()
         except Exception as e:  # noqa: BLE001
             status = getattr(e, "code", 0)
             return int(status) if status else 0, None
+
+    def _shell_curl_fetch(self, url: str) -> tuple[int, bytes | None]:
+        """Shell-curl engine (``download_manager.rb:340-371``): one curl
+        process per URL, HTTP status read from ``-w``."""
+        import subprocess
+
+        proc = subprocess.run(
+            [
+                "curl", "-sS", "-L", "--max-time", str(self.timeout),
+                "-w", "\n%{http_code}", url,
+            ],
+            capture_output=True,
+            check=False,
+        )
+        if proc.returncode != 0:
+            return 0, None
+        body, _, code = proc.stdout.rpartition(b"\n")
+        try:
+            status = int(code.strip() or 0)
+        except ValueError:
+            status = 0
+        # file:// URLs report code 000 on success
+        if status == 0 and proc.returncode == 0:
+            status = 200
+        return status, body if status < 400 else None
+
+    def _shell_wget_fetch(self, url: str) -> tuple[int, bytes | None]:
+        """wget engine (``download_manager.rb:427-480`` URL-list
+        variant, applied per URL here so the result contract is
+        uniform across engines)."""
+        import subprocess
+
+        proc = subprocess.run(
+            ["wget", "-q", "-O", "-", "-T", str(int(self.timeout)), url],
+            capture_output=True,
+            check=False,
+        )
+        if proc.returncode != 0:
+            return 0, None
+        return 200, proc.stdout
 
     # -- consumer (download_manager.rb:126-149) ------------------------
     def _consumer_loop(self) -> None:

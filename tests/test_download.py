@@ -113,6 +113,76 @@ def test_failed_batches_still_processed(tmp_path):
     assert len(failed) == 1
 
 
+def test_engine_dispatch(tmp_path):
+    """S5: the reference's 4-engine dispatch (download_manager.rb:
+    216-231). All in-process engines resolve to the HTTP transport;
+    unknown engines raise; shell engines require their binary."""
+    import pytest
+
+    d = ListDelegate([])
+    for eng in ("hydra", "curlmulti", "curleasy"):
+        mgr = DownloadManager(d, download_directory=str(tmp_path), engine=eng)
+        assert mgr._transport == mgr._http_fetch
+    with pytest.raises(ValueError, match="unknown download engine"):
+        DownloadManager(d, download_directory=str(tmp_path), engine="teleport")
+    import shutil
+
+    for eng in ("curl", "wget"):
+        if shutil.which(eng):
+            mgr = DownloadManager(d, download_directory=str(tmp_path), engine=eng)
+            assert mgr.engine == eng
+        else:
+            with pytest.raises(ValueError, match="binary"):
+                DownloadManager(d, download_directory=str(tmp_path), engine=eng)
+
+
+def test_download_to_staging_e2e(spark, tmp_path):
+    """S5 end-to-end oracle: DownloadManager fetches CSV fixtures over
+    file:// with the REAL default transport (no injected fake), the
+    consumer lands them as parquet staging, and mapped_append projects
+    the staging table — closing the download -> staging -> load path."""
+    from pyspark.sql import functions as F
+
+    from datacamp_etl_spark.operators.loading import mapped_append
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    (src / "part1.csv").write_text("id,amount\n1,10.5\n2,20.0\n")
+    (src / "part2.csv").write_text("id,amount\n3,30.25\n")
+    land = tmp_path / "landing"
+    staging_dir = str(tmp_path / "staging")
+
+    class StagingDelegate(DownloadDelegate):
+        def __init__(self, urls):
+            self._work = [urls]
+            self.landed = 0
+
+        def create_download_batch(self):
+            return DownloadBatch(self._work.pop(0)) if self._work else None
+
+        def process_download_batch(self, batch):
+            files = [r["file"] for r in batch.results if r["file"]]
+            df = spark.read.option("header", True).csv(files)
+            df.write.mode("append").parquet(staging_dir)
+            self.landed += len(files)
+
+    delegate = StagingDelegate(
+        [f"file://{src}/part1.csv", f"file://{src}/part2.csv"]
+    )
+    DownloadManager(delegate, download_directory=str(land)).download(threads=2)
+    assert delegate.landed == 2
+
+    staged = spark.read.parquet(staging_dir)
+    out = mapped_append(
+        staged,
+        {"id": "id", "amount_cents": F.col("amount").cast("double") * 100},
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows["3"]["amount_cents"] == 3025.0
+    assert rows["1"]["record_status"] == "loaded"
+
+
 def test_stop_download(tmp_path):
     class EndlessDelegate(ListDelegate):
         def create_download_batch(self):
