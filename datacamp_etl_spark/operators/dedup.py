@@ -215,7 +215,11 @@ def lsh_candidate_pairs(
             .where(F.col("__n") <= max_bucket_size)
             .drop("__n")
         )
-    a = band_sig.select(
+    # Self-equi-join: both sides are the SAME relation, so broadcast
+    # can never be right at scale (equal sizes) and the single-threaded
+    # hash-table build it implies is slower even locally. Forcing
+    # sort-merge lets Spark reuse one exchange for both sides.
+    a = band_sig.hint("merge").select(
         F.col(id_col).alias("id_a"), "band", "band_sig"
     )
     b = band_sig.select(
@@ -256,9 +260,19 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # Per-doc shingle count as a NARROW projection (size of the
+    # distinct-shingle array) — not explode + groupBy, which would
+    # re-run the shingle computation and add a doc-keyed shuffle. The
+    # exploded `sh` is still computed only once for the self-join:
+    # both join sides share a canonical subplan, so Spark reuses the
+    # exchange.
+    sizes = df.select(
+        F.col(id_col), F.size(shingles(text_col, k)).alias("n_sh")
+    )
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    # merge hint: self-equi-join (see lsh_candidate_pairs) — parallel
+    # sort + reused exchange beats a single-threaded broadcast build.
+    a = sh.hint("merge").select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, on="shingle")
@@ -425,6 +439,10 @@ def simhash_near_pairs(
             "seg"
         ),
     )
+    # No merge hint here (unlike lsh_candidate_pairs): segs comes off
+    # the CACHED signature table (bands rows/doc of 3 ints), so the
+    # local broadcast build is cheap, and at scale the size stats rule
+    # out broadcast on their own — no forced strategy needed.
     a = segs.select(F.col(id_col).alias("id_a"), "band", "seg")
     b = segs.select(F.col(id_col).alias("id_b"), "band", "seg")
     cand = (

@@ -1728,6 +1728,137 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_dim_join_counts",
+    """
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,
+           c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_dim_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] stream-static join, genuinely streaming-executed: the
+    events readStream joins the BATCH customer dim (re-planned per
+    micro-batch — the Structured Streaming stream-static contract),
+    then aggregates per (hour window, market segment). AvailableNow
+    drains everything in-watermark, so the batch oracle applies."""
+    import tempfile
+
+    from datacamp_etl_spark.streaming.incremental import (
+        stream_static_enriched_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    dim = t(spark, sf_dir, "customer")
+    agg = stream_static_enriched_counts(raw, dim)
+    _STREAM_RUN[0] += 1
+    sink = f"stream_dim_join_{_STREAM_RUN[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "window_start",
+        "c_mktsegment",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "streaming_session_window",
+    """
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                        >= 1800000000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_n
+          FROM g)
+    SELECT user_id,
+           CAST(date_trunc('microseconds', min(ts)) AS TIMESTAMP)
+             AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM s GROUP BY user_id, session_n
+    """,
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] NATIVE streaming sessionization: ``session_window`` with a
+    30-minute gap over the events readStream — the engine merges
+    per-key session state (bounded by the watermark) instead of the
+    batch lag+cumsum two-pass. Spark's session ends at last_ts + gap
+    (half-open), so an event at exactly the gap boundary starts a NEW
+    session — the oracle replays that with a >= gap test. Integer-cents
+    sum keeps the aggregate exact."""
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "2 hours")
+    )
+    agg = (
+        raw.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+    _STREAM_RUN[0] += 1
+    sink = f"stream_session_{_STREAM_RUN[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def _feature_component_sql() -> str:
     """DuckDB replay of multimodal.extract_features' stub kernel:
     component j = uint32-little-endian(sha256(text)[(4j)%32 ..+4])

@@ -137,6 +137,49 @@ def windowed_event_counts(
     )
 
 
+def stream_static_enriched_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_col: str = "c_mktsegment",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join + windowed aggregation: enrich a stream with
+    a batch dimension table, then count per (window, dim attribute).
+
+    The static side is re-planned per micro-batch (Structured
+    Streaming's stream-static contract), so dim updates between
+    batches are picked up; the join itself is stateless — no state
+    store growth from the dim side. At 100 TB the dim join follows
+    normal batch join rules (broadcast if small, shuffle otherwise);
+    only the windowed agg keeps state, bounded by the watermark.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    enriched = df.join(
+        dim.select(F.col(dim_key).alias(stream_key), dim_col),
+        on=stream_key,
+        how="inner",
+    )
+    return (
+        enriched.groupBy(F.window("ts", window).alias("w"), dim_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            dim_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     *,
