@@ -27,6 +27,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "rolling_hash",
     "text_profile",
     "STOPWORDS",
     "LANG_MARKERS",
@@ -152,6 +153,32 @@ def fingerprint(col: Column | str) -> Column:
     key. (Reuses the reference's row-digest idea P4, loading.rb:254-270,
     applied to documents.)"""
     return F.md5(normalize_text(col))
+
+
+#: Rolling-hash parameters: base 31 (classic Rabin-Karp), modulus
+#: 1e9+7 (prime). Token values are 32-bit (8 hex digits of md5), so
+#: acc*31 + tok stays far below 2^63 — no overflow in either engine.
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Order-sensitive document fingerprint: a Rabin-Karp polynomial
+    rolling hash folded over the normalized token stream —
+    ``h = (h * 31 + md5_32(token)) mod (1e9+7)``.
+
+    Complements :func:`fingerprint` (MD5 of the whole normalized text):
+    the fold form is the shape used for streaming/windowed fingerprints
+    (extendable one token at a time), and its per-token hashing is what
+    shingle-level fingerprinting builds on. Pure-JVM ``aggregate``
+    lambda over the token array — a narrow codegen'd projection, no
+    shuffle, no UDF; at 100 TB it runs in the scan stage."""
+    tok_val = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + tok_val(x)) % ROLLING_MOD,
+    )
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -501,6 +501,31 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", X.language_id("text").alias("lang_pred"))
 
 
+@register(
+    "rolling_fingerprint",
+    f"""
+    {_TOKS_CTE}
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks, x ->
+                   CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT)
+             AS rolling_fp
+    FROM tk
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] order-sensitive rolling-hash fingerprint (Rabin-Karp fold
+    over the token stream, operators/text.py:rolling_hash) — the
+    incremental-update counterpart to the MD5 whole-text fingerprint.
+    Pure-JVM aggregate lambda: zero-shuffle projection at any scale."""
+    from datacamp_etl_spark.operators import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.rolling_hash("text").alias("rolling_fp"))
+
+
 # =====================================================================
 # [EXT] Deduplication (operators/dedup.py)
 # =====================================================================
@@ -1859,6 +1884,116 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@register(
+    "streaming_stream_join",
+    """
+    WITH ev AS (SELECT event_id, user_id, event_type,
+                       date_trunc('microseconds', ts) AS ts
+                FROM events)
+    SELECT v.user_id,
+           v.event_id AS l_event_id,
+           p.event_id AS r_event_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+    FROM ev v JOIN ev p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] STREAM-STREAM join, genuinely streaming-executed: views
+    and purchases are two readStreams joined on user within a bounded
+    [ts, ts+1h] horizon. The time bound + both-side watermarks let the
+    engine evict join state (a left row is droppable once the right
+    watermark passes l_ts + horizon) — the property that makes
+    stream-stream joins viable on unbounded input. AvailableNow drains
+    everything, so the batch self-join oracle applies exactly."""
+    import tempfile
+
+    from datacamp_etl_spark.streaming.incremental import (
+        stream_stream_conversion_join,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _stream():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+
+    joined = stream_stream_conversion_join(
+        _stream(), _stream(), horizon="1 hour", watermark="4 hours"
+    )
+    _STREAM_RUN[0] += 1
+    sink = f"stream_stream_join_{_STREAM_RUN[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] streaming exact dedup: the events stream is deliberately
+    fed TWICE (union of two readStreams over the same files) and
+    deduplicated on event_id with dropDuplicates state — the memory
+    sink then holds each event exactly once, proving the state store
+    suppressed the duplicate feed. The batch-side count per type over
+    the sink must equal the plain single-feed oracle. At scale the
+    state is bounded with dropDuplicatesWithinWatermark; here the
+    finite replay keeps full state (documented trade-off)."""
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _stream():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select("event_id", "event_type")
+        )
+
+    doubled = _stream().unionByName(_stream())
+    deduped = doubled.dropDuplicates(["event_id"])
+    _STREAM_RUN[0] += 1
+    sink = f"stream_dedup_{_STREAM_RUN[0]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def _feature_component_sql() -> str:
     """DuckDB replay of multimodal.extract_features' stub kernel:
     component j = uint32-little-endian(sha256(text)[(4j)%32 ..+4])
@@ -1982,6 +2117,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["dedup_clusters"] = ORACLE["dedup_clusters"].replace(
+    "{LSH_PAIRS}", ORACLE["lsh_candidate_pairs"]
+)
+
+
+@register(
+    "near_dup_apply",
+    """
+    WITH RECURSIVE pairs AS ({LSH_PAIRS}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    WHERE d.doc_id = coalesce(c.component, d.doc_id)
+    """,
+)
+def q_near_dup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the APPLY step of near-dup removal: the surviving corpus
+    after dropping every non-canonical cluster member (canonical = min
+    doc_id per connected LSH component). This is the operator a
+    training-data pipeline actually ships — clusters in, clean corpus
+    out — one semi-join against the keep set, no extra shuffle beyond
+    the clustering itself."""
+    from datacamp_etl_spark.operators.dedup import lsh_candidate_pairs
+    from datacamp_etl_spark.operators.graph import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, lsh_candidate_pairs(docs))
+    keep = clusters.where(F.col("keep")).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
+ORACLE["near_dup_apply"] = ORACLE["near_dup_apply"].replace(
     "{LSH_PAIRS}", ORACLE["lsh_candidate_pairs"]
 )
 
@@ -2131,6 +2306,72 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    {_TOKS_CTE},
+    sc AS (SELECT doc_id, norm, len(toks) AS n_tokens,
+                  {_lang_scores_sql()} FROM tk),
+    g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS gmax FROM sc),
+    lp AS (SELECT doc_id, norm, n_tokens,
+                  CASE WHEN gmax <= 0 THEN 'und'
+                       WHEN s_en = gmax THEN 'en'
+                       WHEN s_de = gmax THEN 'de'
+                       WHEN s_fr = gmax THEN 'fr'
+                       WHEN s_es = gmax THEN 'es'
+                       ELSE 'zh' END AS lang_pred
+           FROM g),
+    q AS (SELECT * FROM lp WHERE n_tokens >= 5 AND lang_pred <> 'und'),
+    d AS (SELECT *, row_number() OVER
+              (PARTITION BY md5(norm) ORDER BY doc_id) AS rn FROM q)
+    SELECT doc_id, lang_pred, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                     THEN 'train'
+                WHEN {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM d WHERE rn = 1
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the END-TO-END training-data curation pipeline in one
+    declarative plan: normalize -> language-ID -> quality gate (token
+    floor, known language) -> exact dedup (keep min doc_id per
+    normalized fingerprint) -> deterministic split assignment. One
+    scan, one shuffle (the dedup window on the fingerprint key);
+    language/quality/split are all zero-shuffle projections. This is
+    the composition a 100 TB corpus actually runs nightly — gating it
+    end-to-end catches cross-operator drift that per-operator gates
+    can't (e.g. normalization changing under the dedup key)."""
+    from datacamp_etl_spark.operators import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        X.normalize_text("text").alias("norm"),
+        X.language_id("text").alias("lang_pred"),
+        X.token_count("text").cast("long").alias("n_tokens"),
+    )
+    filt = base.where(
+        (F.col("n_tokens") >= 5) & (F.col("lang_pred") != "und")
+    )
+    w = W.partitionBy(F.md5("norm")).orderBy("doc_id")
+    deduped = (
+        filt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    bucket = _hash_bucket_col(F.col("doc_id")) % 100
+    return deduped.select(
+        "doc_id",
+        "lang_pred",
+        "n_tokens",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 

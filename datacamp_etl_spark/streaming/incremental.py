@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 if TYPE_CHECKING:  # pragma: no cover
     from datacamp_etl_spark.metadata.defaults import ETLDefaults
 
-__all__ = ["IncrementalLoader"]
+__all__ = [
+    "IncrementalLoader",
+    "windowed_event_counts",
+    "stream_static_enriched_counts",
+    "stream_stream_conversion_join",
+    "sessionize",
+]
 
 _WM_KEY = "incremental_watermark"
 _FMT = "%Y-%m-%d %H:%M:%S.%f"
@@ -177,6 +183,60 @@ def stream_static_enriched_counts(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def stream_stream_conversion_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_type: str = "view",
+    right_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: for every ``left_type`` event, the
+    ``right_type`` events by the same key within ``[ts, ts + horizon]``.
+
+    Both sides carry watermarks, and the join condition bounds the
+    right timestamp relative to the left one, so the engine can size
+    the join state: a buffered left row is evictable once the right
+    watermark passes ``left.ts + horizon``, and vice versa. Without the
+    time bound the state store would grow forever — the bound is what
+    makes this viable on an unbounded 100 TB/day stream.
+
+    Works identically on batch inputs (no watermark applied), where
+    Catalyst plans it as an ordinary range-bounded equi-join.
+    """
+    l = left.where(F.col("event_type") == left_type).select(  # noqa: E741
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.where(F.col("event_type") == right_type).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)  # noqa: E741
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    joined = l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+    return joined.select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        "r_event_id",
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))).alias(
+            "lag_us"
+        ),
     )
 
 
