@@ -26,7 +26,7 @@ materialization.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datacamp_etl_spark.operators.text import fingerprint, normalize_text
@@ -245,50 +245,140 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Pairs with shingle-set Jaccard >= threshold:
-    ``(id_a, id_b, jaccard)``.
+    ``(id_a, id_b, n_common, n_union, jaccard)``.
 
-    Without ``candidates`` this blocks on shared shingles (a pair is
-    only scored if it shares at least one shingle — an inverted-index
-    join, never a cross join); pass LSH candidates to prune further at
-    scale. Jaccard is computed from intersection counts:
-    ``|A∩B| / (|A| + |B| - |A∩B|)``. The threshold compare is done in
-    integer arithmetic (``n_common * D >= threshold*D * n_union``) so
-    boundary cases are exact — no float/decimal rounding drift.
+    Three execution strategies, measured head-to-head at sf0.1:
+
+    - ``candidates`` given (the 100 TB path: LSH pairs in) —
+      **verify-only**: candidate pairs join back to the per-doc
+      shingle arrays and intersect JVM-side (``array_intersect``).
+      Cost is proportional to the candidate count, never to shingle
+      co-occurrence.
+    - ``strategy='expand'`` — inverted-index self-join + groupBy
+      intersection count. Skinny rows (id, id) through the shuffle, no
+      array payloads; fastest when per-shingle document frequency is
+      bounded, but a globally hot shingle costs O(df²) pairs.
+    - ``strategy='prefix'`` — **prefix filtering** (PPJoin family):
+      with each doc's shingles sorted by ascending global document
+      frequency, a pair with J >= t must share a shingle among the
+      first ``n - ceil(t*n) + 1`` of each side (pigeonhole over the
+      shared total order), so only that prefix is indexed — the
+      hottest shingles fall out of the index, then survivors get the
+      verify-only pass. Pays off when the prefix prunes hard (high t)
+      or the corpus has hot shingles; at low t the candidate set is
+      nearly the full pair set and array-carry verification costs more
+      than the skinny expansion (5x at sf0.1, t=0.2).
+
+    ``'auto'`` picks ``'prefix'`` for threshold >= 0.5 else
+    ``'expand'``. A length filter (``t*|A| <= |B|``) applies in both
+    pair-generating strategies. The threshold compare is integer
+    arithmetic (``n_common * D >= threshold*D * n_union``) so boundary
+    cases are exact — no float/decimal rounding drift.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
-    )
-    # Per-doc shingle count as a NARROW projection (size of the
-    # distinct-shingle array) — not explode + groupBy, which would
-    # re-run the shingle computation and add a doc-keyed shuffle. The
-    # exploded `sh` is still computed only once for the self-join:
-    # both join sides share a canonical subplan, so Spark reuses the
-    # exchange.
-    sizes = df.select(
-        F.col(id_col), F.size(shingles(text_col, k)).alias("n_sh")
-    )
-
-    # merge hint: self-equi-join (see lsh_candidate_pairs) — parallel
-    # sort + reused exchange beats a single-threaded broadcast build.
-    a = sh.hint("merge").select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     thr_num = int(round(threshold * 10000))
+    if strategy == "auto":
+        strategy = "prefix" if threshold >= 0.5 else "expand"
+    if strategy not in ("expand", "prefix"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    def _score_counts(inter: DataFrame) -> DataFrame:
+        """Attach sizes to (id_a, id_b, n_common) and finish."""
+        sizes = df.select(
+            F.col(id_col), F.size(shingles(text_col, k)).alias("n_sh")
+        )
+        sz_a = sizes.select(
+            F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+        )
+        sz_b = sizes.select(
+            F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+        )
+        return inter.join(sz_a, "id_a").join(sz_b, "id_b")
+
+    if candidates is None and strategy == "expand":
+        sh = df.select(
+            F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+        )
+        # merge hint: self-equi-join — parallel sort + reused exchange
+        # beats a single-threaded broadcast build.
+        a = sh.hint("merge").select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, on="shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        scored = _score_counts(inter)
+    else:
+        docsets = df.select(
+            F.col(id_col).alias("id"),
+            shingles(text_col, k).alias("sh_arr"),
+            F.size(shingles(text_col, k)).alias("n_sh"),
+        ).where(F.col("n_sh") > 0)
+        if candidates is not None:
+            cand = candidates.select("id_a", "id_b")
+        else:
+            sh = docsets.select(
+                "id", "n_sh", F.explode("sh_arr").alias("shingle")
+            )
+            dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            # prefix length: n - ceil(t*n) + 1, integer-exact
+            pref_len = (
+                F.col("n_sh")
+                - F.floor((F.col("n_sh") * thr_num + 9999) / 10000)
+                + 1
+            )
+            w = Window.partitionBy("id").orderBy("df", "shingle")
+            pref = (
+                sh.join(dfreq, "shingle")
+                .withColumn("__pos", F.row_number().over(w))
+                .where(F.col("__pos") <= pref_len)
+                .select("id", "n_sh", "shingle")
+            )
+            a = pref.select(
+                F.col("id").alias("id_a"),
+                F.col("n_sh").alias("n_a"),
+                "shingle",
+            )
+            b = pref.select(
+                F.col("id").alias("id_b"),
+                F.col("n_sh").alias("n_b"),
+                "shingle",
+            )
+            cand = (
+                a.join(b, on="shingle")
+                .where(F.col("id_a") < F.col("id_b"))
+                # length filter: J>=t forces t*|A| <= |B| and vice versa
+                .where(F.col("n_b") * 10000 >= F.col("n_a") * thr_num)
+                .where(F.col("n_a") * 10000 >= F.col("n_b") * thr_num)
+                .select("id_a", "id_b")
+                .distinct()
+            )
+        sets_a = docsets.select(
+            F.col("id").alias("id_a"),
+            F.col("sh_arr").alias("__sh_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        sets_b = docsets.select(
+            F.col("id").alias("id_b"),
+            F.col("sh_arr").alias("__sh_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        scored = (
+            cand.join(sets_a, "id_a")
+            .join(sets_b, "id_b")
+            .withColumn(
+                "n_common", F.size(F.array_intersect("__sh_a", "__sh_b"))
+            )
+        )
+
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        scored.withColumn(
+            "n_union", F.col("n_a") + F.col("n_b") - F.col("n_common")
+        )
         .where(F.col("n_common") * 10000 >= F.col("n_union") * thr_num)
         .withColumn(
             "jaccard",

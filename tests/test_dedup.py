@@ -124,3 +124,28 @@ def test_simhash_fast_path_matches_bits_reference(spark):
         .collect()
     }
     assert fast == ref
+
+
+def test_ngram_prefix_strategy_lossless(spark):
+    """Prefix filtering (PPJoin pigeonhole over the df-sorted order)
+    must return EXACTLY the pairs the direct expansion returns, at any
+    threshold — it is a lossless pruning, not an approximation."""
+    docs = _docs(spark)
+    for thr in (0.2, 0.5, 0.8):
+        expand = {
+            (r["id_a"], r["id_b"], r["n_common"], r["n_union"])
+            for r in D.ngram_jaccard_pairs(
+                docs, threshold=thr, strategy="expand"
+            ).collect()
+        }
+        prefix = {
+            (r["id_a"], r["id_b"], r["n_common"], r["n_union"])
+            for r in D.ngram_jaccard_pairs(
+                docs, threshold=thr, strategy="prefix"
+            ).collect()
+        }
+        assert expand == prefix, f"strategy mismatch at t={thr}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown strategy"):
+        D.ngram_jaccard_pairs(docs, strategy="teleport")
