@@ -1,0 +1,141 @@
+"""Corpus-quality operators for training-data pipelines [EXT].
+
+Two families a large-scale pretraining pipeline runs on every corpus:
+
+- **Benchmark contamination**: flag corpus documents that share word
+  k-grams with an evaluation/benchmark set (the GPT-3/PaLM-style
+  n-gram overlap check). The benchmark side is an eval suite —
+  bounded by construction — so its distinct shingle set broadcasts;
+  the corpus side is one scan + one explode, no self-join anywhere.
+- **Repetition profiling**: the Gopher/C4-style within-document
+  repetition signals (duplicate-token ratio, most-frequent-token
+  share, duplicate-bigram ratio) used to drop boilerplate and
+  degenerate pages. Entirely per-row array math — zero shuffles; at
+  100 TB it runs inside the scan stage.
+
+All ratios are DECIMAL (exact, engine-portable); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datacamp_etl_spark.operators.dedup import shingles
+from datacamp_etl_spark.operators.text import tokens
+
+__all__ = ["contamination_check", "repetition_profile"]
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per corpus document: how many of its distinct word ``k``-grams
+    appear anywhere in the benchmark set.
+
+    Returns ``(id, n_shingles, n_contaminated, contamination_ratio,
+    is_contaminated)`` for every corpus doc that has at least one
+    shingle (shorter docs can't be k-gram contaminated by
+    construction).
+
+    Scale shape: the benchmark's distinct-shingle set is broadcast
+    (eval suites are a bounded few million n-grams even for large
+    benchmark collections); the corpus is a single scan -> explode ->
+    broadcast-hash semi-match -> groupBy(id). No shuffle touches the
+    raw text, only (id, shingle) pairs, and the contaminated subset is
+    tiny. A left join + count of matches (rather than a semi-join)
+    keeps zero-hit docs in one pass.
+    """
+    c_sh = corpus.select(
+        F.col(id_col).alias("id"),
+        F.size(shingles(text_col, k)).alias("n_shingles"),
+        F.explode(shingles(text_col, k)).alias("shingle"),
+    )
+    b_sh = (
+        benchmark.select(F.explode(shingles(text_col, k)).alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), on="shingle", how="left")
+        .groupBy("id", "n_shingles")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"))
+        .withColumn(
+            "contamination_ratio",
+            (
+                F.col("n_contaminated").cast("decimal(18,2)")
+                / F.col("n_shingles")
+            ).cast("decimal(18,4)"),
+        )
+        .withColumn(
+            "is_contaminated", F.col("n_contaminated") >= F.lit(min_hits)
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            "contamination_ratio",
+            "is_contaminated",
+        )
+    )
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals, one row per document:
+
+    - ``n_tokens`` / ``n_distinct_tokens`` and the duplicate-token
+      ratio ``1 - distinct/n``
+    - ``top_token_frac``: share of the single most frequent token
+      (boilerplate pages repeat one token heavily)
+    - ``dup_bigram_frac``: ``1 - distinct_bigrams/n_bigrams`` (the
+      C4/Gopher duplicate n-gram filter at n=2)
+
+    Every signal is computed row-locally from the token array with
+    JVM higher-order functions (``transform``/``filter``/
+    ``array_max``) — a narrow projection with no shuffle; the
+    most-frequent-token count is O(distinct x n) per row, bounded and
+    embarrassingly parallel. Ratios are DECIMAL for engine-portable
+    exactness.
+    """
+    toks = tokens(text_col)
+    dis = F.array_distinct(toks)
+    n_tok = F.size(toks)
+    n_dis = F.size(dis)
+    top_cnt = F.array_max(
+        F.transform(
+            dis, lambda x: F.size(F.filter(toks, lambda y: y == x))
+        )
+    )
+    m = F.greatest(n_tok - 1, F.lit(0))
+    big = F.zip_with(
+        F.slice(toks, 1, m),
+        F.when(n_tok >= 2, F.slice(toks, 2, m)).otherwise(
+            F.array().cast("array<string>")
+        ),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_big = F.size(big)
+    n_big_dis = F.size(F.array_distinct(big))
+
+    def _ratio(num, den):
+        return F.when(
+            den > 0,
+            (num.cast("decimal(18,2)") / den).cast("decimal(18,4)"),
+        )
+
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_dis.cast("long").alias("n_distinct_tokens"),
+        _ratio(n_tok - n_dis, n_tok).alias("dup_token_ratio"),
+        _ratio(F.coalesce(top_cnt, F.lit(0)), n_tok).alias("top_token_frac"),
+        _ratio(n_big - n_big_dis, n_big).alias("dup_bigram_frac"),
+    )

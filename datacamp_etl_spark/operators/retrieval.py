@@ -1,0 +1,136 @@
+"""Retrieval / term-weighting operators [EXT].
+
+TF-IDF and BM25 over the corpus, expressed as pure DataFrame plans:
+
+- term statistics come from one explode + two aggregations (tf per
+  (doc, term), df per term) — both map-side-combinable shuffles;
+- corpus-level scalars (N, avgdl) are one-row aggregates broadcast
+  via crossJoin;
+- BM25 filters the exploded terms to the query's term set *before*
+  any shuffle, so the data volume through the pipeline is
+  O(matching postings), not O(corpus tokens);
+- final scores are rounded to 4 decimals so the float is stable
+  across engines (ln/division are correctly-rounded doubles in both
+  Spark and DuckDB; rounding absorbs any last-ulp libm drift).
+
+No UDFs, no driver-side loops; top-k goes through TakeOrdered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datacamp_etl_spark.operators.text import tokens
+
+__all__ = ["tfidf_topk_terms", "bm25_search"]
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF:
+    ``(id, term, tf, df, tfidf)``.
+
+    ``tfidf = tf * ln(N / df)`` rounded to 4 decimals; ranking breaks
+    ties deterministically by (score desc, df asc, term asc). Plan:
+    explode -> groupBy(doc, term) [map-side combine] -> term-keyed
+    join to the df table -> doc-keyed window for the top-k. The df
+    table is vocabulary-sized (zipf-bounded, far below corpus size),
+    so at 100 TB that join is AQE-broadcastable; nothing else shuffles
+    more than (id, term, count) triples.
+    """
+    posting = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = posting.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = posting.groupBy("term").agg(
+        F.countDistinct("id").alias("df")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("__n").cast("double") / F.col("df")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("tfidf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            "tfidf",
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25:
+    ``(id, n_hit_terms, score)``.
+
+    ``score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+    with ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``, rounded to 4
+    decimals. The exploded postings are filtered to the query's terms
+    FIRST (a literal ``isin`` — pushdown-friendly, and the surviving
+    volume is O(postings of |q| terms), not the corpus); df/N/avgdl
+    are tiny aggregates broadcast into the scoring join; the final
+    top-k is a TakeOrdered, never a full sort.
+    """
+    qlits = [F.lit(t) for t in query_terms]
+    posting = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).where(F.col("term").isin(*qlits))
+    tf = posting.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = posting.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    stats = df.select(
+        F.countDistinct(id_col).alias("__n"),
+        F.avg(F.size(tokens(text_col)).cast("double")).alias("__avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_hit_terms"),
+            F.round(F.sum(contrib), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_k)
+        .select(F.col("id").alias(id_col), "n_hit_terms", "score")
+    )

@@ -3202,3 +3202,187 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(docs)
     out = ngram_jaccard_pairs(docs, threshold=0.2, candidates=cand)
     return out.select("id_a", "id_b", "n_common", "n_union")
+
+
+# =====================================================================
+# [EXT] Corpus quality: contamination, repetition (operators/quality.py)
+# =====================================================================
+
+_SHINGLE3_SQL = (
+    "list_distinct(list_transform(range(len(toks) - 2), "
+    "i -> array_to_string(toks[(i+1):(i+3)], ' ')))"
+)
+
+
+@register(
+    "contamination_check",
+    f"""
+    WITH n AS (SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents),
+    tk AS (SELECT doc_id, source,
+                  CASE WHEN norm = '' THEN []::VARCHAR[]
+                       ELSE string_split(norm, ' ') END AS toks
+           FROM n),
+    g AS (SELECT doc_id, source, {_SHINGLE3_SQL} AS grams
+          FROM tk WHERE len(toks) >= 3),
+    bsh AS (SELECT DISTINCT unnest(grams) AS shingle
+            FROM g WHERE source = 'src0'),
+    csh AS (SELECT doc_id, len(grams) AS n_shingles,
+                   unnest(grams) AS shingle
+            FROM g WHERE source <> 'src0')
+    SELECT c.doc_id, c.n_shingles,
+           CAST(count(b.shingle) AS BIGINT) AS n_contaminated,
+           CAST(CAST(CAST(count(b.shingle) AS DECIMAL(18,2)) / c.n_shingles
+                AS DECIMAL(18,4)) AS DOUBLE) AS contamination_ratio,
+           count(b.shingle) >= 1 AS is_contaminated
+    FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle
+    GROUP BY c.doc_id, c.n_shingles
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] benchmark-contamination scan (GPT-3-style n-gram overlap):
+    docs from source src0 act as the held-out benchmark; every other
+    document is checked for shared word 3-grams. The benchmark's
+    distinct shingle set is broadcast (eval suites are bounded); the
+    corpus side is scan -> explode -> broadcast left join -> groupBy —
+    no self-join, cost linear in corpus shingles at any scale."""
+    from datacamp_etl_spark.operators.quality import contamination_check
+
+    docs = t(spark, sf_dir, "documents")
+    out = contamination_check(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+    # decimal-exact ratio internally; DOUBLE at the boundary (the
+    # cross-engine rendering rule from the module docstring)
+    return out.withColumn(
+        "contamination_ratio", F.col("contamination_ratio").cast("double")
+    )
+
+
+@register(
+    "repetition_profile",
+    f"""
+    {_TOKS_CTE},
+    m AS (SELECT doc_id, toks, len(toks) AS n,
+                 len(list_distinct(toks)) AS nd,
+                 CASE WHEN len(toks) >= 2 THEN
+                      list_transform(range(len(toks) - 1),
+                          i -> array_to_string(toks[(i+1):(i+2)], ' '))
+                      ELSE []::VARCHAR[] END AS bigrams
+          FROM tk)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(nd AS BIGINT) AS n_distinct_tokens,
+           CAST(CASE WHEN n > 0 THEN
+                CAST(CAST(n - nd AS DECIMAL(18,2)) / n AS DECIMAL(18,4))
+           END AS DOUBLE) AS dup_token_ratio,
+           CAST(CASE WHEN n > 0 THEN
+                CAST(CAST(coalesce(list_max(list_transform(
+                         list_distinct(toks),
+                         x -> len(list_filter(toks, t -> t = x)))), 0)
+                     AS DECIMAL(18,2)) / n AS DECIMAL(18,4))
+           END AS DOUBLE) AS top_token_frac,
+           CAST(CASE WHEN len(bigrams) > 0 THEN
+                CAST(CAST(len(bigrams) - len(list_distinct(bigrams))
+                     AS DECIMAL(18,2)) / len(bigrams) AS DECIMAL(18,4))
+           END AS DOUBLE) AS dup_bigram_frac
+    FROM m
+    """,
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gopher/C4-style within-document repetition signals
+    (duplicate-token ratio, top-token share, duplicate-bigram ratio).
+    Pure row-local array math — zero shuffles, runs in the scan
+    stage at 100 TB."""
+    from datacamp_etl_spark.operators.quality import repetition_profile
+
+    out = repetition_profile(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("dup_token_ratio", "top_token_frac", "dup_bigram_frac")
+        ],
+    )
+
+
+# =====================================================================
+# [EXT] Retrieval: TF-IDF, BM25 (operators/retrieval.py)
+# =====================================================================
+
+
+@register(
+    "tfidf_topk_terms",
+    f"""
+    {_TOKS_CTE},
+    p AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    sc AS (SELECT doc_id, term, tf, df,
+                  round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+           FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+    r AS (SELECT *, row_number() OVER
+              (PARTITION BY doc_id
+               ORDER BY tfidf DESC, df ASC, term ASC) AS rank
+          FROM sc)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, tfidf, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-document top-3 TF-IDF terms. One explode, two
+    map-side-combinable aggregations, a vocabulary-sized join
+    (AQE-broadcastable at any corpus size), one doc-keyed window."""
+    from datacamp_etl_spark.operators.retrieval import tfidf_topk_terms
+
+    out = tfidf_topk_terms(t(spark, sf_dir, "documents"), top_k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "tfidf",
+        "rank",
+    )
+
+
+_BM25_TERMS = ("spark", "filter", "window")
+
+
+@register(
+    "bm25_search",
+    f"""
+    {_TOKS_CTE},
+    p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+    q AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+          WHERE term IN {_BM25_TERMS} GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM p
+            WHERE term IN {_BM25_TERMS} GROUP BY 1),
+    st AS (SELECT count(DISTINCT doc_id) AS n,
+                  avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM tk)
+    SELECT q.doc_id,
+           CAST(count(DISTINCT q.term) AS BIGINT) AS n_hit_terms,
+           round(sum(
+               ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * q.tf * 2.2
+               / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / st.avgdl))
+           ), 4) AS score
+    FROM q JOIN dfq USING (term) CROSS JOIN st
+    GROUP BY q.doc_id
+    ORDER BY score DESC, q.doc_id ASC
+    LIMIT 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BM25 bag-of-words search (k1=1.2, b=0.75): top-10 docs
+    for a 3-term query. Postings filtered to the query terms BEFORE
+    any shuffle; df/N/avgdl broadcast; TakeOrdered top-k."""
+    from datacamp_etl_spark.operators.retrieval import bm25_search
+
+    return bm25_search(
+        t(spark, sf_dir, "documents"), list(_BM25_TERMS), top_k=10
+    )

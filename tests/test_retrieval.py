@@ -1,0 +1,66 @@
+"""Retrieval operators [EXT]: TF-IDF, BM25."""
+
+from __future__ import annotations
+
+import math
+
+from datacamp_etl_spark.operators.retrieval import bm25_search, tfidf_topk_terms
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark spark spark filter"),
+            (2, "filter window join"),
+            (3, "window window group sort"),
+            (4, "join join join join"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tfidf_topk(spark):
+    out = tfidf_topk_terms(_docs(spark), top_k=1).collect()
+    best = {r["doc_id"]: r for r in out}
+    assert len(out) == 4  # one term per doc at k=1
+    # doc 1: spark tf=3 df=1 -> 3*ln(4) dominates
+    assert best[1]["term"] == "spark"
+    assert best[1]["tf"] == 3 and best[1]["df"] == 1
+    assert abs(best[1]["tfidf"] - round(3 * math.log(4), 4)) < 1e-9
+    assert best[4]["term"] == "join"
+    assert best[1]["rank"] == 1
+
+
+def test_tfidf_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "c d")], "doc_id long, text string"
+    )
+    out = [
+        r["term"]
+        for r in tfidf_topk_terms(df, top_k=1).orderBy("doc_id").collect()
+    ]
+    # equal tf/df everywhere -> alphabetical wins
+    assert out == ["a", "c"]
+
+
+def test_bm25_ranks_term_matches(spark):
+    out = bm25_search(_docs(spark), ["spark", "filter"], top_k=4).collect()
+    ids = [r["doc_id"] for r in out]
+    # docs 1 and 2 hit; 3 and 4 don't appear at all
+    assert set(ids) == {1, 2}
+    hit = {r["doc_id"]: r["n_hit_terms"] for r in out}
+    assert hit[1] == 2 and hit[2] == 1
+    assert out[0]["doc_id"] == 1  # two query terms + high tf wins
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25_plan_no_cartesian_on_corpus(spark):
+    plan = (
+        bm25_search(_docs(spark), ["spark"], top_k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only cross joins are one-row scalar broadcasts
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan
