@@ -39,6 +39,7 @@ __all__ = [
     "random_hyperplane_lsh",
     "lsh_topk",
     "ivf_topk",
+    "kmeans_train",
     "cosine_near_dup_pairs",
 ]
 
@@ -338,4 +339,97 @@ def cosine_near_dup_pairs(
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def kmeans_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_iter: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the IVF coarse
+    quantizer's training step (drop-in for :func:`ivf_topk`'s sampled
+    centroids). Returns ``(id, cluster, dist)`` with ``dist`` the
+    squared L2 distance to the final assigned centroid, rounded to 4
+    decimals.
+
+    Execution model (the canonical Spark k-means shape, same as
+    MLlib's): centroids live on the driver (k x dim doubles — bounded
+    and tiny), each iteration broadcasts them as literals, the
+    executors compute per-row argmin assignment (an ``aggregate``
+    fold over ``zip_with`` — JVM codegen, no UDF) and the new means
+    via ``posexplode`` + ``groupBy(cluster, pos)`` — one
+    map-side-combinable shuffle of (cluster, pos, sum, count) per
+    iteration, never the raw vectors. Only k x dim aggregated means
+    are collected between iterations, independent of corpus size.
+
+    Determinism (the oracle replays this in SQL): init = vectors of
+    the ``k`` smallest-``md5(id)`` rows; every centroid component is
+    rounded to ``decimals`` each iteration (absorbs sum-order ulp
+    drift); argmin ties break to the lowest cluster id; distance
+    folds run left-to-right over dimensions in both engines.
+    """
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    init_rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [
+        [round(float(x), decimals) for x in r[vec_col]] for r in init_rows
+    ]
+
+    def sqdist(vc: Column, cen: list[float]) -> Column:
+        clit = F.array(*[F.lit(float(x)) for x in cen])
+        return F.aggregate(
+            F.zip_with(vc, clit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(*[sqdist(dvec, cen) for cen in centroids])
+        return frame.withColumn(
+            "__dist_arr", dists
+        ).withColumn(
+            "cluster",
+            (F.array_position("__dist_arr", F.array_min("__dist_arr")) - 1)
+            .cast("int"),
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(df.select(id_col, vec_col))
+        means = (
+            assigned.select(
+                "cluster", F.posexplode(dvec).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), decimals).alias("v"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "v"))
+                ).alias("pv")
+            )
+            .select("cluster", F.col("pv.v").alias("c"))
+            .collect()
+        )
+        new_cents = {r["cluster"]: [float(v) for v in r["c"]] for r in means}
+        # clusters that lost every member keep their previous centroid
+        centroids = [
+            new_cents.get(i, centroids[i]) for i in range(len(centroids))
+        ]
+
+    final = assign(df.select(id_col, vec_col))
+    return final.select(
+        F.col(id_col),
+        "cluster",
+        F.round(F.array_min("__dist_arr"), 4).alias("dist"),
     )

@@ -3386,3 +3386,73 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         t(spark, sf_dir, "documents"), list(_BM25_TERMS), top_k=10
     )
+
+
+# =====================================================================
+# [EXT] K-means training (operators/similarity.py:kmeans_train)
+# =====================================================================
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2) -> str:
+    """Unrolled Lloyd's in DuckDB: same md5 init, same per-iteration
+    6-decimal centroid rounding, same lowest-cluster tie-break, same
+    left-to-right distance fold (list_sum over list_transform)."""
+    dist = (
+        "list_sum(list_transform(range(len(e.embedding)), "
+        "i -> (CAST(e.embedding[i+1] AS DOUBLE) - c{it}.c[i+1]) "
+        "* (CAST(e.embedding[i+1] AS DOUBLE) - c{it}.c[i+1])))"
+    )
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    init AS (SELECT embedding, row_number() OVER
+                 (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cluster
+             FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}),
+    c0 AS (SELECT cluster,
+                  list_transform(embedding,
+                      x -> round(CAST(x AS DOUBLE), 6)) AS c
+           FROM init)"""
+    ]
+    for it in range(n_iter):
+        d = dist.format(it=it)
+        parts.append(f"""
+    d{it} AS (SELECT e.vec_id, c{it}.cluster, {d} AS d
+              FROM e CROSS JOIN c{it}),
+    a{it} AS (SELECT vec_id, cluster FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d, cluster) AS rn FROM d{it})
+              WHERE rn = 1),
+    m{it} AS (SELECT a.cluster, p.pos,
+                     round(avg(CAST(e.embedding[p.pos] AS DOUBLE)), 6) AS v
+              FROM a{it} a JOIN e USING (vec_id)
+              CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+              GROUP BY 1, 2),
+    mc{it} AS (SELECT cluster, list(v ORDER BY pos) AS c
+               FROM m{it} GROUP BY cluster),
+    c{it + 1} AS (SELECT c{it}.cluster,
+                         coalesce(mc{it}.c, c{it}.c) AS c
+                  FROM c{it} LEFT JOIN mc{it} USING (cluster))""")
+    d_fin = dist.format(it=n_iter)
+    parts.append(f"""
+    dfin AS (SELECT e.vec_id, c{n_iter}.cluster, {d_fin} AS d
+             FROM e CROSS JOIN c{n_iter})
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, round(d, 4) AS dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d, cluster) AS rn FROM dfin)
+    WHERE rn = 1""")
+    return ",".join(parts)
+
+
+@register("kmeans_embeddings", _kmeans_oracle_sql())
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] k-means training over the embedding corpus (the IVF
+    coarse quantizer's train step): 2 Lloyd iterations, k=4,
+    deterministic md5 init. Per iteration: broadcast-literal
+    centroids, JVM fold argmin assignment, one map-side-combinable
+    (cluster, dim) shuffle for the means; only k x dim values ever
+    reach the driver."""
+    from datacamp_etl_spark.operators.similarity import kmeans_train
+
+    return kmeans_train(
+        t(spark, sf_dir, "embeddings"), k=4, n_iter=2
+    )

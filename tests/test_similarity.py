@@ -74,3 +74,26 @@ def test_embeddings_table_topk(spark, sf_dir):
     # LSH variant returns a subset ordered the same way
     lsh = S.lsh_topk(emb, query, k=5, num_planes=4).collect()
     assert lsh[0]["vec_id"] == 0
+
+
+def test_kmeans_train_deterministic_and_sane(spark):
+    import random
+
+    from datacamp_etl_spark.operators.similarity import kmeans_train
+
+    rng = random.Random(7)
+    # two well-separated blobs in 4-d
+    rows = [
+        (i, [rng.gauss(5.0 if i % 2 else -5.0, 0.3) for _ in range(4)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out1 = {r["vec_id"]: r["cluster"] for r in kmeans_train(df, k=2, n_iter=3).collect()}
+    out2 = {r["vec_id"]: r["cluster"] for r in kmeans_train(df, k=2, n_iter=3).collect()}
+    assert out1 == out2  # deterministic across runs
+    # the two blobs must land in different clusters, pure within blob
+    even = {out1[i] for i in range(0, 40, 2)}
+    odd = {out1[i] for i in range(1, 40, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+    dists = [r["dist"] for r in kmeans_train(df, k=2, n_iter=3).collect()]
+    assert all(d is not None and d >= 0 for d in dists)
