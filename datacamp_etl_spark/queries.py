@@ -3456,3 +3456,57 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train(
         t(spark, sf_dir, "embeddings"), k=4, n_iter=2
     )
+
+
+@register(
+    "streaming_chained_agg",
+    """
+    WITH h AS (SELECT date_trunc('hour', ts) AS hw, event_type,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    wm AS (SELECT max(ts) - INTERVAL 2 HOURS AS w FROM events)
+    SELECT CAST(date_trunc('day', hw) AS TIMESTAMP) AS day_start,
+           event_type,
+           max(n) AS peak_hourly_events,
+           CAST(sum(n) AS BIGINT) AS day_events
+    FROM h CROSS JOIN wm
+    -- append mode emits a day window only once the final watermark
+    -- (max event time - delay) passes the window end
+    WHERE date_trunc('day', hw) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CHAINED stateful streaming aggregation (Spark 3.4+
+    multi-stateful-operator support): hourly windowed counts feed a
+    second windowed aggregation (daily peak + total per type) inside
+    ONE streaming query — two state stores, watermark propagated
+    through both. AvailableNow drains everything, so the two-level
+    batch rollup oracle applies exactly."""
+    import tempfile
+
+    from datacamp_etl_spark.streaming.incremental import chained_window_peaks
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = chained_window_peaks(raw, watermark="2 hours")
+    _STREAM_RUN[0] += 1
+    sink = f"stream_chained_{_STREAM_RUN[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -31,6 +31,7 @@ if TYPE_CHECKING:  # pragma: no cover
 __all__ = [
     "IncrementalLoader",
     "windowed_event_counts",
+    "chained_window_peaks",
     "stream_static_enriched_counts",
     "stream_stream_conversion_join",
     "sessionize",
@@ -268,3 +269,47 @@ def sessionize(
         "session_id",
         F.concat_ws("-", F.col("user_id"), session_n),
     )
+
+
+def chained_window_peaks(
+    events: DataFrame,
+    *,
+    inner_window: str = "1 hour",
+    outer_window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CHAINED stateful aggregation (two windowed aggs in ONE
+    streaming query — the multi-stateful-operator capability added in
+    Spark 3.4): hourly event counts per type, re-aggregated into the
+    daily peak/total per type.
+
+    The first aggregation keys state by (hour window, type); the
+    second consumes the first's *windowed output* via
+    ``F.window(time_col=window)`` chaining, keying state by (day
+    window, type). Watermark propagates through both operators, so
+    both state stores evict — bounded memory on an unbounded stream.
+    Works identically on batch input (no watermark; Catalyst plans two
+    ordinary aggregations).
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    hourly = df.groupBy(
+        F.window("ts", inner_window).alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    daily = (
+        hourly.groupBy(
+            F.window(F.col("w"), outer_window).alias("d"), "event_type"
+        )
+        .agg(
+            F.max("n_events").alias("peak_hourly_events"),
+            F.sum("n_events").alias("day_events"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            "event_type",
+            "peak_hourly_events",
+            "day_events",
+        )
+    )
+    return daily

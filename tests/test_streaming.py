@@ -102,3 +102,39 @@ def test_events_table_streaming_smoke(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     out = windowed_event_counts(ev)
     assert out.count() > 0
+
+
+def test_chained_window_peaks_batch_parity(spark):
+    """Two chained windowed aggs must equal the two-level batch rollup
+    when run on a batch frame (Catalyst plans ordinary aggregations)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datacamp_etl_spark.streaming.incremental import chained_window_peaks
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=13 * i), "t%d" % (i % 2))
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {
+        (r["day_start"], r["event_type"]): (
+            r["peak_hourly_events"],
+            r["day_events"],
+        )
+        for r in chained_window_peaks(ev).collect()
+    }
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).count()
+    want = {
+        (r["d"], r["event_type"]): (r["peak"], r["tot"])
+        for r in hourly.groupBy(
+            F.date_trunc("day", "h").alias("d"), "event_type"
+        )
+        .agg(F.max("count").alias("peak"), F.sum("count").alias("tot"))
+        .collect()
+    }
+    assert got == want
