@@ -54,6 +54,14 @@ HEADLINE = [
     "asof_join_last_click",
     "events_sessionize",
     "events_window_agg",
+    # [EXT] round-2 additions: curation / retrieval / clustering
+    "near_dup_verified",
+    "contamination_check",
+    "repetition_profile",
+    "tfidf_topk_terms",
+    "bm25_search",
+    "kmeans_embeddings",
+    "curation_pipeline",
 ]
 
 
