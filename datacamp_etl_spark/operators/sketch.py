@@ -1,0 +1,185 @@
+"""Sketch aggregates [EXT] — cardinality and frequency estimation at
+100 TB, with *deterministic* algorithms.
+
+Spark's built-in sketches (``approx_count_distinct`` = HLL++,
+``percentile_approx`` = KLL-ish) are the right defaults on a cluster,
+and :func:`approx_distinct` / :func:`approx_quantiles` expose them.
+But their estimates are engine-specific, so no SQL oracle can confirm
+them cell-for-cell. The two sketches below are chosen to be
+**cross-engine deterministic** — every intermediate value is an exact
+integer derived from md5, so the identical algorithm runs as ANSI SQL
+on DuckDB and hash-matches:
+
+- **KMV (k-minimum-values)** distinct-count sketch: keep the ``k``
+  smallest distinct 32-bit hash values; the k-th minimum estimates the
+  density of the hashed population: ``est = (k-1) * 2^32 / kth_min``
+  (Bar-Yossef et al., "Counting distinct elements in a data stream").
+  Distributed shape: one map-side-combined ``distinct`` + a global
+  top-k (TakeOrdered) — the k-minima merge associatively, so this is
+  exactly a 1000-executor-friendly aggregation. Memory is O(k) no
+  matter the input size.
+
+- **Count-min sketch** frequency table (Cormode & Muthukrishnan):
+  ``depth`` hash rows x ``width`` cells of exact counters;
+  ``est(v) = min_i counts[i][h_i(v)]`` (always >= true count).
+  Build is ONE shuffle of ``depth * width`` cells (map-side combine
+  collapses the depth-fold row inflation before the exchange); the
+  finished sketch is tiny and broadcast-joins to any probe set.
+
+The reference has no sketches (closest prior art: its row-digest MD5,
+``lib/etl/loading.rb:254-270`` — the same hash-the-row idea, used here
+as the hash family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = [
+    "hash32",
+    "kmv_distinct",
+    "kmv_distinct_by",
+    "cm_sketch",
+    "cm_estimate_counts",
+    "approx_distinct",
+    "approx_quantiles",
+]
+
+#: Hash space size for the 8-hex-digit md5 prefix: [0, 2^32).
+HASH_SPACE = 1 << 32
+
+
+def hash32(col: Column | str) -> Column:
+    """First 8 hex chars of ``md5(string(col))`` as a BIGINT in
+    [0, 2^32) — deterministic, partition-order-free, and expressible
+    identically in any SQL engine (no engine-native hash involved)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def kmv_distinct(df: DataFrame, col: str, *, k: int = 256) -> DataFrame:
+    """KMV distinct-count sketch of ``df[col]``.
+
+    Returns ONE row ``(n_minima, kth_min, est_distinct)``. When the
+    true distinct count is below ``k`` the sketch is exact
+    (``est = n_minima``); otherwise ``est = (k-1) * 2^32 div kth_min``
+    — exact integer arithmetic end-to-end, so the identical SQL oracle
+    hash-matches.
+
+    Plan shape: hash projection -> partial-aggregated ``distinct`` ->
+    ``TakeOrdered(k)`` -> single-row agg. Nothing driver-side grows
+    with the data; the only global object is the k smallest hashes.
+    """
+    minima = (
+        df.select(hash32(col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    n = F.count("*")
+    kth = F.max("h")
+    return minima.agg(
+        n.alias("n_minima"),
+        kth.alias("kth_min"),
+        F.when(n < k, n)
+        .otherwise(F.expr(f"{(k - 1) * HASH_SPACE} div max(h)"))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_distinct_by(
+    df: DataFrame, keys: list[str], col: str, *, k: int = 64
+) -> DataFrame:
+    """Grouped KMV: per ``keys`` group, the distinct-count estimate of
+    ``col`` — ``(*keys, n_minima, kth_min, est_distinct)``.
+
+    Shape: one shuffle for ``distinct (keys, h)``, then a per-key
+    window keeps the k minima (the heavy sort is per-group and
+    AQE-splittable), then a per-key agg. At 100 TB the distinct step's
+    map-side combine does the real work; state per group is O(k).
+    """
+    w = W.partitionBy(*keys).orderBy("h")
+    minima = (
+        df.select(*keys, hash32(col).alias("h"))
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+    n = F.count("*")
+    return minima.groupBy(*keys).agg(
+        n.alias("n_minima"),
+        F.max("h").alias("kth_min"),
+        F.when(n < k, n)
+        .otherwise(F.expr(f"{(k - 1) * HASH_SPACE} div max(h)"))
+        .alias("est_distinct"),
+    )
+
+
+def _cell(i: Column | int, col: Column, width: int) -> Column:
+    """Row-``i`` cell index of value ``col``: hash32('<i>:' || v) % width."""
+    ic = F.lit(i) if isinstance(i, int) else i
+    return (hash32(F.concat(ic.cast("string"), F.lit(":"), col.cast("string"))) % width)
+
+
+def cm_sketch(
+    df: DataFrame, col: str, *, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build a count-min sketch of ``df[col]`` as a counts table
+    ``(i, cell, cnt)`` with ``depth`` rows x ``width`` cells.
+
+    The explode inflates rows ``depth``-fold *before* the exchange, but
+    partial aggregation collapses each task's output to at most
+    ``depth * width`` cells — the shuffle moves sketch cells, not data
+    rows. The result is bounded (``depth * width`` rows) regardless of
+    input size: the distributable form of the classic array-of-counters.
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(1, depth + 1)])).alias("i")
+    cells = df.select(rows, F.col(col).alias("__v")).select(
+        "i", _cell(F.col("i"), F.col("__v"), width).alias("cell")
+    )
+    return cells.groupBy("i", "cell").agg(F.count("*").alias("cnt"))
+
+
+def cm_estimate_counts(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Probe a :func:`cm_sketch` for each row of ``items[col]``:
+    ``(col, est_count)`` where ``est = min_i counts[i][h_i(v)]``.
+
+    The sketch is at most ``depth * width`` rows — Spark's size stats
+    broadcast it, so probing any number of items is a narrow map-side
+    join (no shuffle of the probe side).
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(1, depth + 1)])).alias("i")
+    icells = items.select(F.col(col), rows).select(
+        col, "i", _cell(F.col("i"), F.col(col), width).alias("cell")
+    )
+    return (
+        icells.join(sketch, ["i", "cell"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+
+
+def approx_distinct(df: DataFrame, col: str, *, rsd: float = 0.05) -> DataFrame:
+    """Spark-native HLL++ (`approx_count_distinct`) — the production
+    default for ad-hoc cardinality at scale. Estimate is deterministic
+    per engine but not cross-engine, so tests bound relative error
+    against the exact count instead of hash-matching an oracle."""
+    return df.agg(F.approx_count_distinct(col, rsd).alias("approx_distinct"))
+
+
+def approx_quantiles(
+    df: DataFrame, col: str, probabilities: list[float], *, accuracy: int = 10_000
+) -> list[float]:
+    """Spark-native quantile sketch (``approxQuantile``): single pass,
+    mergeable, error bounded by 1/accuracy. Returns driver-side floats
+    (bounded: one per probability)."""
+    return df.approxQuantile(col, probabilities, 1.0 / accuracy)

@@ -3510,3 +3510,97 @@ def q_streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# =====================================================================
+# [EXT] Sketch aggregates (operators/sketch.py)
+# =====================================================================
+
+def _hash32_sql(expr: str) -> str:
+    """DuckDB replay of sketch.hash32: first 8 md5 hex chars -> BIGINT."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "kmv_distinct_custkey",
+    f"""
+    WITH h AS (SELECT DISTINCT
+                   {_hash32_sql("CAST(o_custkey AS VARCHAR)")} AS h
+               FROM orders),
+    km AS (SELECT h FROM h ORDER BY h LIMIT 256)
+    SELECT count(*) AS n_minima,
+           max(h) AS kth_min,
+           CASE WHEN count(*) < 256 THEN count(*)
+                ELSE {255 * (1 << 32)} // max(h) END AS est_distinct
+    FROM km
+    """,
+)
+def q_kmv_distinct_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] KMV distinct-count sketch of orders.o_custkey — exact
+    integer arithmetic end-to-end, so the identical SQL algorithm
+    hash-matches. O(k) state regardless of input size; the k minima
+    merge associatively across 1000 executors (TakeOrdered)."""
+    from datacamp_etl_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(t(spark, sf_dir, "orders"), "o_custkey", k=256)
+
+
+@register(
+    "kmv_distinct_users_by_type",
+    f"""
+    WITH d AS (SELECT DISTINCT event_type,
+                   {_hash32_sql("CAST(user_id AS VARCHAR)")} AS h
+               FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h)
+                 AS rn FROM d),
+    m AS (SELECT event_type, h FROM r WHERE rn <= 64)
+    SELECT event_type,
+           count(*) AS n_minima,
+           max(h) AS kth_min,
+           CASE WHEN count(*) < 64 THEN count(*)
+                ELSE {63 * (1 << 32)} // max(h) END AS est_distinct
+    FROM m GROUP BY event_type
+    """,
+)
+def q_kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] grouped KMV: distinct users per event_type. One
+    map-side-combined distinct + a per-group window keeping 64 minima
+    (AQE-splittable); per-group sketch state is O(k)."""
+    from datacamp_etl_spark.operators.sketch import kmv_distinct_by
+
+    return kmv_distinct_by(
+        t(spark, sf_dir, "events"), ["event_type"], "user_id", k=64
+    )
+
+
+def _cm_oracle_sql(depth: int = 4, width: int = 1024) -> str:
+    cell = _hash32_sql(
+        "concat(CAST(i AS VARCHAR), ':', CAST(event_type AS VARCHAR))"
+    )
+    rows = "SELECT unnest(range(1, %d)) AS i" % (depth + 1)
+    return f"""
+    WITH cells AS (SELECT i, {cell} % {width} AS cell
+                   FROM events CROSS JOIN ({rows}) t),
+    counts AS (SELECT i, cell, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    items AS (SELECT DISTINCT event_type FROM events),
+    ic AS (SELECT event_type, i, {cell} % {width} AS cell
+           FROM items CROSS JOIN ({rows}) t)
+    SELECT event_type, min(coalesce(cnt, 0)) AS est_count
+    FROM ic LEFT JOIN counts USING (i, cell)
+    GROUP BY event_type
+    """
+
+
+@register("cm_heavy_hitters", _cm_oracle_sql())
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] count-min sketch frequency estimates per event_type.
+    Build shuffles at most depth*width exact counters (map-side
+    combine collapses the depth-fold explode); the finished sketch is
+    tiny, so the probe join broadcasts — no shuffle of the probe side
+    at any corpus size."""
+    from datacamp_etl_spark.operators.sketch import cm_estimate_counts, cm_sketch
+
+    ev = t(spark, sf_dir, "events")
+    sk = cm_sketch(ev, "event_type", depth=4, width=1024)
+    items = ev.select("event_type").distinct()
+    return cm_estimate_counts(sk, items, "event_type", depth=4, width=1024)
