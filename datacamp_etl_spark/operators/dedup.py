@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datacamp_etl_spark.operators.text import fingerprint, normalize_text
+from datacamp_etl_spark.operators.text import fingerprint, normalize_text, tokens
 
 __all__ = [
     "exact_duplicates",
@@ -40,6 +40,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
+    "span_dedup",
 ]
 
 
@@ -552,4 +553,86 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Span-level (C4/CCNet-style "line") dedup
+# ---------------------------------------------------------------------
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    span: int = 3,
+) -> DataFrame:
+    """Corpus-wide repeated-span removal (the C4 "three-sentence" /
+    CCNet paragraph dedup, over fixed-size token spans since the
+    corpus has no line structure): split each document's token stream
+    into non-overlapping ``span``-token windows, drop every window
+    whose exact text occurs earlier in the corpus (global keep-first
+    by ``(doc_id, span index)``), and reassemble the survivors.
+
+    Returns one row per input document:
+    ``(id_col, n_spans, n_kept, dedup_text)`` — ``dedup_text`` is ''
+    when every span was dropped or the document was empty.
+
+    Scale shape: explode to (id, idx, md5(span)) — never the raw
+    span text twice — then the keep-first decision is a map-side-
+    combinable ``min(struct(id, idx))`` per fingerprint JOINED back on
+    the fingerprint (not a window: a hot span — boilerplate repeated
+    a billion times — would make one window partition a straggler,
+    while groupBy-min partial-aggregates it away). Reassembly shuffles
+    once more on id. Three narrow shuffles total, all on hashes/ids.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("__toks")
+    ).where(F.size("__toks") > 0)
+    n_spans = F.ceil(F.size("__toks") / F.lit(span)).cast("int")
+    inst = (
+        base.withColumn("idx", F.explode(F.sequence(F.lit(0), n_spans - 1)))
+        .select(
+            "id",
+            "idx",
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("idx") * span + 1, span)
+            ).alias("span_text"),
+        )
+        .withColumn("fp", F.md5("span_text"))
+    )
+    first = inst.groupBy("fp").agg(
+        F.min(F.struct("id", "idx")).alias("__first")
+    )
+    kept = (
+        inst.join(first, "fp")
+        .where(
+            (F.col("id") == F.col("__first.id"))
+            & (F.col("idx") == F.col("__first.idx"))
+        )
+        .select("id", "idx", "span_text")
+    )
+    reassembled = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span_text"))),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    counts = df.select(
+        F.col(id_col).alias("id"),
+        F.ceil(F.size(tokens(text_col)) / F.lit(span)).cast("long").alias("n_spans"),
+    )
+    return (
+        counts.join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
     )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from datacamp_etl_spark.operators.dedup import shingles
 from datacamp_etl_spark.operators.text import tokens
 
-__all__ = ["contamination_check", "repetition_profile"]
+__all__ = ["contamination_check", "contamination_apply", "repetition_profile"]
 
 
 def contamination_check(
@@ -84,6 +84,37 @@ def contamination_check(
             "is_contaminated",
         )
     )
+
+
+def contamination_apply(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The decontamination APPLY step: the corpus minus every document
+    :func:`contamination_check` flags (``n_contaminated >= min_hits``).
+
+    Documents too short to carry a ``k``-gram are kept — they cannot
+    be k-gram contaminated by construction (same rule as the check).
+
+    Scale shape: the check's broadcast-semi pipeline produces the
+    (tiny) flagged-id set; removal is ONE left-anti join on the id —
+    the corpus rows never shuffle their text. This is the operator a
+    pretraining pipeline actually ships: benchmark in, clean corpus
+    out.
+    """
+    flagged = (
+        contamination_check(
+            corpus, benchmark, id_col, text_col, k=k, min_hits=min_hits
+        )
+        .where(F.col("is_contaminated"))
+        .select(id_col)
+    )
+    return corpus.join(flagged, id_col, "left_anti")
 
 
 def repetition_profile(

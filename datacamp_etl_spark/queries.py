@@ -3604,3 +3604,81 @@ def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = cm_sketch(ev, "event_type", depth=4, width=1024)
     items = ev.select("event_type").distinct()
     return cm_estimate_counts(sk, items, "event_type", depth=4, width=1024)
+
+
+# =====================================================================
+# [EXT] Span-level dedup + decontamination apply
+# =====================================================================
+
+@register(
+    "span_dedup",
+    f"""
+    {_TOKS_CTE},
+    c AS (SELECT doc_id, toks,
+                 CAST(ceil(len(toks) / 3.0) AS BIGINT) AS n_spans
+          FROM tk),
+    e AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, CAST(n_spans AS INT) - 1)) AS idx
+          FROM c WHERE n_spans > 0),
+    s AS (SELECT doc_id, CAST(idx AS INT) AS idx,
+                 array_to_string(toks[(idx*3 + 1):(idx*3 + 3)], ' ')
+                   AS span_text
+          FROM e),
+    r AS (SELECT *, row_number() OVER (PARTITION BY md5(span_text)
+                        ORDER BY doc_id, idx) AS rn
+          FROM s),
+    k AS (SELECT doc_id, idx, span_text FROM r WHERE rn = 1),
+    a AS (SELECT doc_id, count(*) AS n_kept,
+                 string_agg(span_text, ' ' ORDER BY idx) AS dedup_text
+          FROM k GROUP BY doc_id)
+    SELECT c.doc_id, c.n_spans,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.dedup_text, '') AS dedup_text
+    FROM c LEFT JOIN a USING (doc_id)
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] C4/CCNet-style repeated-span removal over the corpus:
+    3-token non-overlapping windows, global keep-first, documents
+    reassembled from surviving spans. Keep-first is a map-side-
+    combinable min(struct) per span hash — hot boilerplate spans
+    partial-aggregate away instead of making a window straggler."""
+    from datacamp_etl_spark.operators.dedup import span_dedup
+
+    return span_dedup(t(spark, sf_dir, "documents"), span=3)
+
+
+@register(
+    "contamination_apply",
+    f"""
+    WITH n AS (SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents),
+    tk AS (SELECT doc_id, source,
+                  CASE WHEN norm = '' THEN []::VARCHAR[]
+                       ELSE string_split(norm, ' ') END AS toks
+           FROM n),
+    g AS (SELECT doc_id, source, {_SHINGLE3_SQL} AS grams
+          FROM tk WHERE len(toks) >= 3),
+    bsh AS (SELECT DISTINCT unnest(grams) AS shingle
+            FROM g WHERE source = 'src0'),
+    flagged AS (SELECT DISTINCT c.doc_id
+                FROM (SELECT doc_id, unnest(grams) AS shingle
+                      FROM g WHERE source <> 'src0') c
+                JOIN bsh b ON c.shingle = b.shingle)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.source <> 'src0'
+      AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def q_contamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] decontamination apply: the corpus (non-src0 sources) minus
+    every doc sharing a word 3-gram with the src0 benchmark split. One
+    broadcast-semi check + one left-anti join on doc_id — corpus text
+    never shuffles."""
+    from datacamp_etl_spark.operators.quality import contamination_apply
+
+    docs = t(spark, sf_dir, "documents")
+    return contamination_apply(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    ).select("doc_id", "lang", "source")

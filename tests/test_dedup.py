@@ -149,3 +149,46 @@ def test_ngram_prefix_strategy_lossless(spark):
 
     with _pytest.raises(ValueError, match="unknown strategy"):
         D.ngram_jaccard_pairs(docs, strategy="teleport")
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # spans: "a b c", "d e f"
+            (2, "a b c x y z"),          # "a b c" repeats -> dropped
+            (3, "x y z d e f"),          # both spans seen -> empty
+            (4, ""),                     # empty doc
+            (5, "q r"),                  # one partial span, unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.span_dedup(docs, span=3).collect()}
+    assert out[1]["dedup_text"] == "a b c d e f"
+    assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["dedup_text"] == "x y z"
+    assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["dedup_text"] == ""
+    assert (out[3]["n_spans"], out[3]["n_kept"]) == (2, 0)
+    assert (out[4]["n_spans"], out[4]["n_kept"], out[4]["dedup_text"]) == (0, 0, "")
+    assert out[5]["dedup_text"] == "q r"
+
+
+def test_span_dedup_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} a b c d e common phrase here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, D.span_dedup(docs, span=3).collect()))
+    b = sorted(map(tuple, D.span_dedup(docs.repartition(11), span=3).collect()))
+    assert a == b
+
+
+def test_span_dedup_no_window_on_fingerprint(spark):
+    """Keep-first must be groupBy-min (map-side combinable), not a
+    window over the span hash — a hot boilerplate span would straggle
+    a window partition at 100 TB."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    plan = D.span_dedup(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, plan

@@ -100,3 +100,15 @@ def test_contamination_plan_broadcasts_benchmark_only(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_apply_removes_flagged_keeps_short(spark):
+    from datacamp_etl_spark.operators.quality import contamination_apply
+
+    out = contamination_apply(_corpus(spark), _bench(spark))
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 1 and 3 share benchmark 3-grams -> dropped; 2 is clean; 4 is too
+    # short to carry a 3-gram -> kept by construction
+    assert kept == [2, 4]
+    # full corpus schema passes through untouched
+    assert out.columns == _corpus(spark).columns
