@@ -1,0 +1,106 @@
+"""Training-data mixture operators [EXT] — per-source sampling for
+corpus composition.
+
+A pretraining pipeline rarely trains on the raw corpus mix: it
+up-weights scarce high-quality sources and down-samples the crawl.
+Two operators cover the standard recipes:
+
+- :func:`mixture_sample` — explicit per-source keep rates. The keep
+  decision is ``md5(id)``-derived (the repo's deterministic sampling
+  key, see ``hash_sample``): reproducible across engines, runs, and
+  physical layout, and append-stable (a kept document stays kept as
+  the corpus grows). Rates are integer millionths, so the predicate
+  is exact in any engine — no float thresholds.
+- :func:`sqrt_temperature_mix` — temperature-flattened mixing at
+  T=2 (the multilingual-corpus ``p ∝ n^(1/T)`` recipe, e.g. mBERT /
+  XLM-R exponent 0.5): per-source keep rate
+  ``r_s = min(1, sqrt(n_min / n_s))`` so the smallest source keeps
+  everything and larger sources are down-sampled toward equal
+  effective share. Rates are computed with INTEGER sqrt
+  (``floor(sqrt(n))`` — IEEE sqrt is correctly rounded, so the floor
+  is engine-identical), keeping the whole pipeline hash-exact.
+
+Scale shape: per-source counts are one map-side-combined groupBy of a
+bounded key set; the rate table is tiny and broadcast-joins back, so
+the apply pass is a narrow scan + filter. Two passes over the corpus
+total — the minimum for rate-from-statistics sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sample_bucket", "mixture_sample", "sqrt_temperature_mix"]
+
+#: Rate denominator: rates are expressed in millionths.
+MILLION = 1_000_000
+
+
+def sample_bucket(id_col: Column | str) -> Column:
+    """Deterministic sampling key in [0, 2^32): first 8 md5 hex chars
+    of the stringified id (identical in any SQL engine)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    *,
+    default_millionths: int = 0,
+) -> DataFrame:
+    """Keep each row with its source's rate (integer millionths):
+    row kept iff ``md5_bucket(id) % 1e6 < weights[source]``.
+
+    Sources absent from ``weights`` fall back to
+    ``default_millionths`` (0 = dropped). The weight map is a plan
+    literal (a CASE chain) — no join at all; the apply is a single
+    narrow filtered scan, and the same document set is selected no
+    matter how the corpus is partitioned or how much it has grown.
+    """
+    for src, w in weights.items():
+        if not 0 <= w <= MILLION:
+            raise ValueError(f"rate for {src!r} must be in [0, {MILLION}], got {w}")
+    rate = F.lit(default_millionths)
+    for src, w in weights.items():
+        rate = F.when(F.col(source_col) == src, F.lit(w)).otherwise(rate)
+    return df.where(sample_bucket(id_col) % MILLION < rate)
+
+
+def sqrt_temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-2 mixture flattening: down-sample each source with
+    ``r_s = min(1, isqrt(n_min) * isqrt(n_s) * 1e6 div n_s)``
+    millionths, i.e. expected kept size ``∝ sqrt(n_s)`` anchored so
+    the smallest source keeps everything.
+
+    Returns the kept rows with a ``rate_millionths`` column attached
+    (the audit trail a curation run wants in its manifest).
+
+    All arithmetic is integer (isqrt = ``floor(sqrt(double(n)))``,
+    exact for counts far beyond any real corpus), so the selection is
+    engine-exact and layout/append-stable. The rate table is one
+    bounded groupBy + a one-row global min, broadcast back — the
+    corpus itself never shuffles.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    # `div`, not `/`: long / long is DOUBLE in Spark, and the scaled
+    # numerator (up to rate * n ~ 1e18) exceeds double's 2^53 exactness.
+    rate = F.expr(
+        f"least(CAST({MILLION} AS BIGINT), "
+        f"({MILLION} * floor(sqrt(CAST(__nmin AS DOUBLE))) "
+        f" * floor(sqrt(CAST(__n AS DOUBLE)))) div __n)"
+    )
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        source_col, rate.cast("long").alias("rate_millionths")
+    )
+    return df.join(F.broadcast(rates), source_col).where(
+        sample_bucket(id_col) % MILLION < F.col("rate_millionths")
+    )

@@ -3682,3 +3682,73 @@ def q_contamination_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") != "src0"),
         docs.where(F.col("source") == "src0"),
     ).select("doc_id", "lang", "source")
+
+
+# =====================================================================
+# [EXT] Mixture sampling (operators/mixture.py)
+# =====================================================================
+
+@register(
+    "mixture_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE ({_hash32_sql("CAST(doc_id AS VARCHAR)")}) % 1000000 <
+          CASE source WHEN 'src0' THEN 1000000
+                      WHEN 'src1' THEN 500000
+                      WHEN 'src2' THEN 250000
+                      WHEN 'src3' THEN 100000
+                      ELSE 50000 END
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] explicit-weight mixture sampling: per-source keep rates
+    in integer millionths over the md5 sampling key — reproducible
+    across engines/partitionings and append-stable. The weight map is
+    a plan literal; the apply is one narrow filtered scan."""
+    from datacamp_etl_spark.operators.mixture import mixture_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(
+        docs,
+        {"src0": 1_000_000, "src1": 500_000, "src2": 250_000, "src3": 100_000},
+        default_millionths=50_000,
+    )
+
+
+@register(
+    "temperature_mix",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN source IN ('src0', 'src1') THEN 'rare'
+                           ELSE 'common' END AS source_class
+               FROM documents),
+    c AS (SELECT source_class, count(*) AS n FROM d GROUP BY 1),
+    m AS (SELECT min(n) AS nmin FROM c),
+    r AS (SELECT source_class,
+                 least(1000000,
+                       (1000000 * CAST(floor(sqrt(nmin)) AS BIGINT)
+                                * CAST(floor(sqrt(n)) AS BIGINT)) // n)
+                   AS rate_millionths
+          FROM c CROSS JOIN m)
+    SELECT d.doc_id, d.source_class, r.rate_millionths
+    FROM d JOIN r USING (source_class)
+    WHERE ({_hash32_sql("CAST(doc_id AS VARCHAR)")}) % 1000000
+          < r.rate_millionths
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] temperature-2 mixture flattening (p ∝ sqrt(n), the
+    mBERT/XLM-R exponent-0.5 recipe) over a skewed source-class split:
+    integer-sqrt rates, broadcast rate table, corpus never shuffles.
+    Expected kept size per class ∝ sqrt(n), smallest class keeps ~all."""
+    from datacamp_etl_spark.operators.mixture import sqrt_temperature_mix
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("source").isin("src0", "src1"), "rare")
+        .otherwise("common")
+        .alias("source_class"),
+    )
+    return sqrt_temperature_mix(docs, source_col="source_class").select(
+        "doc_id", "source_class", "rate_millionths"
+    )
