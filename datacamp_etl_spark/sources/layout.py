@@ -1,0 +1,156 @@
+"""Physical-layout operators [EXT] — the write-side half of 100 TB
+performance.
+
+Query-side scale (pushdown, pruning, broadcast) is only as good as the
+layout underneath it. Three operators manage that layout:
+
+- :func:`write_sorted` — partitioned write with an in-partition sort,
+  so parquet row-group min/max statistics become data-skipping indexes
+  (the poor-man's Z-order: range-partition + sort on the hot predicate
+  column means a point/range query touches few files).
+- :func:`write_bucketed` — hash-bucketed, bucket-sorted table: two
+  tables bucketed on their join key sort-merge join with ZERO
+  exchanges (the K7 "index" analog that actually matters on Spark —
+  see ``tests/test_plans.py`` zero-exchange guardrail).
+- :func:`compact` — the small-files fixer. Streaming/incremental
+  ingest leaves thousands of KB-sized files per partition; scan
+  startup cost is per-file, so at 100 TB compaction is the difference
+  between a scan bounded by IO and one bounded by file-open latency.
+  Rewrites to a scratch path and atomically swaps (same crash-safety
+  contract as ``Warehouse.rewrite``).
+
+The reference's closest surface is index creation on staging keys
+(``lib/etl/loading.rb:276-282``) — a hint to the storage layer that
+reads will seek on this column; these operators are the
+immutable-parquet realization of that hint.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "write_sorted",
+    "write_bucketed",
+    "compact",
+    "file_stats",
+]
+
+#: Default compaction target: 128 MiB per file (one HDFS/S3-friendly
+#: block; small enough to parallelize, large enough to amortize open).
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    *,
+    sort_by: list[str],
+    partition_by: list[str] | None = None,
+    range_partitions: int | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write parquet with files clustered on ``sort_by``.
+
+    ``range_partitions`` first range-partitions rows on ``sort_by`` so
+    each output file owns a disjoint key range (global clustering);
+    otherwise only the in-file sort is applied. Either way every file's
+    row-group min/max stats are tight on ``sort_by``, so a predicate
+    on those columns skips whole files at scan time.
+    """
+    out = df
+    if range_partitions:
+        out = out.repartitionByRange(range_partitions, *sort_by)
+    out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    bucket_by: str,
+    buckets: int,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-bucketed (and optionally bucket-sorted)
+    catalog table. Joins/aggregations on ``bucket_by`` between tables
+    with the same bucket count read co-located data — no exchange.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = df.write.mode(mode).option("path", path).bucketBy(buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
+
+
+def file_stats(path: str) -> dict:
+    """Parquet-file census for a table directory (recursive):
+    ``{n_files, total_bytes, min_bytes, max_bytes, avg_bytes}``.
+    Driver-side listing — bounded by file count, the quantity
+    compaction is about to shrink."""
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        sizes += [
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        ]
+    if not sizes:
+        return {"n_files": 0, "total_bytes": 0, "min_bytes": 0,
+                "max_bytes": 0, "avg_bytes": 0}
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes),
+        "max_bytes": max(sizes),
+        "avg_bytes": sum(sizes) // len(sizes),
+    }
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Rewrite the parquet table at ``path`` into
+    ``ceil(total_bytes / target_bytes)`` files (optionally re-sorted
+    on ``sort_by`` to restore clustering), atomically swapping the
+    directory so readers never observe a partial table.
+
+    Returns ``{"before": file_stats, "after": file_stats}``. Uses
+    ``repartition``/``repartitionByRange`` (a full shuffle): at scale
+    run it per partition-directory, bounded by the partition's size,
+    not the table's.
+    """
+    before = file_stats(path)
+    n = max(1, math.ceil(before["total_bytes"] / target_bytes))
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n)
+    tmp = path.rstrip("/") + ".compact-" + uuid.uuid4().hex[:8]
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".old-" + uuid.uuid4().hex[:8]
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    finally:
+        shutil.rmtree(old, ignore_errors=True)
+    return {"before": before, "after": file_stats(path)}
