@@ -3752,3 +3752,63 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sqrt_temperature_mix(docs, source_col="source_class").select(
         "doc_id", "source_class", "rate_millionths"
     )
+
+
+@register(
+    "streaming_upsert_latest",
+    """
+    SELECT user_id, event_id AS last_event_id,
+           CAST(value AS DOUBLE) AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC)
+              AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exactly-once-effect streaming upsert (streaming/sinks.py):
+    events stream through a foreachBatch sink that keeps the latest
+    row per user in an immutable parquet table — batch-ledger +
+    idempotent keyed merge + atomic swap, so replays cannot
+    double-apply. AvailableNow drains the fixture, making the final
+    table the batch latest-per-key, which the oracle checks."""
+    import tempfile
+
+    from datacamp_etl_spark.streaming.sinks import idempotent_upsert_sink
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    table = tempfile.mkdtemp(prefix="upsert_tbl_") + "/t"
+
+    def dedup_and_upsert(batch_df, batch_id):
+        w = W.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").cast("double").alias("last_value"),
+            )
+        )
+        idempotent_upsert_sink(table, ["user_id"])(latest, batch_id)
+
+    q = (
+        raw.writeStream.foreachBatch(dedup_and_upsert)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(table)
