@@ -62,6 +62,14 @@ HEADLINE = [
     "bm25_search",
     "kmeans_embeddings",
     "curation_pipeline",
+    # [EXT] round-2 additions: sketches / mixing / range join / rollup
+    "kmv_distinct_custkey",
+    "cm_heavy_hitters",
+    "span_dedup",
+    "contamination_apply",
+    "temperature_mix",
+    "interval_join_click_after_error",
+    "gapfill_hourly_events",
 ]
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datacamp_etl_spark.operators.spread import ensure_parallelism
 from datacamp_etl_spark.operators.text import fingerprint, normalize_text, tokens
 
 __all__ = [
@@ -139,7 +140,7 @@ def minhash_signature(
     unpivoted to the (id, seed, minhash) shape.
     """
     a, b = minhash_constants(num_hashes)
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
     )
     h = (
@@ -287,7 +288,7 @@ def ngram_jaccard_pairs(
 
     def _score_counts(inter: DataFrame) -> DataFrame:
         """Attach sizes to (id_a, id_b, n_common) and finish."""
-        sizes = df.select(
+        sizes = ensure_parallelism(df).select(
             F.col(id_col), F.size(shingles(text_col, k)).alias("n_sh")
         )
         sz_a = sizes.select(
@@ -299,7 +300,7 @@ def ngram_jaccard_pairs(
         return inter.join(sz_a, "id_a").join(sz_b, "id_b")
 
     if candidates is None and strategy == "expand":
-        sh = df.select(
+        sh = ensure_parallelism(df).select(
             F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
         )
         # merge hint: self-equi-join — parallel sort + reused exchange
@@ -314,7 +315,7 @@ def ngram_jaccard_pairs(
         )
         scored = _score_counts(inter)
     else:
-        docsets = df.select(
+        docsets = ensure_parallelism(df).select(
             F.col(id_col).alias("id"),
             shingles(text_col, k).alias("sh_arr"),
             F.size(shingles(text_col, k)).alias("n_sh"),
@@ -410,7 +411,7 @@ def _simhash_bits(
     decimal/double math can't do exactly). Signature bit = majority
     vote over distinct tokens.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("tok"),
     )
@@ -469,7 +470,7 @@ def simhash(
     the conv-packed long has the leftmost char in its TOP nibble — so
     signature bit k reads packed bit ``4*(14 - k//4) + k%4``.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(normalize_text(text_col), " "))
@@ -587,7 +588,7 @@ def span_dedup(
     once more on id. Three narrow shuffles total, all on hashes/ids.
     """
     toks = tokens(text_col)
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), toks.alias("__toks")
     ).where(F.size("__toks") > 0)
     n_spans = F.ceil(F.size("__toks") / F.lit(span)).cast("int")

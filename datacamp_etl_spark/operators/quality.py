@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datacamp_etl_spark.operators.dedup import shingles
+from datacamp_etl_spark.operators.spread import ensure_parallelism, evaluate_once
 from datacamp_etl_spark.operators.text import tokens
 
 __all__ = ["contamination_check", "contamination_apply", "repetition_profile"]
@@ -52,10 +53,17 @@ def contamination_check(
     tiny. A left join + count of matches (rather than a semi-join)
     keeps zero-hit docs in one pass.
     """
-    c_sh = corpus.select(
+    corpus = ensure_parallelism(corpus)  # shingling is CPU-bound
+    # evaluate the shingle array once per row (size + explode would
+    # otherwise each recompute it — CollapseProject inlines projections)
+    c_arr = corpus.select(
         F.col(id_col).alias("id"),
-        F.size(shingles(text_col, k)).alias("n_shingles"),
-        F.explode(shingles(text_col, k)).alias("shingle"),
+        F.explode(F.array(shingles(text_col, k))).alias("__sh"),
+    )
+    c_sh = c_arr.select(
+        "id",
+        F.size("__sh").alias("n_shingles"),
+        F.explode("__sh").alias("shingle"),
     )
     b_sh = (
         benchmark.select(F.explode(shingles(text_col, k)).alias("shingle"))
@@ -135,8 +143,16 @@ def repetition_profile(
     most-frequent-token count is O(distinct x n) per row, bounded and
     embarrassingly parallel. Ratios are DECIMAL for engine-portable
     exactness.
+
+    The token array is evaluated ONCE per row behind a Generate
+    barrier (``evaluate_once``); letting CollapseProject inline the
+    tokenization into each of the six signals measured 6x slower at
+    sf0.1.
     """
-    toks = tokens(text_col)
+    base = evaluate_once(
+        ensure_parallelism(df), {"__toks": tokens(text_col)}
+    )
+    toks = F.col("__toks")
     dis = F.array_distinct(toks)
     n_tok = F.size(toks)
     n_dis = F.size(dis)
@@ -162,7 +178,7 @@ def repetition_profile(
             (num.cast("decimal(18,2)") / den).cast("decimal(18,4)"),
         )
 
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
         n_dis.cast("long").alias("n_distinct_tokens"),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datacamp_etl_spark.operators.spread import ensure_parallelism
 from datacamp_etl_spark.operators.text import tokens
 
 __all__ = ["tfidf_topk_terms", "bm25_search"]
@@ -44,6 +45,7 @@ def tfidf_topk_terms(
     so at 100 TB that join is AQE-broadcastable; nothing else shuffles
     more than (id, term, count) triples.
     """
+    df = ensure_parallelism(df)  # tokenization is CPU-bound
     posting = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
     )
@@ -103,6 +105,7 @@ def bm25_search(
     top-k is a TakeOrdered, never a full sort.
     """
     qlits = [F.lit(t) for t in query_terms]
+    df = ensure_parallelism(df)  # tokenization is CPU-bound
     posting = df.select(
         F.col(id_col).alias("id"),
         F.size(tokens(text_col)).alias("dl"),

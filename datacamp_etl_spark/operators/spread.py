@@ -1,0 +1,59 @@
+"""Parallelism floor for CPU-bound kernels [EXT].
+
+Spark sizes scan partitions by BYTES (``spark.sql.files.
+maxPartitionBytes``), which is right for IO-bound scans and wrong for
+CPU-bound text/vector kernels: a 5 MB single-row-group parquet file of
+5 000 documents is one partition, so a shingle/regex/embedding kernel
+runs on ONE core no matter how many the cluster has. (Observed on this
+repo's bench: contamination_check 59 s -> 12 s at sf0.1 just from
+spreading the scan.)
+
+:func:`ensure_parallelism` repartitions ONLY when the input has fewer
+partitions than the floor — at 100 TB inputs arrive in thousands of
+splits and this is a no-op (no added shuffle); on small/badly-packed
+inputs it buys full-cluster parallelism for one narrow shuffle of the
+rows it was about to grind through single-threaded anyway. Operators
+with expensive per-row kernels call it on their document input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["ensure_parallelism", "evaluate_once"]
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Return ``df`` unchanged if it already has at least
+    ``min_partitions`` (default: the cluster's default parallelism)
+    partitions; otherwise repartition up to that floor."""
+    sc = df.sparkSession.sparkContext
+    floor = min_partitions or sc.defaultParallelism
+    # partition count of the physical plan; no job is triggered
+    if df.rdd.getNumPartitions() >= floor:
+        return df
+    return df.repartition(floor)
+
+
+def evaluate_once(df: DataFrame, cols: dict) -> DataFrame:
+    """Attach each expression in ``cols`` as a column that is computed
+    exactly ONCE per row, even when referenced many times downstream.
+
+    Catalyst's CollapseProject inlines a projected expression into
+    every downstream use — for heavy interpreted expressions (regex
+    normalization, higher-order array lambdas) that multiplies the
+    per-row cost by the reference count (measured 6x on the
+    repetition-profile kernel at sf0.1). A single-element
+    ``explode(array(struct(...)))`` inserts a Generate node, which is
+    a projection barrier: the struct is evaluated once and downstream
+    projections only extract fields from it.
+    """
+    from pyspark.sql import functions as F  # local: keep module surface lean
+
+    packed = F.explode(
+        F.array(F.struct(*[c.alias(n) for n, c in cols.items()]))
+    ).alias("__once")
+    out = df.select("*", packed)
+    return out.select(
+        "*", *[F.col(f"__once.{n}").alias(n) for n in cols]
+    ).drop("__once")

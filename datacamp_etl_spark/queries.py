@@ -2347,8 +2347,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end catches cross-operator drift that per-operator gates
     can't (e.g. normalization changing under the dedup key)."""
     from datacamp_etl_spark.operators import text as X
+    from datacamp_etl_spark.operators.spread import ensure_parallelism
 
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         X.normalize_text("text").alias("norm"),
@@ -3812,3 +3813,114 @@ def q_streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(table)
+
+
+# =====================================================================
+# [EXT] Interval (range) join (operators/rangejoin.py)
+# =====================================================================
+
+@register(
+    "interval_join_click_after_error",
+    """
+    SELECT c.event_id, e.event_id AS err_id
+    FROM events c
+    JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND e.event_type = 'error'
+     AND date_trunc('microseconds', c.ts)
+         >= date_trunc('microseconds', e.ts)
+     AND date_trunc('microseconds', c.ts)
+         < date_trunc('microseconds', e.ts) + INTERVAL 30 MINUTES
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] bin-bucketed interval join: clicks within 30 minutes
+    after an error by the same user. No nested-loop anywhere — left
+    rows map to one time bin, right intervals explode to their
+    overlapped bins (<= 2 at 30 min vs 1 h bins), and a shuffle
+    equi-join on (user, bin) meets only candidates; exact containment
+    filters residually. Linear in |L| + 2|R| at any scale."""
+    from datacamp_etl_spark.operators.rangejoin import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id"),
+        F.col("ts").alias("err_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("err_end"),
+    )
+    out = interval_join(
+        clicks,
+        errors.withColumnRenamed("user_id", "user_id"),
+        left_ts="ts",
+        right_start="err_start",
+        right_end="err_end",
+        on="user_id",
+        bin_width="1 hour",
+    )
+    return out.select("event_id", "err_id")
+
+
+# =====================================================================
+# [EXT] Time-series rollup: gapfill + LOCF (operators/timeseries.py)
+# =====================================================================
+
+@register(
+    "gapfill_hourly_events",
+    """
+    WITH e AS (SELECT date_trunc('hour', date_trunc('microseconds', ts))
+                          AS bucket,
+                      event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, bucket, count(*) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM e GROUP BY 1, 2),
+    b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM e),
+    g AS (SELECT DISTINCT event_type FROM e),
+    spine AS (SELECT g.event_type,
+                     unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR))
+                         AS bucket
+              FROM g CROSS JOIN b),
+    dense AS (SELECT s.event_type, s.bucket,
+                     coalesce(r.n, 0) AS n, r.sum_cents
+              FROM spine s LEFT JOIN r USING (event_type, bucket))
+    SELECT event_type, bucket, n,
+           coalesce(last_value(sum_cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+             AS sum_cents_locf
+    FROM dense
+    """,
+)
+def q_gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] hypertable-style dense rollup: hourly event counts per
+    type with every gap bucket present (n=0), gauge values carried
+    forward (LOCF). Spine is |types| x |hours| — bounded by the time
+    range; the rollup is one map-side-combined groupBy; LOCF is one
+    window pass per type. Integer-cents sums keep it engine-exact."""
+    from datacamp_etl_spark.operators.timeseries import gapfill_counts, locf
+
+    ev = t(spark, sf_dir, "events")
+    dense = gapfill_counts(
+        ev,
+        "ts",
+        ["event_type"],
+        width="1 hour",
+        agg={
+            "sum_cents": F.sum(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+            ).cast("long")
+        },
+    )
+    filled = locf(dense, ["event_type"], "bucket", ["sum_cents"])
+    # NULL-free output: leading gap buckets read as 0 cents — and the
+    # oracle's pandas dtype stays integer (NULLs would float64-ify it)
+    return filled.select(
+        "event_type", "bucket", "n",
+        F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents_locf"),
+    )
