@@ -22,10 +22,12 @@ from pyspark.sql import functions as F
 __all__ = [
     "normalize_text",
     "tokens",
+    "tokens_of_normalized",
     "token_count",
     "regex_token_count",
     "quality_score",
     "language_id",
+    "language_id_from_tokens",
     "fingerprint",
     "rolling_hash",
     "text_profile",
@@ -65,7 +67,13 @@ def normalize_text(col: Column | str) -> Column:
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the normalized text (``array<string>``);
     empty text -> empty array."""
-    norm = normalize_text(col)
+    return tokens_of_normalized(normalize_text(col))
+
+
+def tokens_of_normalized(norm: Column) -> Column:
+    """Tokens of an ALREADY-normalized string column. Use when the
+    normalization was cached behind an ``evaluate_once`` barrier so the
+    regex pass is not re-inlined per downstream reference."""
     return F.when(norm == "", F.array().cast("array<string>")).otherwise(
         F.split(norm, " ")
     )
@@ -124,7 +132,13 @@ def language_id(col: Column | str) -> Column:
     the token set; argmax wins, ties resolve in LANG_MARKERS order,
     zero hits -> 'und'. Deterministic and pure-JVM (arrays + lambdas),
     so it scales as a projection."""
-    toks = tokens(col)
+    return language_id_from_tokens(tokens(col))
+
+
+def language_id_from_tokens(toks: Column) -> Column:
+    """:func:`language_id` over a precomputed token array — callers
+    that already cached tokenization behind ``evaluate_once`` avoid
+    re-tokenizing once per language score (5x on this kernel)."""
 
     def _contains(arr: Column):
         # single-arg lambda factory: F.filter inspects the signature,

@@ -2347,14 +2347,23 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end catches cross-operator drift that per-operator gates
     can't (e.g. normalization changing under the dedup key)."""
     from datacamp_etl_spark.operators import text as X
-    from datacamp_etl_spark.operators.spread import ensure_parallelism
+    from datacamp_etl_spark.operators.spread import ensure_parallelism, evaluate_once
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
-    base = docs.select(
+    # normalize ONCE, tokenize ONCE: language-ID alone references the
+    # token array 5x (one per language score) and CollapseProject would
+    # re-inline the regex normalization into every reference
+    cached = evaluate_once(
+        docs.select("doc_id", "text"), {"norm": X.normalize_text("text")}
+    )
+    cached = evaluate_once(
+        cached, {"__toks": X.tokens_of_normalized(F.col("norm"))}
+    )
+    base = cached.select(
         "doc_id",
-        X.normalize_text("text").alias("norm"),
-        X.language_id("text").alias("lang_pred"),
-        X.token_count("text").cast("long").alias("n_tokens"),
+        "norm",
+        X.language_id_from_tokens(F.col("__toks")).alias("lang_pred"),
+        F.size("__toks").cast("long").alias("n_tokens"),
     )
     filt = base.where(
         (F.col("n_tokens") >= 5) & (F.col("lang_pred") != "und")
