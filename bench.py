@@ -70,6 +70,10 @@ HEADLINE = [
     "temperature_mix",
     "interval_join_click_after_error",
     "gapfill_hourly_events",
+    "funnel_signup_click_purchase",
+    "cohort_retention_weekly",
+    "domain_cap",
+    "quantize_embeddings",
 ]
 
 

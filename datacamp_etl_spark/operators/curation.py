@@ -1,0 +1,99 @@
+"""Corpus curation operators: per-source caps and percentile trims [EXT].
+
+North-star training-data operators (SURVEY §2.14): bounding the
+contribution of any single source/domain, and trimming outlier
+documents by a quality signal's percentile. Both are deterministic
+(hash-ordered, id-tiebroken) so reruns and incremental appends make
+the same decisions.
+
+Scale posture (100 TB):
+- :func:`cap_per_group` shuffles once on the group key; within a
+  group it keeps the N smallest hash values. Implemented as a window
+  row_number — rank-k per key, no global sort. A pathologically hot
+  group is one window partition; cap it upstream with
+  :func:`~datacamp_etl_spark.operators.skew.salted_join`-style
+  two-phase selection if a single domain exceeds a task's memory
+  (at N in the thousands this never happens — the window only
+  buffers until it has emitted N rows per key... conservatively, the
+  sort buffer spills).
+- :func:`percentile_trim` (exact) is a global range-partitioned sort
+  (Spark ntile) — legitimate but heavy at 100 TB.
+  :func:`percentile_trim_approx` is the scale path: two
+  approxQuantile numbers broadcast into a narrow filter, no global
+  sort, error bounded by ``relative_error``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cap_per_group", "percentile_trim", "percentile_trim_approx"]
+
+
+def _order_hash(id_col: str):
+    """Deterministic per-row order key: first 8 md5 hex digits of the
+    id as an integer (cross-engine reproducible), id as tiebreak."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``group_col`` value, chosen by
+    deterministic hash order (not arrival order — append-stable and
+    unbiased). The survivor set for a group never changes when OTHER
+    groups grow."""
+    w = Window.partitionBy(group_col).orderBy(
+        _order_hash(id_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def percentile_trim(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    buckets: int = 20,
+    keep_lo: int = 2,
+    keep_hi: int | None = None,
+) -> DataFrame:
+    """EXACT percentile trim: rank all rows by (value, id) into
+    ``buckets`` equal-count ntiles and keep buckets
+    ``keep_lo..keep_hi`` inclusive (defaults drop the bottom and top
+    1/buckets of rows). Deterministic: ties broken by id.
+
+    This is a global sort — use :func:`percentile_trim_approx` at
+    scale unless exact quantile boundaries are required.
+    """
+    keep_hi = buckets - 1 if keep_hi is None else keep_hi
+    w = Window.orderBy(F.col(value_col), F.col(id_col))
+    return (
+        df.withColumn("__q", F.ntile(buckets).over(w))
+        .where(F.col("__q").between(keep_lo, keep_hi))
+        .drop("__q")
+    )
+
+
+def percentile_trim_approx(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Approximate percentile trim — the 100 TB path: one
+    approxQuantile pass (Greenwald-Khanna, no global sort) yields two
+    threshold numbers on the driver; the trim itself is then a narrow
+    scan-pushable filter."""
+    qlo, qhi = df.approxQuantile(value_col, [lo, hi], relative_error)
+    return df.where(F.col(value_col).between(qlo, qhi))

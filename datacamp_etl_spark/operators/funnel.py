@@ -1,0 +1,134 @@
+"""Behavioral sequence analytics: funnels and cohort retention [EXT].
+
+Not in the reference (its data plane is relational batch loading —
+SURVEY §2.14); these are the event-analytics operators a training-data
+/ product-analytics pipeline runs over an events stream at scale.
+
+Scale posture (100 TB events):
+- :func:`funnel` is k-1 equi-joins on the user key, where the left
+  side shrinks monotonically (users who completed step i). After the
+  first aggregation the per-user table is orders of magnitude smaller
+  than raw events, and AQE broadcasts it into each subsequent probe —
+  no join ever shuffles raw events more than once per step predicate.
+- :func:`cohort_retention` is two user-keyed aggregations plus one
+  join of (user, period) pairs against (user, cohort); both sides are
+  distinct-reduced before the join so the shuffle carries at most one
+  row per user-period, never raw events.
+
+No UDFs, no driver-side iteration: everything is DataFrame joins and
+map-side-combined aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "funnel_counts", "cohort_retention"]
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[tuple[str, Column]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str | None = None,
+) -> DataFrame:
+    """Per-user funnel completion times: for each user, the earliest
+    timestamp of step 1, then the earliest step-2 event strictly after
+    it, and so on (classic ordered-funnel semantics). ``within``
+    (an INTERVAL literal body, e.g. ``'7 days'``) bounds the whole
+    funnel relative to the step-1 time.
+
+    Returns one row per user who completed step 1, with one nullable
+    timestamp column per step name.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    name0, pred0 = steps[0]
+    done = (
+        events.where(pred0)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(name0))
+    )
+    deadline = (
+        (F.col(name0) + F.expr(f"INTERVAL {within}")) if within else None
+    )
+    prev = name0
+    for name, pred in steps[1:]:
+        nxt = events.where(pred).select(
+            user_col, F.col(ts_col).alias("__ts")
+        )
+        cond = F.col("__ts") > F.col(prev)
+        if deadline is not None:
+            cond = cond & (F.col("__ts") <= deadline)
+        done = (
+            done.join(nxt, user_col, "left")
+            .select(
+                done["*"],
+                F.when(cond, F.col("__ts")).alias("__cand"),
+            )
+            .groupBy(*done.columns)
+            .agg(F.min("__cand").alias(name))
+        )
+        prev = name
+    return done
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[tuple[str, Column]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str | None = None,
+) -> DataFrame:
+    """Funnel summary: (step, step_index, n_users) — how many users
+    reached each step in order. The per-user table never leaves the
+    cluster; this is a k-column count-aggregate over it."""
+    per_user = funnel(events, steps, user_col, ts_col, within)
+    counts = per_user.agg(
+        *[
+            F.count(name).cast("long").alias(name)
+            for name, _ in steps
+        ]
+    )
+    # unpivot the single row to (step, idx, n_users) — stack is a
+    # zero-shuffle projection of a 1-row input
+    pairs = ", ".join(
+        f"'{name}', cast({i + 1} as int), {name}"
+        for i, (name, _) in enumerate(steps)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {pairs}) as (step, step_index, n_users)"
+    ).select("step", "step_index", F.col("n_users").cast("long"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    first event; for each later period, how many were active.
+
+    Output: (cohort, period_offset, n_active) where offset counts
+    periods since the cohort period (0 = the cohort period itself).
+    """
+    per_day = {"week": 7, "day": 1}
+    if period not in per_day:
+        raise ValueError(f"period must be one of {sorted(per_day)}")
+    cohorts = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort")
+    )
+    active = events.select(
+        user_col, F.date_trunc(period, F.col(ts_col)).alias("__p")
+    ).distinct()
+    off = (
+        F.datediff(F.col("__p"), F.col("cohort")) / per_day[period]
+    ).cast("int")
+    return (
+        active.join(cohorts, user_col)
+        .groupBy("cohort", off.alias("period_offset"))
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )

@@ -3933,3 +3933,157 @@ def q_gapfill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bucket", "n",
         F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents_locf"),
     )
+
+
+# =====================================================================
+# [EXT] Behavioral sequence analytics (operators/funnel.py)
+# =====================================================================
+
+@register(
+    "funnel_signup_click_purchase",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      date_trunc('microseconds', ts) AS ts FROM events),
+    s1 AS (SELECT user_id, min(ts) AS signup FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS click
+           FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.signup
+             AND e.ts <= s1.signup + INTERVAL 7 DAY GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS purchase
+           FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.click
+             AND e.ts <= s1.signup + INTERVAL 7 DAY GROUP BY 1)
+    SELECT 'signup' AS step, CAST(1 AS INT) AS step_index,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL SELECT 'click', CAST(2 AS INT), (SELECT count(*) FROM s2)
+    UNION ALL SELECT 'purchase', CAST(3 AS INT), (SELECT count(*) FROM s3)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ordered funnel signup -> click -> purchase within 7 days
+    of signup. k-1 user-keyed joins where the left side monotonically
+    shrinks (AQE broadcasts it); raw events shuffle at most once per
+    step predicate. Summary output is 3 rows."""
+    from datacamp_etl_spark.operators.funnel import funnel_counts
+
+    ev = t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev,
+        [
+            ("signup", F.col("event_type") == "signup"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within="7 DAYS",
+    )
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+    WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts
+               FROM events),
+    c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+          FROM e GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM e)
+    SELECT c.cohort,
+           CAST(date_diff('day', c.cohort, a.p) // 7 AS INT)
+               AS period_offset,
+           count(*) AS n_active
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] weekly cohort retention: users bucketed by first-seen
+    week; per later week, how many were active. Both join sides are
+    distinct-reduced to one row per user(-week) before the shuffle."""
+    from datacamp_etl_spark.operators.funnel import cohort_retention
+
+    ev = t(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
+# =====================================================================
+# [EXT] Curation: per-source caps + percentile trims (operators/curation.py)
+# =====================================================================
+
+@register(
+    "domain_cap",
+    f"""
+    WITH h AS (SELECT doc_id, source,
+                      {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")} AS hk
+               FROM documents),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY hk, doc_id) AS rn
+          FROM h)
+    SELECT doc_id, source FROM r WHERE rn <= 10
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] cap every source's contribution at 10 docs, selected by
+    deterministic hash order (append-stable, unbiased). One shuffle on
+    the group key; rank-k per key, no global sort."""
+    from datacamp_etl_spark.operators.curation import cap_per_group
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", "doc_id", 10)
+
+
+@register(
+    "percentile_trim_chars",
+    """
+    WITH r AS (SELECT doc_id, n_chars,
+                      ntile(20) OVER (ORDER BY n_chars, doc_id) AS q
+               FROM documents)
+    SELECT doc_id, n_chars FROM r WHERE q BETWEEN 2 AND 19
+    """,
+)
+def q_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact percentile trim: drop the shortest and longest 5%
+    of documents by character count (ntile 20, id-tiebroken). The
+    oracle-gated exact variant; percentile_trim_approx is the
+    sort-free 100 TB path (pytest tolerance-tested)."""
+    from datacamp_etl_spark.operators.curation import percentile_trim
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return percentile_trim(docs, "n_chars", "doc_id", buckets=20)
+
+
+# =====================================================================
+# [EXT] Embedding quantization (operators/quantize.py)
+# =====================================================================
+
+@register(
+    "quantize_embeddings",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, e, list_min(e) AS vmin,
+                 (list_max(e) - list_min(e)) / 255.0 AS scale FROM v),
+    c AS (SELECT vec_id,
+                 CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+                      ELSE list_transform(e, x ->
+                          CAST(floor((x - vmin) / scale + 0.5) AS INT)
+                              - 128)
+                 END AS codes
+          FROM s)
+    SELECT vec_id, CAST(gs - 1 AS INT) AS pos, codes[gs] AS code
+    FROM c, unnest(generate_series(1, len(codes))) AS t(gs)
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-vector affine int8 quantization of the embedding
+    column, unpivoted to (vec_id, pos, code) rows for the gate. A
+    narrow codegen'd array-lambda projection — no shuffle, no UDF;
+    float64 math with floor(x+0.5) rounding is bit-identical across
+    engines."""
+    from datacamp_etl_spark.operators.quantize import quantize_int8
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "embedding", "vec_id")
+    return q.select(
+        "vec_id", F.posexplode("codes").alias("pos", "code")
+    ).select("vec_id", F.col("pos").cast("int"), F.col("code").cast("int"))
