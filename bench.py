@@ -74,6 +74,8 @@ HEADLINE = [
     "cohort_retention_weekly",
     "domain_cap",
     "quantize_embeddings",
+    "scd2_customer_segment",
+    "bloom_semi_join_urgent",
 ]
 
 

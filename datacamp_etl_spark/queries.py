@@ -4087,3 +4087,110 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id", F.posexplode("codes").alias("pos", "code")
     ).select("vec_id", F.col("pos").cast("int"), F.col("code").cast("int"))
+
+
+# =====================================================================
+# [EXT] SCD2 dimension merge (operators/scd.py)
+# =====================================================================
+
+@register(
+    "scd2_customer_segment",
+    """
+    WITH dim AS (SELECT c_custkey, c_mktsegment,
+                        TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                        CAST(NULL AS TIMESTAMP) AS valid_to
+                 FROM customer),
+    upd AS (SELECT c_custkey,
+                   CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment
+                        ELSE 'MACHINERY' END AS c_mktsegment,
+                   TIMESTAMP '2024-06-01 00:00:00' AS eff
+            FROM customer WHERE c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, 'NEWSEG',
+                   TIMESTAMP '2024-06-01 00:00:00'
+            FROM customer WHERE c_custkey <= 3),
+    chg AS (SELECT d.c_custkey FROM dim d
+            JOIN upd u USING (c_custkey)
+            WHERE d.c_mktsegment <> u.c_mktsegment)
+    SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+           CASE WHEN d.c_custkey IN (SELECT c_custkey FROM chg)
+                THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to
+    FROM dim d
+    UNION ALL
+    SELECT u.c_custkey, u.c_mktsegment,
+           u.eff AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM upd u
+    WHERE u.c_custkey IN (SELECT c_custkey FROM chg)
+       OR u.c_custkey NOT IN (SELECT c_custkey FROM dim)
+    """,
+)
+def q_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SCD2 merge of a simulated segment-change batch into the
+    customer dimension: every 5th customer gets an update (half of
+    them no-op repeats — idempotency), plus 3 brand-new keys. One
+    digest-narrow full join on the business key; output is a 3-branch
+    union of the same two scans."""
+    from datacamp_etl_spark.operators.scd import scd2_merge
+
+    c = t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        c.where(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 10 == 0, F.col("c_mktsegment")
+            ).otherwise(F.lit("MACHINERY")).alias("c_mktsegment"),
+            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("eff_ts"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") <= 3).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit("2024-06-01 00:00:00").cast("timestamp").alias("eff_ts"),
+            )
+        )
+    )
+    return scd2_merge(dim, upd, "c_custkey", ["c_mktsegment"])
+
+
+# =====================================================================
+# [EXT] Bloom-prefiltered semi-join (operators/bloom.py)
+# =====================================================================
+
+@register(
+    "bloom_semi_join_urgent",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00')
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] semi-join lineitem against one month of urgent orders,
+    Bloom-prefiltered: the key set aggregates to a fixed-size bitset
+    (2^17 bits — bounded driver collect like the IVF centroids), the
+    fact scan drops non-candidates in a narrow predicate BEFORE any
+    shuffle, and the exact left-semi join removes false positives —
+    so the result equals the plain semi-join the oracle runs."""
+    from datacamp_etl_spark.operators.bloom import bloom_semi_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    keys = (
+        t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-03-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return bloom_semi_join(li, keys, "l_orderkey")
