@@ -76,6 +76,7 @@ HEADLINE = [
     "quantize_embeddings",
     "scd2_customer_segment",
     "bloom_semi_join_urgent",
+    "pq_topk_embeddings",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Product quantization (PQ) for billion-scale ANN [EXT].
+
+The memory-scale path beyond scalar quantization
+(:mod:`~datacamp_etl_spark.operators.quantize`): split each vector
+into ``m`` subvectors, k-means each subspace independently, and store
+each vector as ``m`` small codes (Jégou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011). Search uses ADC
+(asymmetric distance computation): per query, a tiny ``m x k`` lookup
+table of query-subvector-to-centroid distances is built once and each
+corpus vector's distance is approximated as ``sum(lut[s][code_s])`` —
+no float vector ever touched at probe time.
+
+Spark execution model (mirrors ``similarity.kmeans_train``,
+similarity.py:345):
+- Training: codebooks live on the driver (m x k x sub_dim doubles —
+  bounded, tiny); each Lloyd iteration broadcasts them as literals,
+  executors fold argmin per subspace (JVM ``aggregate``/``zip_with``
+  codegen, no UDF), and new means arrive via ONE
+  explode + groupBy(subspace, cluster, pos) shuffle of aggregated
+  (sum,count) cells — never raw vectors.
+- Encoding: a narrow shuffle-free projection.
+- ADC probe: the LUT is an ``m x k`` literal; distance is an m-term
+  sum of array lookups; top-k is a TakeOrdered, never a full sort.
+
+Determinism (so the DuckDB oracle can replay encode+probe exactly):
+init centroids = subvector slices of the ``k`` smallest-``md5(id)``
+rows; per-iteration means rounded to 6 decimals; argmin ties break to
+the lowest code; distances fold left-to-right.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pq_train", "pq_encode", "pq_topk"]
+
+
+def _slice(vec: Column, s: int, sub_dim: int) -> Column:
+    """Subvector ``s`` (0-based) as array<double>; F.slice is 1-based."""
+    return F.transform(
+        F.slice(vec, s * sub_dim + 1, sub_dim), lambda x: x.cast("double")
+    )
+
+
+def _sqdist(sub: Column, cen: list[float]) -> Column:
+    clit = F.array(*[F.lit(float(x)) for x in cen])
+    return F.aggregate(
+        F.zip_with(sub, clit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _code(sub: Column, book: list[list[float]]) -> Column:
+    """Argmin centroid index within one subspace codebook (ties to the
+    lowest index — array_position returns the FIRST match)."""
+    dists = F.array(*[_sqdist(sub, cen) for cen in book])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 1,
+    dim: int | None = None,
+    decimals: int = 6,
+) -> list[list[list[float]]]:
+    """Train ``m`` subspace codebooks of ``k`` centroids each.
+    Returns ``codebooks[s][c] = centroid vector (sub_dim doubles)``.
+    ``n_iter=0`` keeps the deterministic init (sampled rows) as the
+    codebook — the oracle-replayable configuration."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+
+    init_rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [
+            [round(float(x), decimals) for x in r[vec_col]][
+                s * sub_dim : (s + 1) * sub_dim
+            ]
+            for r in init_rows
+        ]
+        for s in range(m)
+    ]
+
+    vec = F.col(vec_col)
+    for _ in range(n_iter):
+        # one explode: (subspace, cluster, subvector) structs, then
+        # per-(s, cluster, pos) means in a single aggregated shuffle
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _code(_slice(vec, s, sub_dim), books[s]).alias("c"),
+                    _slice(vec, s, sub_dim).alias("v"),
+                )
+                for s in range(m)
+            ]
+        )
+        cells = (
+            df.select(F.explode(entries).alias("e"))
+            .select("e.s", "e.c", F.posexplode("e.v").alias("pos", "val"))
+            .groupBy("s", "c", "pos")
+            .agg(F.round(F.avg("val"), decimals).alias("v"))
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in cells:
+            new.setdefault((r["s"], r["c"]), {})[r["pos"]] = float(r["v"])
+        for s in range(m):
+            for c in range(k):
+                got = new.get((s, c))
+                if got:  # empty clusters keep their previous centroid
+                    books[s][c] = [got[p] for p in range(sub_dim)]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` codes: (id, codes array<int>).
+    Narrow, shuffle-free, codegen'd."""
+    sub_dim = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    codes = F.array(
+        *[
+            _code(_slice(vec, s, sub_dim), book)
+            for s, book in enumerate(codebooks)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    *,
+    id_col: str = "vec_id",
+    topk: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """ADC top-k: build the ``m x k`` query-to-centroid LUT on the
+    driver, approximate each corpus distance as the m-term LUT sum,
+    TakeOrdered the smallest. Ties break on the id column."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (query[s * sub_dim + i] - cen[i]) ** 2
+                for i in range(sub_dim)
+            )
+            for cen in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.lit(lut[s]).cast("array<double>"),
+            F.element_at("codes", s + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        codes_df.select(
+            F.col(id_col), F.round(dist, decimals).alias("adc_dist")
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )

@@ -4194,3 +4194,122 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("l_orderkey"))
     )
     return bloom_semi_join(li, keys, "l_orderkey")
+
+
+# =====================================================================
+# [EXT] Product quantization (operators/pq.py)
+# =====================================================================
+
+_PQ_M, _PQ_K, _PQ_SUB = 4, 4, 16
+
+
+def _pq_init_cte() -> str:
+    """Shared CTEs: raw double vectors + the deterministic codebook
+    (subvector slices of the 4 smallest-md5(id) rows, rounded)."""
+    return """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    init AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> round(x, 6)) AS c,
+                    row_number() OVER
+                        (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+             FROM embeddings
+             ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4)"""
+
+
+def _pq_dist(vec_expr: str, s: int) -> str:
+    """Left-to-right squared-L2 fold between subspace ``s`` of
+    ``vec_expr`` and subspace ``s`` of an init-row centroid ``i.c``."""
+    off = s * _PQ_SUB
+    return (
+        f"list_sum(list_transform(range({_PQ_SUB}), j -> "
+        f"({vec_expr}[j + {off + 1}] - i.c[j + {off + 1}])"
+        f" * ({vec_expr}[j + {off + 1}] - i.c[j + {off + 1}])))"
+    )
+
+
+def _pq_encode_cte() -> str:
+    branches = "\n        UNION ALL\n".join(
+        f"        SELECT v.vec_id, {s} AS s, i.rn - 1 AS code,"
+        f" {_pq_dist('v.e', s)} AS dist FROM v CROSS JOIN init i"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    d AS (
+{branches}
+    ),
+    best AS (SELECT vec_id, s, code FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY dist, code) AS rn2 FROM d)
+             WHERE rn2 = 1)"""
+
+
+@register(
+    "pq_encode_embeddings",
+    f"""
+    WITH {_pq_init_cte()},
+    {_pq_encode_cte()}
+    SELECT vec_id, CAST(s AS INT) AS subspace, CAST(code AS INT) AS code
+    FROM best
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PQ encode (m=4 subspaces, k=4, deterministic sampled
+    codebook — the oracle-replayable config; Lloyd refinement is
+    pytest-gated): every vector becomes 4 small codes via a narrow
+    shuffle-free argmin projection."""
+    from datacamp_etl_spark.operators.pq import pq_encode, pq_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=_PQ_M, k=_PQ_K, n_iter=0, dim=64)
+    codes = pq_encode(emb, books)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("int"),
+        F.col("code").cast("int"),
+    )
+
+
+@register(
+    "pq_topk_embeddings",
+    f"""
+    WITH {_pq_init_cte()},
+    {_pq_encode_cte()},
+    q AS (SELECT e FROM v WHERE vec_id = (SELECT min(vec_id) FROM v)),
+    lut AS (
+{chr(10).join(f"        SELECT {s} AS s, i.rn - 1 AS code, {_pq_dist('q.e', s)} AS d FROM q CROSS JOIN init i" + (" UNION ALL" if s < _PQ_M - 1 else "") for s in range(_PQ_M))}
+    ),
+    w AS (SELECT vec_id,
+                 max(CASE WHEN s = 0 THEN code END) AS c0,
+                 max(CASE WHEN s = 1 THEN code END) AS c1,
+                 max(CASE WHEN s = 2 THEN code END) AS c2,
+                 max(CASE WHEN s = 3 THEN code END) AS c3
+          FROM best GROUP BY vec_id)
+    SELECT w.vec_id, round(l0.d + l1.d + l2.d + l3.d, 6) AS adc_dist
+    FROM w
+    JOIN lut l0 ON l0.s = 0 AND l0.code = w.c0
+    JOIN lut l1 ON l1.s = 1 AND l1.code = w.c1
+    JOIN lut l2 ON l2.s = 2 AND l2.code = w.c2
+    JOIN lut l3 ON l3.s = 3 AND l3.code = w.c3
+    ORDER BY adc_dist, w.vec_id LIMIT 10
+    """,
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ADC top-10 nearest to the smallest-id vector: the m x k
+    query LUT is built driver-side (16 doubles), broadcast as
+    literals; per-vector distance is a 4-term array lookup sum over
+    the CODES only — no float vector is read at probe time. TakeOrdered
+    top-k, id-tiebroken."""
+    from datacamp_etl_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=_PQ_M, k=_PQ_K, n_iter=0, dim=64)
+    codes = pq_encode(emb, books)
+    qrow = (
+        emb.orderBy("vec_id")
+        .select("embedding")
+        .first()
+    )
+    query = [float(x) for x in qrow["embedding"]]
+    return pq_topk(codes, books, query, topk=10)
