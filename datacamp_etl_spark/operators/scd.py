@@ -28,7 +28,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_merge"]
+__all__ = ["scd2_merge", "temporal_lookup"]
 
 
 def _digest(cols: Sequence[str]) -> Column:
@@ -101,3 +101,32 @@ def scd2_merge(
         F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
     )
     return closed_rows.unionByName(kept_open).unionByName(new_open)
+
+
+def temporal_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension version
+    valid at its timestamp (``valid_from <= ts < valid_to``, open
+    versions have NULL ``valid_to``).
+
+    SCD2 intervals per key are disjoint, so at most one version
+    matches — a plain key equi-join plus an interval predicate, no
+    window, no range explosion. At 100 TB this shuffles on the
+    business key exactly like any fact-dim join (and AQE broadcasts
+    dims that fit); version fan-out before the filter is the per-key
+    version count, typically single digits.
+    """
+    cond = (
+        (fact[key] == dim[key])
+        & (dim[valid_from] <= fact[ts_col])
+        & (dim[valid_to].isNull() | (fact[ts_col] < dim[valid_to]))
+    )
+    return fact.join(dim, cond, how).drop(dim[key])
