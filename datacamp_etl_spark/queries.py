@@ -42,18 +42,70 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+_EVENTS_TS_KIND: dict = {}
+
+
+def _events_ts_is_long(sf_dir: str) -> bool:
+    """True when the events fixture stores ts as TIMESTAMP(NANOS) (or a
+    raw int64), which Spark can only read via the nanosAsLong legacy
+    conf as a bigint. Newer fixture generations store native
+    timestamp[us], which Spark reads directly as TIMESTAMP_NTZ. The
+    parquet footer is authoritative and cached per sf_dir."""
+    if sf_dir not in _EVENTS_TS_KIND:
+        import pyarrow.parquet as pq
+
+        tp = str(
+            pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+        )
+        _EVENTS_TS_KIND[sf_dir] = tp in ("int64", "timestamp[ns]")
+    return _EVENTS_TS_KIND[sf_dir]
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a testdata table. The events table carries parquet
-    TIMESTAMP(NANOS) which Spark cannot read natively; it is read via
-    the nanosAsLong legacy conf and converted to a microsecond
-    timestamp (truncation — mirrored in oracles via
-    ``date_trunc('microseconds', ts)``)."""
+    """Load a testdata table. The events table's ts physical type has
+    varied across fixture generations (TIMESTAMP(NANOS) vs
+    timestamp[us]); both are normalized to a naive microsecond
+    timestamp so every downstream query and oracle sees one type."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if _events_ts_is_long(sf_dir):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # timestamp[us] reads as TIMESTAMP_NTZ; cast to TIMESTAMP so
+        # watermarks/unix_micros work. NTZ->TS->pandas round-trips the
+        # naive wall-clock value in any session tz, matching DuckDB.
+        return spark.read.parquet(path).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
     return spark.read.parquet(path)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with a schema adapted to the
+    fixture's physical ts type (see _events_ts_is_long). Streams sf_dir
+    with a pathGlobFilter so only the events file matches
+    (FileStreamSource wants a directory; no copy, no symlink)."""
+    if _events_ts_is_long(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
 
 
 # =====================================================================
@@ -1719,17 +1771,10 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datacamp_etl_spark.streaming.incremental import windowed_event_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource wants a directory: stream sf_dir with a glob
     # filter so only the events file matches (no copy, no symlink).
     raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        events_stream(spark, sf_dir)
     )
     agg = windowed_event_counts(raw, window="1 hour", watermark="2 hours")
     _STREAM_RUN[0] += 1
@@ -1776,15 +1821,8 @@ def q_streaming_dim_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_static_enriched_counts,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        events_stream(spark, sf_dir)
     )
     dim = t(spark, sf_dir, "customer")
     agg = stream_static_enriched_counts(raw, dim)
@@ -1842,15 +1880,8 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum keeps the aggregate exact."""
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
     )
     agg = (
@@ -1914,17 +1945,9 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_conversion_join,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def _stream():
         return (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            events_stream(spark, sf_dir)
         )
 
     joined = stream_stream_conversion_join(
@@ -1961,16 +1984,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite replay keeps full state (documented trade-off)."""
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def _stream():
         return (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            events_stream(spark, sf_dir)
             .select("event_id", "event_type")
         )
 
@@ -2181,14 +2197,8 @@ def q_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datacamp_etl_spark.streaming.stateful import running_user_totals
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream(spark, sf_dir)
         .select("user_id", "value")
     )
     totals = running_user_totals(raw)
@@ -3497,15 +3507,8 @@ def q_streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datacamp_etl_spark.streaming.incremental import chained_window_peaks
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        events_stream(spark, sf_dir)
     )
     agg = chained_window_peaks(raw, watermark="2 hours")
     _STREAM_RUN[0] += 1
@@ -3787,15 +3790,8 @@ def q_streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datacamp_etl_spark.streaming.sinks import idempotent_upsert_sink
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        events_stream(spark, sf_dir)
     )
     table = tempfile.mkdtemp(prefix="upsert_tbl_") + "/t"
 
