@@ -77,6 +77,9 @@ HEADLINE = [
     "scd2_customer_segment",
     "bloom_semi_join_urgent",
     "pq_topk_embeddings",
+    # [EXT] round-3 additions
+    "incremental_dedup_against_corpus",
+    "posting_lists",
 ]
 
 

@@ -37,7 +37,9 @@ __all__ = [
     "dedup_exact",
     "shingles",
     "minhash_signature",
+    "band_signatures",
     "lsh_candidate_pairs",
+    "incremental_dedup",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_pairs",
@@ -163,6 +165,81 @@ def minhash_signature(
     ).select(id_col, "seed", "minhash")
 
 
+def band_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document LSH band signatures ``(id, band, band_sig)``.
+
+    Each band digests ``num_hashes // bands`` consecutive minhash rows
+    into one md5 key; docs sharing ANY band key are near-dup
+    candidates. This is the persistable unit of a corpus dedup index:
+    at scale, write this frame partitioned/bucketed by
+    ``(band, band_sig)`` once, then join incoming batches against it
+    (see :func:`incremental_dedup`) without re-hashing the corpus.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes, k=k)
+    return (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("minhash")),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Drop new-batch documents that are near-dups of an EXISTING
+    corpus, returning the surviving batch rows unchanged.
+
+    ``corpus_bands`` is a band-signature index (the output shape of
+    :func:`band_signatures` — at 100 TB a precomputed table bucketed
+    by ``(band, band_sig)``, not recomputed per batch). The batch's
+    band signatures LEFT SEMI join the index, and matched ids
+    anti-join out of the batch.
+
+    Scale shape: the corpus is touched only through an equi-join on
+    its bucketed key — no corpus re-scan of text, no pair
+    enumeration. Unlike :func:`lsh_candidate_pairs`, a mega-bucket
+    needs no cap here: the semi join emits at most one hit per batch
+    band row regardless of how many corpus docs share the key, so a
+    degenerate band key costs a skewed-but-bounded probe (AQE
+    skew-split handles it), never an n^2 blowup.
+    """
+    bb = band_signatures(
+        batch, id_col, text_col, num_hashes=num_hashes, bands=bands, k=k
+    )
+    hit_ids = (
+        bb.join(corpus_bands, on=["band", "band_sig"], how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return batch.join(hit_ids, on=id_col, how="left_anti")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -188,22 +265,8 @@ def lsh_candidate_pairs(
     matching millions of docs carries no near-dup signal). Set
     ``None`` to disable.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes, k=k)
-    band_sig = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list("minhash")),
-                        lambda x: x.cast("string"),
-                    ),
-                    "|",
-                )
-            ).alias("band_sig")
-        )
+    band_sig = band_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, k=k
     )
     if max_bucket_size is not None:
         # Window count over the SAME key the candidate join shuffles

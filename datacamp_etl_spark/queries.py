@@ -4312,6 +4312,199 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# [EXT] Round 3: incremental corpus dedup + inverted index
+# =====================================================================
+
+@register(
+    "incremental_dedup_against_corpus",
+    f"""
+    {_SHINGLES_CTE},
+    {_minhash_sig_cte()},
+    bs AS (SELECT doc_id, seed // 4 AS band,
+                  md5(array_to_string(list_sort(list(minhash)), '|')) AS band_sig
+           FROM sig GROUP BY doc_id, seed // 4),
+    hits AS (SELECT DISTINCT b.doc_id
+             FROM bs b JOIN bs c ON b.band = c.band AND b.band_sig = c.band_sig
+             WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 5 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] incremental dedup of a NEW batch (doc_id % 5 = 0) against
+    an EXISTING corpus index (the rest): batch band signatures LEFT
+    SEMI join the corpus band index, hits anti-join out. The corpus is
+    touched only through its (band, band_sig) key — at 100 TB that
+    index is a precomputed bucketed table and each arriving batch
+    costs one bounded semi join, never a corpus re-hash or pair
+    enumeration (dedup.incremental_dedup)."""
+    from datacamp_etl_spark.operators.dedup import (
+        band_signatures,
+        incremental_dedup,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    idx = band_signatures(corpus)
+    return incremental_dedup(batch, idx).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "posting_lists",
+    f"""
+    {_TOKS_CTE},
+    ex AS (SELECT doc_id, unnest(toks) AS term FROM tk WHERE len(toks) > 0),
+    ag AS (SELECT term,
+                  count(DISTINCT doc_id) AS df,
+                  count(*) AS tf,
+                  array_to_string(list_sort(list_distinct(list(doc_id)))[1:3], ',')
+                    AS sample_docs
+           FROM ex WHERE term <> '' GROUP BY term)
+    SELECT term, df, tf, sample_docs FROM ag
+    ORDER BY df DESC, term LIMIT 20
+    """,
+)
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] inverted-index construction: term -> (document frequency,
+    term frequency, head of the sorted posting list). One explode +
+    one groupBy on term (map-side combine carries the partial df/tf;
+    collect_set stays bounded by truncating to the 3 smallest ids
+    after sort). Top-20 by df via TakeOrdered — the full index is
+    written at scale, the query surfaces its heaviest terms."""
+    from datacamp_etl_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).where(F.col("term") != "")
+    ag = ex.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("tf"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 3),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("sample_docs"),
+    )
+    return ag.orderBy(F.desc("df"), "term").limit(20)
+
+
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
+    """,
+)
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] watermark-BOUNDED streaming dedup: the doubled feed is
+    deduplicated with dropDuplicatesWithinWatermark, the variant whose
+    state store EVICTS keys once the watermark passes — the only dedup
+    that survives an unbounded stream (plain dropDuplicates state
+    grows forever). Duplicates here carry identical event times, so
+    they always land inside the 2h window and the exact single-feed
+    oracle still applies; what changes vs streaming_dedup is the state
+    lifecycle, which is the 100 TB-stream property under test."""
+    import tempfile
+
+    def _stream():
+        return events_stream(spark, sf_dir).select(
+            "event_id", "event_type", "ts"
+        )
+
+    doubled = _stream().unionByName(_stream()).withWatermark("ts", "2 hours")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    _STREAM_RUN[0] += 1
+    sink = f"stream_dedup_wm_{_STREAM_RUN[0]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "pydatasource_scan",
+    """
+    WITH g AS (SELECT unnest(range(10000)) AS id)
+    SELECT id % 10 AS bucket, count(*) AS n,
+           CAST(sum(id) AS BIGINT) AS sum_id,
+           min('doc-' || lpad(CAST(id AS VARCHAR), 8, '0')) AS first_payload
+    FROM g GROUP BY 1
+    """,
+)
+def q_pydatasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] custom Python Data Source (Spark 4 DataSource V2 API,
+    sources/pydatasource.py): a partitioned deterministic generator
+    read through spark.read.format("synthdocs") — planning yields an
+    InputPartition list, each split generates rows executor-side, and
+    the aggregation proves the striped row->split mapping covers
+    every id exactly once at any parallelism."""
+    from datacamp_etl_spark.sources.pydatasource import register_synthdocs
+
+    register_synthdocs(spark)
+    df = (
+        spark.read.format("synthdocs")
+        .option("n", 10000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("id").alias("sum_id"),
+        F.min("payload").alias("first_payload"),
+    )
+
+
+@register(
+    "udtf_char_chunks",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+    idx AS (SELECT doc_id, text, unnest(range((length(text) + 511) // 512))
+                     AS chunk_idx
+            FROM d WHERE length(text) > 0)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           md5(substr(text, CAST(chunk_idx * 512 + 1 AS INT), 512)) AS chunk_md5
+    FROM idx
+    """,
+)
+def q_udtf_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Python UDTF lateral expansion (operators/udtf_ops.py):
+    each sampled document explodes into fixed 512-char windows inside
+    the distributed plan (LATERAL join, rows never visit the driver),
+    digested so the oracle checks exact chunk boundaries. The JVM
+    chunker (chunk_documents) is the hot path; this gates the
+    Python-table-function escape hatch."""
+    from datacamp_etl_spark.operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 25 == 0
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, md5(c.chunk) AS chunk_md5
+        FROM __udtf_docs d, LATERAL char_chunks(d.text, 512) c
+        """
+    )
+
+
+# =====================================================================
 # Adjudication-window rotation
 # =====================================================================
 # The round driver adjudicates a PREFIX of this registry (observed: the

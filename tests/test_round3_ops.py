@@ -1,0 +1,97 @@
+"""Round-3 operators [EXT]: incremental corpus dedup, Python Data
+Source, UDTF lateral chunking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datacamp_etl_spark.operators import dedup as D
+
+
+def _corpus_and_batch(spark):
+    base = "spark filter join group agg window sort merge scan hash"
+    near = "spark filter join group agg window sort merge scan vector"
+    fresh = "completely different words about cats dogs birds and fish today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated corpus text holding many other tokens here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base),   # exact dup of corpus doc 1 -> dropped
+            (101, near),   # near dup (shares 3 of 4 bands) -> dropped
+            (102, fresh),  # novel -> survives
+            (103, "x y"),  # < 3 tokens: no shingles, no bands -> survives
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, batch
+
+
+def test_incremental_dedup_drops_only_corpus_matches(spark):
+    corpus, batch = _corpus_and_batch(spark)
+    idx = D.band_signatures(corpus)
+    out = D.incremental_dedup(batch, idx)
+    assert sorted(r["doc_id"] for r in out.collect()) == [102, 103]
+    # Survivor rows pass through unchanged (full schema preserved).
+    assert out.columns == batch.columns
+
+
+def test_incremental_dedup_is_batch_internal_blind(spark):
+    # Two identical docs WITHIN the batch both survive when the corpus
+    # has no match: the operator dedups against the index, not intra-batch
+    # (intra-batch dedup is dedup_exact/lsh_candidate_pairs' job).
+    corpus, _ = _corpus_and_batch(spark)
+    twin = "some novel sentence that appears twice in the incoming batch"
+    batch = spark.createDataFrame(
+        [(200, twin), (201, twin)], "doc_id long, text string"
+    )
+    out = D.incremental_dedup(batch, D.band_signatures(corpus))
+    assert out.count() == 2
+
+
+def test_band_signatures_shape(spark):
+    corpus, _ = _corpus_and_batch(spark)
+    bs = D.band_signatures(corpus, bands=4, num_hashes=16)
+    rows = bs.collect()
+    # every doc with >=3 tokens emits exactly `bands` rows
+    assert len(rows) == 2 * 4
+    assert set(bs.columns) == {"doc_id", "band", "band_sig"}
+
+
+def test_pydatasource_striping_is_partition_invariant(spark):
+    from datacamp_etl_spark.sources.pydatasource import register_synthdocs
+
+    register_synthdocs(spark)
+
+    def scan(parts):
+        return (
+            spark.read.format("synthdocs")
+            .option("n", 101)
+            .option("partitions", parts)
+            .load()
+        )
+
+    a = sorted(r["id"] for r in scan(3).collect())
+    b = sorted(r["id"] for r in scan(7).collect())
+    assert a == b == list(range(101))
+    # split count is honored by the planner
+    assert scan(7).rdd.getNumPartitions() == 7
+
+
+def test_udtf_chunks_reassemble(spark):
+    from datacamp_etl_spark.operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    text = "abcdefghij" * 7 + "xyz"  # 73 chars -> 8 chunks of 10
+    spark.createDataFrame([(1, text)], "doc_id long, text string")\
+        .createOrReplaceTempView("__t_udtf")
+    rows = spark.sql(
+        "SELECT c.chunk_idx, c.chunk FROM __t_udtf d, "
+        "LATERAL char_chunks(d.text, 10) c"
+    ).collect()
+    rows.sort(key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in rows] == list(range(8))
+    assert "".join(r["chunk"] for r in rows) == text
+    assert all(len(r["chunk"]) == 10 for r in rows[:-1])
+    assert len(rows[-1]["chunk"]) == 3
