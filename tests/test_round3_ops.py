@@ -95,3 +95,27 @@ def test_udtf_chunks_reassemble(spark):
     assert "".join(r["chunk"] for r in rows) == text
     assert all(len(r["chunk"]) == 10 for r in rows[:-1])
     assert len(rows[-1]["chunk"]) == 3
+
+
+def test_incremental_dedup_plan_no_cartesian(spark, sf_dir):
+    """The batch-vs-corpus probe must be equi-joins end to end: a
+    nested-loop anywhere here is an accidental all-pairs comparison."""
+    from datacamp_etl_spark import plans
+    from datacamp_etl_spark.queries import QUERIES
+
+    df = QUERIES["incremental_dedup_against_corpus"](spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    # hits are probed via LEFT SEMI and removed via LEFT ANTI
+    assert "LeftSemi" in phys, phys
+    assert "LeftAnti" in phys, phys
+
+
+def test_posting_lists_single_shuffle_topk(spark, sf_dir):
+    """posting_lists: one exchange for the term agg, then TakeOrdered —
+    the global index never funnels through one node."""
+    from datacamp_etl_spark.queries import QUERIES
+
+    df = QUERIES["posting_lists"](spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys, phys
