@@ -4504,6 +4504,57 @@ def q_udtf_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_agg_maintenance",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] materialized-rollup maintenance
+    (operators/incremental_agg.py): the pre-split events build the
+    state table once, the post-split delta aggregates ALONE, and the
+    two fold by union + re-group on the key. The oracle is the full
+    recompute — proving the fold is exact — while the maintained path
+    never re-scans the historical fact (its per-batch cost is
+    O(delta + state), the property that matters at 100 TB)."""
+    from datacamp_etl_spark.operators.incremental_agg import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    split = F.lit("2024-01-04 00:00:00").cast("timestamp")
+    dec_val = F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value")
+    state = aggregate_state(
+        ev.where(F.col("ts") < split),
+        ["event_type"],
+        sum_cols=[dec_val],
+        min_cols=["ts"],
+        max_cols=["ts"],
+    )
+    delta = aggregate_state(
+        ev.where(F.col("ts") >= split),
+        ["event_type"],
+        sum_cols=[dec_val],
+        min_cols=["ts"],
+        max_cols=["ts"],
+    )
+    merged = merge_aggregate_state(state, delta, ["event_type"])
+    return merged.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_ts").alias("min_ts"),
+        F.col("max_ts").alias("max_ts"),
+    )
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================

@@ -119,3 +119,44 @@ def test_posting_lists_single_shuffle_topk(spark, sf_dir):
     df = QUERIES["posting_lists"](spark, sf_dir)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in phys, phys
+
+
+def test_incremental_agg_chained_merges_equal_full_recompute(spark):
+    from datacamp_etl_spark.operators.incremental_agg import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    rows = [(i % 3, float(i), i) for i in range(100)]
+    full = spark.createDataFrame(rows, "k int, v double, o long")
+    batches = [
+        spark.createDataFrame(rows[a:b], "k int, v double, o long")
+        for a, b in [(0, 40), (40, 41), (41, 100)]
+    ]
+
+    def st(df):
+        return aggregate_state(
+            df, ["k"], sum_cols=["v"], min_cols=["o"], max_cols=["o"]
+        )
+
+    state = st(batches[0])
+    for delta in batches[1:]:
+        state = merge_aggregate_state(state, st(delta), ["k"])
+    expect = {r["k"]: r for r in st(full).collect()}
+    got = {r["k"]: r for r in state.collect()}
+    assert set(got) == set(expect)
+    for k in expect:
+        for c in ["n", "sum_v", "min_o", "max_o"]:
+            assert got[k][c] == expect[k][c], (k, c)
+
+
+def test_incremental_agg_rejects_unmergeable_column(spark):
+    import pytest
+
+    from datacamp_etl_spark.operators.incremental_agg import (
+        merge_aggregate_state,
+    )
+
+    bad = spark.createDataFrame([(1, 2, 3.0)], "k int, n long, avg_v double")
+    with pytest.raises(ValueError, match="mergeable"):
+        merge_aggregate_state(bad, bad, ["k"])
