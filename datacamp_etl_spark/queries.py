@@ -4555,6 +4555,33 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] VARIANT semi-structured path (Spark 4): props parses ONCE
+    into the binary variant encoding (parse_json), then typed paths
+    extract via variant_get — at 100 TB this beats per-path
+    get_json_object re-parses and is the representation a variant-
+    shredded parquet column would give the scan for free. Oracle uses
+    DuckDB's native JSON operators over the same strings."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================
