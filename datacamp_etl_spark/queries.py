@@ -4582,6 +4582,66 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_rocksdb_window_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_rocksdb_window_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] the windowed streaming aggregation executed on the
+    RocksDB state store provider — the store whose state lives
+    on executor LOCAL DISK with an in-memory working set, so stateful
+    queries survive state far beyond executor heap (the default
+    HDFS-backed provider keeps every key in memory). Same oracle as
+    streaming_window_counts: the provider must not change results,
+    only the state lifecycle."""
+    import tempfile
+
+    from datacamp_etl_spark.streaming.incremental import windowed_event_counts
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        agg = windowed_event_counts(
+            events_stream(spark, sf_dir), window="1 hour", watermark="2 hours"
+        )
+        _STREAM_RUN[0] += 1
+        sink = f"stream_rocks_{_STREAM_RUN[0]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
+    return spark.table(sink).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================

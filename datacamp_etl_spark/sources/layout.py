@@ -39,6 +39,8 @@ __all__ = [
     "write_bucketed",
     "compact",
     "file_stats",
+    "zorder_key",
+    "write_zordered",
 ]
 
 #: Default compaction target: 128 MiB per file (one HDFS/S3-friendly
@@ -154,3 +156,70 @@ def compact(
     finally:
         shutil.rmtree(old, ignore_errors=True)
     return {"before": before, "after": file_stats(path)}
+
+
+def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16):
+    """Z-order (Morton) key column over ``cols``: each column is
+    scaled into a ``2^bits`` grid by its global min/max, then the grid
+    coordinates' bits interleave. Rows close on the curve are close in
+    EVERY dimension, so sorting by this one key clusters all listed
+    columns at once — where a plain sort only clusters its leading
+    column.
+
+    The min/max pass is one bounded aggregate (2*len(cols) scalars to
+    the driver). Bit interleaving is a pure JVM expression chain
+    (shift/or), no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    n_cells = 1 << bits
+    coords = []
+    for c in cols:
+        lo, hi = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        span = (hi - lo) or 1.0
+        cell = F.least(
+            F.lit(n_cells - 1),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_cells
+            ).cast("long"),
+        )
+        coords.append(cell)
+    # interleave: output bit (i*len(cols)+j) takes bit i of coord j
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, cell in enumerate(coords):
+            bit = F.shiftright(cell, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, i * len(coords) + j).cast("long")
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    num_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` range-partitioned + sorted by its Z-order key over
+    ``cols``: every output file then holds a tight min/max box in ALL
+    listed dimensions, so parquet row-group stats skip files for
+    predicates on ANY of them (a sorted write only skips on its
+    leading column). The curve key is dropped before writing — layout
+    only, schema unchanged."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("__zkey", zorder_key(df, cols, bits=bits))
+    (
+        keyed.repartitionByRange(num_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -97,3 +97,41 @@ def test_write_bucketed_zero_exchange_join(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS lo_orders")
         spark.sql("DROP TABLE IF EXISTS lo_lineitem")
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files hold tight min/max boxes in BOTH columns: the
+    mean per-file span must shrink well below the global span on each
+    dimension (a plain x-sort would leave y spans ~global)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datacamp_etl_spark.sources.layout import write_zordered
+
+    # 64x64 grid, shuffled order
+    df = (
+        spark.range(4096)
+        .selectExpr(
+            "CAST(id % 64 AS LONG) AS x",
+            "CAST(id DIV 64 AS LONG) AS y",
+        )
+        .orderBy(F.md5(F.concat_ws(":", F.col("x"), F.col("y"))))
+    )
+    out = str(tmp_path / "zord")
+    write_zordered(df, out, ["x", "y"], num_files=16, bits=6)
+
+    spans = {"x": [], "y": []}
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq.read_table(f)
+        for c in ("x", "y"):
+            col = t.column(c).to_pylist()
+            if col:
+                spans[c].append(max(col) - min(col))
+    for c in ("x", "y"):
+        mean_span = sum(spans[c]) / len(spans[c])
+        # global span is 63; 16 z-tiles over a 64x64 grid should box
+        # each dimension into ~a quarter of the domain or less
+        assert mean_span <= 32, (c, spans[c])
+    # round-trip integrity
+    assert spark.read.parquet(out).count() == 4096
