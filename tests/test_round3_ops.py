@@ -160,3 +160,32 @@ def test_incremental_agg_rejects_unmergeable_column(spark):
     bad = spark.createDataFrame([(1, 2, 3.0)], "k int, n long, avg_v double")
     with pytest.raises(ValueError, match="mergeable"):
         merge_aggregate_state(bad, bad, ["k"])
+
+
+def test_read_evolved_conforms_generations(spark, tmp_path):
+    from datacamp_etl_spark.sources.evolution import read_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, 10), (2, 20)], "id int, a int").write.parquet(v1)
+    spark.createDataFrame(
+        [(3, "x"), (4, "y")], "id bigint, b string"
+    ).write.parquet(v2)
+
+    out = read_evolved(spark, [v1, v2], "id bigint, a int, b string")
+    rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (None, "x"), 4: (None, "y")}
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "int", "string",
+    ]
+
+
+def test_read_evolved_rejects_narrowing(spark, tmp_path):
+    import pytest
+
+    from datacamp_etl_spark.sources.evolution import read_evolved
+
+    p = str(tmp_path / "wide")
+    spark.createDataFrame([(1,)], "id bigint").write.parquet(p)
+    with pytest.raises(ValueError, match="lossy"):
+        read_evolved(spark, [p], "id int")
