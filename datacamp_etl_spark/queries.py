@@ -4642,6 +4642,57 @@ def q_streaming_rocksdb_window_counts(
     )
 
 
+@register(
+    "assign_contiguous_ids",
+    """
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+    """,
+)
+def q_assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] contiguous global ids WITHOUT the single-task global
+    window (operators/ids.py): range-partition on the key, bounded
+    per-partition-count collect, broadcast offsets + parallel
+    per-partition row_number. The oracle is the global row_number —
+    identical ids, but this plan has no one-partition stage at any
+    scale."""
+    from datacamp_etl_spark.operators.ids import assign_contiguous_ids
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_contiguous_ids(docs, ["doc_id"])
+
+
+@register(
+    "training_shuffle",
+    """
+    SELECT doc_id, source,
+           md5('7' || chr(31) || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 100
+    """,
+)
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic training-order shuffle: md5(seed, key)
+    gives a reproducible pseudo-random total order any engine can
+    replay (no RNG state), re-drawn by changing the seed. At scale the
+    same key range-partitions the shuffled WRITE so epoch order is a
+    layout property, not a query-time sort."""
+    from datacamp_etl_spark.operators.ids import training_order
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            training_order(docs, ["doc_id"], seed=7).alias("shuffle_key"),
+        )
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================

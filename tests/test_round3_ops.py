@@ -189,3 +189,39 @@ def test_read_evolved_rejects_narrowing(spark, tmp_path):
     spark.createDataFrame([(1,)], "id bigint").write.parquet(p)
     with pytest.raises(ValueError, match="lossy"):
         read_evolved(spark, [p], "id int")
+
+
+def test_assign_contiguous_ids_matches_global_order(spark):
+    from datacamp_etl_spark.operators.ids import assign_contiguous_ids
+
+    df = spark.range(1000).selectExpr(
+        "CAST(pmod(id * 2654435761, 1000003) AS LONG) AS k", "id AS payload"
+    )
+    out = assign_contiguous_ids(df, ["k"], num_partitions=7, start=10)
+    rows = sorted(out.collect(), key=lambda r: r["k"])
+    assert [r["row_id"] for r in rows] == list(range(10, 1010))
+    # ids are dense and unique
+    assert len({r["row_id"] for r in rows}) == 1000
+
+
+def test_assign_contiguous_ids_no_single_partition_window(spark):
+    """The plan's windows partition by __pid — there must be no
+    single-partition Exchange (the global-sort row_number shape)."""
+    from datacamp_etl_spark.operators.ids import assign_contiguous_ids
+
+    df = spark.range(1000).selectExpr("id AS k")
+    out = assign_contiguous_ids(df, ["k"], num_partitions=7)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in phys, phys
+
+
+def test_training_order_deterministic_and_seed_sensitive(spark):
+    from datacamp_etl_spark.operators.ids import training_order
+
+    df = spark.range(200).selectExpr("id AS k")
+    a = [r["k"] for r in df.orderBy(training_order(df, ["k"], seed=1)).collect()]
+    b = [r["k"] for r in df.orderBy(training_order(df, ["k"], seed=1)).collect()]
+    c = [r["k"] for r in df.orderBy(training_order(df, ["k"], seed=2)).collect()]
+    assert a == b
+    assert a != c
+    assert sorted(a) == list(range(200))
