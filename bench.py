@@ -80,6 +80,9 @@ HEADLINE = [
     # [EXT] round-3 additions
     "incremental_dedup_against_corpus",
     "posting_lists",
+    "incremental_agg_maintenance",
+    "variant_props_stats",
+    "assign_contiguous_ids",
 ]
 
 
