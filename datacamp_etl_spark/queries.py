@@ -4693,6 +4693,65 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "column_profile_orders",
+    """
+    SELECT 'o_totalprice' AS "column", count(o_totalprice) AS n,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT o_totalprice) AS n_distinct,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_val,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(o_custkey),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(o_orderkey),
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderkey),
+           CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE)
+    FROM orders
+    """,
+)
+def q_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] single-pass data profile (operators/profile.py): count /
+    nulls / exact distinct / min / max for three orders columns in ONE
+    agg, unpivoted to a stats table. Bounded output (cols x 1) —
+    snapshot-per-batch drift monitoring at any fact size."""
+    from datacamp_etl_spark.operators.profile import column_profile
+
+    o = t(spark, sf_dir, "orders")
+    return column_profile(o, ["o_totalprice", "o_custkey", "o_orderkey"])
+
+
+@register(
+    "histogram_order_totals",
+    """
+    WITH b AS (SELECT CAST(greatest(0, least(19,
+                    floor((o_totalprice - 0.0) / 600000.0 * 20))) AS INT)
+                  AS bucket
+               FROM orders WHERE o_totalprice IS NOT NULL)
+    SELECT bucket,
+           0.0 + bucket * 30000.0 AS lo_edge,
+           0.0 + (bucket + 1) * 30000.0 AS hi_edge,
+           count(*) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def q_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] fixed-range 20-bin histogram of order totals: bucket by
+    pure arithmetic (edge-clamped so outliers stay visible), one
+    combine-friendly groupBy. Fixed edges keep per-batch snapshots
+    comparable for drift detection."""
+    from datacamp_etl_spark.operators.profile import numeric_histogram
+
+    o = t(spark, sf_dir, "orders")
+    return numeric_histogram(o, "o_totalprice", lo=0.0, hi=600000.0, bins=20)
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================

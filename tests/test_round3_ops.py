@@ -225,3 +225,29 @@ def test_training_order_deterministic_and_seed_sensitive(spark):
     assert a == b
     assert a != c
     assert sorted(a) == list(range(200))
+
+
+def test_column_profile_counts_nulls_and_distincts(spark):
+    from datacamp_etl_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (2, 30.0), (None, 30.0)],
+        "a int, b double",
+    )
+    out = {r["column"]: r for r in column_profile(df, ["a", "b"]).collect()}
+    assert out["a"]["n"] == 3 and out["a"]["n_null"] == 1
+    assert out["a"]["n_distinct"] == 2
+    assert out["b"]["min_val"] == 10.0 and out["b"]["max_val"] == 30.0
+
+
+def test_histogram_clamps_outliers_into_edge_bins(spark):
+    from datacamp_etl_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (9.5,), (99.0,), (None,)], "v double"
+    )
+    out = {r["bucket"]: r["n"] for r in
+           numeric_histogram(df, "v", lo=0.0, hi=10.0, bins=10).collect()}
+    assert out[0] == 2       # -5 clamped down into bucket 0, plus 0.5
+    assert out[9] == 2       # 9.5 plus clamped 99.0
+    assert sum(out.values()) == 4  # NULL excluded
