@@ -183,3 +183,43 @@ def approx_quantiles(
     mergeable, error bounded by 1/accuracy. Returns driver-side floats
     (bounded: one per probability)."""
     return df.approxQuantile(col, probabilities, 1.0 / accuracy)
+
+
+# ---------------------------------------------------------------------
+# Mergeable HLL distinct-count state (DataSketches)
+# ---------------------------------------------------------------------
+
+def hll_state(
+    df: DataFrame, keys: list[str], col: str, *, lg_k: int = 14
+) -> DataFrame:
+    """Per-key DataSketches HLL state over ``col`` — the mergeable
+    distinct-count analog of incremental_agg.aggregate_state. The
+    sketch is a fixed-size binary (2^lg_k registers), so maintaining
+    per-key distinct counts over a 100 TB fact costs O(delta) per
+    batch plus a bounded state table; exact re-counts would re-shuffle
+    the full history every batch."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(col, F.lit(lg_k)).alias(f"hll_{col}")
+    )
+
+
+def hll_merge(
+    state: DataFrame, delta_state: DataFrame, keys: list[str], col: str
+) -> DataFrame:
+    """Fold a delta's HLL state into the existing state (register-wise
+    max — associative, commutative, idempotent: re-merging the SAME
+    delta is harmless, unlike additive counts)."""
+    sk = f"hll_{col}"
+    return (
+        state.unionByName(delta_state)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg(sk).alias(sk))
+    )
+
+
+def hll_estimate(state: DataFrame, col: str) -> DataFrame:
+    """Replace the sketch column with its distinct estimate."""
+    sk = f"hll_{col}"
+    return state.withColumn(
+        f"n_distinct_{col}", F.hll_sketch_estimate(sk).cast("long")
+    ).drop(sk)

@@ -4752,6 +4752,31 @@ def q_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_histogram(o, "o_totalprice", lo=0.0, hi=600000.0, bins=20)
 
 
+@register("hll_incremental_distinct")
+def q_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] incremental distinct-count maintenance via DataSketches
+    HLL state (operators/sketch.py): per-event-type sketches built on
+    a pre/post-split partition of events, folded with register-max
+    union (associative, commutative, IDEMPOTENT — replay-safe without
+    a ledger), then estimated. No SQL oracle by design: the sketch
+    binary is not replayable in DuckDB; accuracy (<2% vs exact) and
+    idempotence are pinned in tests/test_sketch.py."""
+    from datacamp_etl_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_state,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "user_s", F.col("user_id").cast("string")
+    )
+    split = F.lit("2024-01-04 00:00:00").cast("timestamp")
+    old = hll_state(ev.where(F.col("ts") < split), ["event_type"], "user_s")
+    new = hll_state(ev.where(F.col("ts") >= split), ["event_type"], "user_s")
+    merged = hll_merge(old, new, ["event_type"], "user_s")
+    return hll_estimate(merged, "user_s").orderBy("event_type")
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================

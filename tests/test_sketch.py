@@ -106,3 +106,37 @@ def test_approx_quantiles_ordered_and_bounded(spark, sf_dir):
     assert qs == sorted(qs)
     lo, hi = li.agg(F.min("l_quantity"), F.max("l_quantity")).collect()[0]
     assert lo <= qs[0] and qs[-1] <= hi
+
+
+def test_hll_incremental_merge_tracks_exact_within_tolerance(spark):
+    from datacamp_etl_spark.operators import sketch as S
+
+    df = spark.range(30000).selectExpr(
+        "id % 4 AS g", "CAST(id % 9001 AS STRING) AS v"
+    )
+    a, b = df.where("id < 11000"), df.where("id >= 11000")
+    state = S.hll_merge(
+        S.hll_state(a, ["g"], "v"), S.hll_state(b, ["g"], "v"), ["g"], "v"
+    )
+    est = {r["g"]: r["n_distinct_v"] for r in S.hll_estimate(state, "v").collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.02, (g, est[g], exact[g])
+
+
+def test_hll_merge_is_idempotent(spark):
+    """Re-merging the same delta must not move the estimate — the
+    property that makes sketch state safe under batch replays (where
+    additive counts need a ledger)."""
+    from datacamp_etl_spark.operators import sketch as S
+
+    df = spark.range(5000).selectExpr("id % 2 AS g", "CAST(id AS STRING) AS v")
+    st = S.hll_state(df, ["g"], "v")
+    once = S.hll_merge(st, st, ["g"], "v")
+    twice = S.hll_merge(once, st, ["g"], "v")
+    e1 = {r["g"]: r["n_distinct_v"] for r in S.hll_estimate(once, "v").collect()}
+    e2 = {r["g"]: r["n_distinct_v"] for r in S.hll_estimate(twice, "v").collect()}
+    assert e1 == e2
