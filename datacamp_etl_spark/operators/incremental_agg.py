@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["aggregate_state", "merge_aggregate_state"]
+__all__ = ["aggregate_state", "merge_aggregate_state", "selective_refresh"]
 
 
 def aggregate_state(
@@ -79,3 +79,28 @@ def merge_aggregate_state(
                 f"state column {c!r} lacks a mergeable sum_/min_/max_ role"
             )
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def selective_refresh(
+    state: DataFrame,
+    fact: DataFrame,
+    affected: DataFrame,
+    build_state,
+    *,
+    on: Sequence[str],
+) -> DataFrame:
+    """Rebuild ONLY the state rows whose ``on`` keys appear in
+    ``affected`` (e.g. the hours late data landed in): untouched rows
+    pass through an anti-join, affected fact slices re-aggregate via
+    ``build_state`` after a LEFT SEMI restriction.
+
+    This is the late-data/correction path the additive fold can't
+    cover (merge_aggregate_state can absorb late APPENDS, but not
+    updates or deletes). Cost: |state| + the affected slice of the
+    fact — when ``on`` aligns with the fact's partition layout the
+    semi join IS partition pruning, so a 3-hour correction over a
+    100 TB fact reads 3 hours, not the table. ``fact`` must already
+    carry the ``on`` columns (precompute e.g. the hour bucket)."""
+    keep = state.join(affected, on=list(on), how="left_anti")
+    scoped = fact.join(affected, on=list(on), how="left_semi")
+    return keep.unionByName(build_state(scoped))

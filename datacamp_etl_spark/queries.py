@@ -4777,6 +4777,51 @@ def q_hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(merged, "user_s").orderBy("event_type")
 
 
+@register(
+    "selective_window_refresh",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_selective_window_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] late-data reconciliation
+    (incremental_agg.selective_refresh): the hourly rollup is built
+    WITHOUT the late rows (every 50th event), then only the hours
+    those rows touch are dropped and rebuilt from the (hour-restricted)
+    fact — updates/deletes handled, untouched hours never re-read. The
+    oracle is the full recompute, so the refresh must agree exactly."""
+    from datacamp_etl_spark.operators.incremental_agg import (
+        selective_refresh,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "window_start", F.date_trunc("hour", "ts")
+    )
+
+    def build(df: DataFrame) -> DataFrame:
+        return df.groupBy("window_start", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+
+    is_late = F.pmod(F.col("event_id"), F.lit(50)) == 0
+    state0 = build(ev.where(~is_late))
+    affected = ev.where(is_late).select("window_start").distinct()
+    refreshed = selective_refresh(
+        state0, ev, affected, build, on=["window_start"]
+    )
+    return refreshed.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================

@@ -251,3 +251,28 @@ def test_histogram_clamps_outliers_into_edge_bins(spark):
     assert out[0] == 2       # -5 clamped down into bucket 0, plus 0.5
     assert out[9] == 2       # 9.5 plus clamped 99.0
     assert sum(out.values()) == 4  # NULL excluded
+
+
+def test_selective_refresh_handles_corrections(spark):
+    """An UPDATE-shaped correction (value changed in one bucket) is
+    invisible to additive folds but exact under selective_refresh."""
+    from datacamp_etl_spark.operators.incremental_agg import (
+        selective_refresh,
+    )
+
+    fact_v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 5.0), (2, "a", 7.0)], "h int, k string, v double"
+    )
+    # correction: bucket 1's 'a' row becomes 99.0
+    fact_v2 = spark.createDataFrame(
+        [(1, "a", 99.0), (1, "b", 5.0), (2, "a", 7.0)], "h int, k string, v double"
+    )
+
+    def build(df):
+        return df.groupBy("h", "k").agg(F.sum("v").alias("sum_v"))
+
+    state = build(fact_v1)
+    affected = spark.createDataFrame([(1,)], "h int")
+    out = selective_refresh(state, fact_v2, affected, build, on=["h"])
+    got = {(r["h"], r["k"]): r["sum_v"] for r in out.collect()}
+    assert got == {(1, "a"): 99.0, (1, "b"): 5.0, (2, "a"): 7.0}
