@@ -4822,6 +4822,73 @@ def q_selective_window_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN TIMESTAMP '2024-01-04 00:00:00' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'MACHINERY' AS seg,
+               TIMESTAMP '2024-01-04 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT d.seg, count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN dim d ON e.user_id = d.c_custkey
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY d.seg
+    """,
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] point-in-time dimension lookup over an SCD2 table: each
+    event joins the dimension VERSION valid at its event time — equi
+    join on the business key plus a residual validity-interval filter
+    (versions per key are bounded, so the residual is O(1) per
+    candidate; never a range cross join). The consumption-side
+    complement of scd2_merge: history is written once, every fact
+    resolves against it as-of its own timestamp."""
+    ev = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.lit("2024-01-04 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    v2 = (
+        c.where(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.lit("MACHINERY").alias("seg"),
+            F.lit("2024-01-04 00:00:00").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    joined = ev.join(
+        dim,
+        (ev.user_id == dim.c_custkey)
+        & (ev.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)),
+    )
+    return joined.groupBy("seg").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================
