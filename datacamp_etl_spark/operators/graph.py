@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "connected_components_star", "dedup_clusters"]
 
 
 def connected_components(
@@ -115,4 +115,109 @@ def dedup_clusters(
             F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
         )
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Large-star / small-star (Kiveris et al., SoCC'14)
+# ---------------------------------------------------------------------
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Undirected canonical edge set: (min, max), no self-loops."""
+    return (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _neighbor_min(sym: DataFrame) -> DataFrame:
+    return sym.groupBy("a").agg(
+        F.least(F.col("a"), F.min("b")).alias("m")
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to m = min(N(u) + {u})."""
+    mn = _neighbor_min(sym)
+    return (
+        sym.join(mn, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Connect every neighbor v <= u, and u itself, to m."""
+    mn = _neighbor_min(sym)
+    vm = (
+        sym.join(mn, "a")
+        .where(F.col("b") <= F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    return vm.union(mn.select("a", F.col("m").alias("b")))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star —
+    the deep-graph variant of :func:`connected_components`: plain
+    min-label propagation needs diameter-many rounds (a 10k-link chain
+    is 10k shuffles), star contraction roughly halves component height
+    per round, so convergence is O(log diameter) rounds of the same
+    equi-join + groupBy(min) shape. Same contract as
+    :func:`connected_components`: ``(node, component)`` with component
+    = smallest reachable node id.
+
+    Near-dup graphs are shallow stars, where plain propagation wins on
+    constant factors — reach for this when clustering structures with
+    real depth (citation chains, session graphs, link hierarchies).
+    """
+    def _sig(frame: DataFrame) -> tuple:
+        # one job: (edge count, order-independent content checksum)
+        r = frame.agg(
+            F.count("*").alias("n"), F.sum(F.hash("a", "b")).alias("h")
+        ).first()
+        return (r["n"], r["h"])
+
+    # Each star round embeds SEVERAL copies of the previous round's
+    # plan (sym unions + neighbor-min joins), so cache-only lineage
+    # grows exponentially with rounds and Catalyst planning time
+    # dwarfs execution (measured: 8 s/round -> 250 s by round 3 with
+    # persist()). localCheckpoint cuts the lineage hard every round —
+    # the standard iterative-algorithm contract.
+    e = _canon(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).localCheckpoint()
+    nodes = (
+        _sym(e).select(F.col("a").alias("node")).distinct().localCheckpoint()
+    )
+    prev_sig = _sig(e)
+    for _ in range(max_iterations):
+        e2 = _canon(_large_star(_sym(e)))
+        e3 = _canon(_small_star(_sym(e2))).localCheckpoint()
+        sig = _sig(e3)
+        if sig == prev_sig:
+            # checksum agreement is necessary, not sufficient — do the
+            # exact set comparison ONCE, at the convergence candidate.
+            if e3.exceptAll(e).limit(1).count() == 0:
+                lab = _neighbor_min(_sym(e3)).select(
+                    F.col("a").alias("node"), F.col("m").alias("component")
+                )
+                return nodes.join(lab, "node", "left").select(
+                    "node",
+                    F.coalesce("component", F.col("node")).alias("component"),
+                )
+        e, prev_sig = e3, sig
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iterations} rounds"
     )

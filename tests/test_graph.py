@@ -49,3 +49,38 @@ def test_dedup_clusters_singletons_and_keep(spark):
     assert out[2] == (2, True) and out[4] == (2, False) and out[6] == (2, False)
     # singletons keep themselves
     assert out[1] == (1, True) and out[3] == (3, True) and out[5] == (5, True)
+
+
+def test_star_matches_plain_on_mixed_graph(spark):
+    """Equivalence on a SHALLOW graph (plain propagation is diameter-
+    bound, so the shared fixture must be star/clique-shaped — depth
+    is exercised by the chain test below)."""
+    from datacamp_etl_spark.operators import graph as G
+
+    rows = []
+    rows += [(h, h + k) for h in (0, 100, 200) for k in range(1, 8)]   # stars
+    rows += [(300 + i, 300 + j) for i in range(5) for j in range(i)]   # clique
+    rows += [(107, 204), (5, 104)]                                     # bridges
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    a = {r["node"]: r["component"]
+         for r in G.connected_components(edges).collect()}
+    b = {r["node"]: r["component"]
+         for r in G.connected_components_star(edges).collect()}
+    assert a == b
+    assert b[204] == 0 and b[104] == 0  # bridges fused the stars
+
+
+def test_star_converges_fast_on_long_chain(spark):
+    """A 150-link path has diameter 150: plain propagation cannot
+    close it in 8 rounds; star contraction converges within its
+    20-round default (~log2 depth)."""
+    import pytest
+
+    from datacamp_etl_spark.operators import graph as G
+
+    chain = spark.range(150).selectExpr("id AS src", "id + 1 AS dst")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        G.connected_components(chain, max_iterations=8)
+    comp = G.connected_components_star(chain).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 151
