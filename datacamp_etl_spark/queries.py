@@ -4889,6 +4889,33 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters_star",
+    ORACLE["dedup_clusters"],
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] the dedup_clusters assignment computed with the
+    large-star/small-star algorithm (operators/graph.py,
+    connected_components_star) instead of plain min-label propagation
+    — O(log diameter) rounds, the variant that survives DEEP
+    components. Identical clusters, same recursive-CTE oracle."""
+    from datacamp_etl_spark.operators.dedup import lsh_candidate_pairs
+    from datacamp_etl_spark.operators.graph import connected_components_star
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components_star(pairs, src="id_a", dst="id_b")
+    return (
+        docs.select(F.col("doc_id"))
+        .join(comp, F.col("doc_id") == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================
