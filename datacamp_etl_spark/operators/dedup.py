@@ -363,9 +363,16 @@ def ngram_jaccard_pairs(
         return inter.join(sz_a, "id_a").join(sz_b, "id_b")
 
     if candidates is None and strategy == "expand":
+        # Cache the exploded shingle index: it has THREE consumers
+        # (both self-join sides + the per-doc size agg), and without
+        # materialization each runs the normalize/shingle kernel again
+        # (measured 2x total cost at sf0.1). Materializing the index
+        # once is the standard trade at scale too — MEMORY_AND_DISK
+        # spills, and a 100 TB pipeline would stage this very relation
+        # to parquet before the join anyway.
         sh = ensure_parallelism(df).select(
             F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
-        )
+        ).cache()
         # merge hint: self-equi-join — parallel sort + reused exchange
         # beats a single-threaded broadcast build.
         a = sh.hint("merge").select(F.col(id_col).alias("id_a"), "shingle")
@@ -376,7 +383,17 @@ def ngram_jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_common"))
         )
-        scored = _score_counts(inter)
+        # sizes derive from the cached index (shingles() is already
+        # distinct per doc); zero-shingle docs are absent on BOTH
+        # paths, so results are identical to a fresh size scan.
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        sz_a = sizes.select(
+            F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+        )
+        sz_b = sizes.select(
+            F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+        )
+        scored = inter.join(sz_a, "id_a").join(sz_b, "id_b")
     else:
         docsets = ensure_parallelism(df).select(
             F.col(id_col).alias("id"),
