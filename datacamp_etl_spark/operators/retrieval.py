@@ -46,9 +46,13 @@ def tfidf_topk_terms(
     more than (id, term, count) triples.
     """
     df = ensure_parallelism(df)  # tokenization is CPU-bound
+    # Cache the postings: tf and df aggregate the SAME exploded
+    # relation on different keys, and without materialization each
+    # re-runs the tokenizer over the corpus. (At scale this relation
+    # is the posting list a pipeline stages to parquet anyway.)
     posting = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
-    )
+    ).cache()
     tf = posting.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dfreq = posting.groupBy("term").agg(
         F.countDistinct("id").alias("df")
@@ -106,11 +110,14 @@ def bm25_search(
     """
     qlits = [F.lit(t) for t in query_terms]
     df = ensure_parallelism(df)  # tokenization is CPU-bound
+    # Cached: tf and df consume the same filtered postings; the
+    # surviving rows are O(postings of |q| terms), so the cache is
+    # tiny while saving a full-corpus tokenizer pass.
     posting = df.select(
         F.col(id_col).alias("id"),
         F.size(tokens(text_col)).alias("dl"),
         F.explode(tokens(text_col)).alias("term"),
-    ).where(F.col("term").isin(*qlits))
+    ).where(F.col("term").isin(*qlits)).cache()
     tf = posting.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = posting.groupBy("term").agg(F.countDistinct("id").alias("df"))
     stats = df.select(
