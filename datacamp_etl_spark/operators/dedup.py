@@ -395,11 +395,24 @@ def ngram_jaccard_pairs(
         )
         scored = inter.join(sz_a, "id_a").join(sz_b, "id_b")
     else:
-        docsets = ensure_parallelism(df).select(
-            F.col(id_col).alias("id"),
-            shingles(text_col, k).alias("sh_arr"),
-            F.size(shingles(text_col, k)).alias("n_sh"),
-        ).where(F.col("n_sh") > 0)
+        # Shingle ONCE per row (evaluate_once barrier stops Catalyst
+        # re-inlining the kernel into the size()), and cache: docsets
+        # feeds candidate generation AND both verify sides — without
+        # materialization each consumer re-runs the kernel over the
+        # corpus. Same staging-table trade as the expand path.
+        from datacamp_etl_spark.operators.spread import evaluate_once
+
+        base = evaluate_once(
+            ensure_parallelism(df).select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("__txt")
+            ),
+            {"sh_arr": shingles("__txt", k)},
+        )
+        docsets = (
+            base.select("id", "sh_arr", F.size("sh_arr").alias("n_sh"))
+            .where(F.col("n_sh") > 0)
+            .cache()
+        )
         if candidates is not None:
             cand = candidates.select("id_a", "id_b")
         else:
