@@ -83,6 +83,8 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "variant_props_stats",
     "assign_contiguous_ids",
+    "selective_window_refresh",
+    "scd2_point_in_time_join",
 ]
 
 
