@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-__all__ = ["running_user_totals"]
+__all__ = ["running_user_totals", "running_user_totals_tws"]
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_cents long"
 STATE_SCHEMA = "n long, cents long"
@@ -59,4 +59,53 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals on the transformWithState API
+    (Spark 4 arbitrary-state v2, ``StatefulProcessor``): typed
+    ValueState managed by the processor handle instead of a single
+    opaque tuple, with lifecycle hooks (init/close) and room for
+    timers/TTL — the API an evolving stateful operator grows into.
+    Identical integer-cents semantics to running_user_totals.
+
+    ENVIRONMENT GATE: the transformWithState Python worker protocol
+    needs a working ``google.protobuf``; where that is absent (as in
+    this build container) the streaming query crashes at start. The
+    operator stays for environments that have it; use
+    :func:`running_user_totals` (applyInPandasWithState) otherwise —
+    tests probe protobuf and skip accordingly."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            n, cents = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum()
+                )
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

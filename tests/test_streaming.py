@@ -138,3 +138,31 @@ def test_chained_window_peaks_batch_parity(spark):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_totals_if_protobuf(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (state API v2) parity with the
+    applyInPandasWithState operator — skipped where the worker's
+    protobuf dependency is broken (this container)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "worker cannot start in this environment")
+    from datacamp_etl_spark.queries import events_stream
+    from datacamp_etl_spark.streaming.stateful import running_user_totals_tws
+
+    raw = events_stream(spark, sf_dir).select("user_id", "value")
+    q = (
+        running_user_totals_tws(raw)
+        .writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("tws_test").count() > 0
