@@ -1,0 +1,95 @@
+"""Property-based invariants (hypothesis) for the algebra the scale
+story depends on: state folds must be partition-order-free, schema
+conformance idempotent, id assignment a bijection. Small example
+counts — each example runs real Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # key
+        st.integers(min_value=-1000, max_value=1000),   # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy, cut=st.integers(min_value=0, max_value=40))
+@settings(**SETTINGS)
+def test_state_fold_is_split_invariant(spark, rows, cut):
+    """agg(full) == merge(agg(prefix), agg(suffix)) for ANY split
+    point — the invariant that makes incremental maintenance exact."""
+    from datacamp_etl_spark.operators.incremental_agg import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    cut = min(cut, len(rows) - 1)
+    schema = "k int, v long"
+    full = spark.createDataFrame(rows, schema)
+
+    def st_(data):
+        return aggregate_state(
+            spark.createDataFrame(data, schema) if data else
+            spark.createDataFrame([], schema),
+            ["k"], sum_cols=["v"], min_cols=["v"], max_cols=["v"],
+        )
+
+    merged = merge_aggregate_state(st_(rows[:cut]), st_(rows[cut:]), ["k"])
+    want = {
+        r["k"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in aggregate_state(
+            full, ["k"], sum_cols=["v"], min_cols=["v"], max_cols=["v"]
+        ).collect()
+    }
+    got = {
+        r["k"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in merged.collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(-5, 5)),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_conform_is_idempotent_and_order_stable(spark, vals):
+    from datacamp_etl_spark.sources.evolution import conform_to_schema
+
+    df = spark.createDataFrame(vals, "id long, a int")
+    target = spark.createDataFrame([], "a long, b string, id long").schema
+    once = conform_to_schema(df, target)
+    twice = conform_to_schema(once, target)
+    assert once.schema == twice.schema
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9),
+        min_size=1, max_size=50, unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_contiguous_ids_are_a_dense_order_isomorphism(spark, keys):
+    from datacamp_etl_spark.operators.ids import assign_contiguous_ids
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = assign_contiguous_ids(df, ["k"], num_partitions=3)
+    rows = sorted(out.collect(), key=lambda r: r["k"])
+    assert [r["row_id"] for r in rows] == list(range(len(keys)))
