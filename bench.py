@@ -85,6 +85,7 @@ HEADLINE = [
     "assign_contiguous_ids",
     "selective_window_refresh",
     "scd2_point_in_time_join",
+    "hybrid_search_rrf",
 ]
 
 

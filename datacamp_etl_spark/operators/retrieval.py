@@ -144,3 +144,56 @@ def bm25_search(
         .limit(top_k)
         .select(F.col("id").alias(id_col), "n_hit_terms", "score")
     )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    *,
+    top_k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion:
+    BM25 top-``pool`` and cosine top-``pool`` run independently, then
+    fuse as ``sum(1 / (rrf_k + rank))`` over a full outer join of the
+    two pools. Ranks are integers and the fusion is pure rational
+    arithmetic — exact and replayable cross-engine.
+
+    Scale shape: both branches end in TakeOrdered pools of ``pool``
+    rows, so the fusion join is trivially broadcastable no matter the
+    corpus size; the expensive parts are the two retrievals, each
+    already shuffle-light (see bm25_search / brute_force_topk — swap
+    in lsh/ivf/pq top-k for the vector branch at larger corpora).
+    """
+    from datacamp_etl_spark.operators.similarity import brute_force_topk
+
+    lex = bm25_search(docs, query_terms, id_col=id_col, top_k=pool)
+    wl = Window.orderBy(F.desc("score"), F.asc(id_col))
+    lex_r = lex.select(
+        F.col(id_col).alias("id"), F.row_number().over(wl).alias("lex_rank")
+    )
+    vec = brute_force_topk(embeddings, query_vec, k=pool)
+    wv = Window.orderBy(F.desc("cosine"), F.asc(vec_id_col))
+    vec_r = vec.select(
+        F.col(vec_id_col).alias("id"), F.row_number().over(wv).alias("vec_rank")
+    )
+    fused = lex_r.join(vec_r, "id", "full_outer").select(
+        "id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(top_k)
+        .select(F.col("id").alias(id_col), "lex_rank", "vec_rank", "rrf_score")
+    )

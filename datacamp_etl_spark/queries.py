@@ -4916,6 +4916,68 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hybrid_search_rrf",
+    f"""
+    {_TOKS_CTE},
+    p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+    q AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+          WHERE term IN {_BM25_TERMS} GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM p
+            WHERE term IN {_BM25_TERMS} GROUP BY 1),
+    st AS (SELECT count(DISTINCT doc_id) AS n,
+                  avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM tk),
+    bm AS (SELECT q.doc_id,
+                  round(sum(
+                      ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                      * q.tf * 2.2
+                      / (q.tf + 1.2 * (0.25 + 0.75 * q.dl / st.avgdl))
+                  ), 4) AS score
+           FROM q JOIN dfq USING (term) CROSS JOIN st
+           GROUP BY q.doc_id ORDER BY score DESC, q.doc_id LIMIT 50),
+    lexr AS (SELECT doc_id AS id,
+                    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                         AS INT) AS lex_rank
+             FROM bm),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cos AS (SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(qv.embedding AS DOUBLE[])),
+                         6) AS cosine
+            FROM embeddings e, qv
+            ORDER BY cosine DESC, e.vec_id LIMIT 50),
+    vecr AS (SELECT vec_id AS id,
+                    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                         AS INT) AS vec_rank
+             FROM cos)
+    SELECT coalesce(l.id, v.id) AS doc_id, l.lex_rank, v.vec_rank,
+           round(coalesce(1.0 / (60 + l.lex_rank), 0)
+                 + coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf_score
+    FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] hybrid retrieval (operators/retrieval.py,
+    hybrid_search_rrf): BM25 top-50 and brute-force cosine top-50 fuse
+    by reciprocal-rank (1/(60+rank) summed over a full outer join of
+    the two pools) — the standard lexical+vector fusion a RAG corpus
+    runs. Integer ranks make the fusion exact; both pools are
+    TakeOrdered, so the fusion join is broadcast-sized at any corpus
+    scale."""
+    from datacamp_etl_spark.operators.retrieval import hybrid_search_rrf
+
+    q = _query_vector(spark, sf_dir, 0)
+    return hybrid_search_rrf(
+        t(spark, sf_dir, "documents"),
+        t(spark, sf_dir, "embeddings"),
+        list(_BM25_TERMS),
+        q,
+        top_k=10,
+        pool=50,
+    )
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================

@@ -64,3 +64,30 @@ def test_bm25_plan_no_cartesian_on_corpus(spark):
     # the only cross joins are one-row scalar broadcasts
     assert "CartesianProduct" not in plan
     assert "TakeOrdered" in plan
+
+
+def test_hybrid_rrf_fuses_both_pools(spark, sf_dir):
+    from datacamp_etl_spark.operators.retrieval import hybrid_search_rrf
+    from datacamp_etl_spark.queries import _BM25_TERMS, _query_vector, t
+
+    out = hybrid_search_rrf(
+        t(spark, sf_dir, "documents"),
+        t(spark, sf_dir, "embeddings"),
+        list(_BM25_TERMS),
+        _query_vector(spark, sf_dir, 0),
+        top_k=10,
+        pool=30,
+    ).collect()
+    assert len(out) == 10
+    # scores are in [0, 2/(60+1)] and non-increasing
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < s <= 2 / 61 + 1e-9 for s in scores)
+    # a doc ranked in BOTH pools must outscore one ranked in a single
+    # pool at similar rank
+    both = [r for r in out if r["lex_rank"] and r["vec_rank"]]
+    single = [r for r in out if not (r["lex_rank"] and r["vec_rank"])]
+    if both and single:
+        assert max(r["rrf_score"] for r in both) >= max(
+            r["rrf_score"] for r in single
+        )
