@@ -4937,7 +4937,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY q.doc_id ORDER BY score DESC, q.doc_id LIMIT 50),
     lexr AS (SELECT doc_id AS id,
                     CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-                         AS INT) AS lex_rank
+                         AS DOUBLE) AS lex_rank
              FROM bm),
     qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
     cos AS (SELECT e.vec_id,
@@ -4948,7 +4948,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY cosine DESC, e.vec_id LIMIT 50),
     vecr AS (SELECT vec_id AS id,
                     CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
-                         AS INT) AS vec_rank
+                         AS DOUBLE) AS vec_rank
              FROM cos)
     SELECT coalesce(l.id, v.id) AS doc_id, l.lex_rank, v.vec_rank,
            round(coalesce(1.0 / (60 + l.lex_rank), 0)
@@ -4968,13 +4968,22 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datacamp_etl_spark.operators.retrieval import hybrid_search_rrf
 
     q = _query_vector(spark, sf_dir, 0)
-    return hybrid_search_rrf(
+    out = hybrid_search_rrf(
         t(spark, sf_dir, "documents"),
         t(spark, sf_dir, "embeddings"),
         list(_BM25_TERMS),
         q,
         top_k=10,
         pool=50,
+    )
+    # Ranks as DOUBLE on both sides: the outer join makes them
+    # NULL-able, and nullable ints round-trip as floats in pandas —
+    # a double column renders identically in every compare harness.
+    return out.select(
+        "doc_id",
+        F.col("lex_rank").cast("double").alias("lex_rank"),
+        F.col("vec_rank").cast("double").alias("vec_rank"),
+        "rrf_score",
     )
 
 

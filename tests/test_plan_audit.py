@@ -18,6 +18,8 @@ ALLOWED_BNLJ = {
     "q22_dormant_customers": "1-row scalar (avg positive balance)",
     "tfidf_topk_terms": "1-row corpus stats (N docs)",
     "bm25_search": "1-row corpus stats (N docs, avg doc length)",
+    "hybrid_search_rrf": "inherits bm25_search's 1-row corpus-stats "
+    "broadcast; both fusion pools are TakeOrdered-bounded",
     "cosine_near_dup": "documented exact=True verification variant; "
     "the default scale path is cosine_near_dup_lsh",
     "temperature_mix": "per-source sampling-rate table (|sources| rows)",
