@@ -4987,6 +4987,122 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_locf_last_value",
+    """
+    SELECT event_id,
+           user_id,
+           CAST(last_value(CASE WHEN event_type <> 'error' THEN
+                               CAST(value AS DECIMAL(18,2)) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS carried_value
+    FROM events
+    """,
+)
+def q_window_locf_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] IGNORE NULLS window coverage (SURVEY §2.7): error events
+    mask their value and each row carries the LAST non-null value per
+    user (LOCF over an event stream) — one partitioned window pass,
+    the running-frame shape that stays a single shuffle at any scale.
+    DECIMAL carry keeps the cross-engine rendering exact."""
+    ev = t(spark, sf_dir, "events")
+    masked = F.when(
+        F.col("event_type") != "error", F.col("value").cast("decimal(18,2)")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(masked, ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("carried_value"),
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+               FROM customer)
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY key_a, key_b
+    LIMIT 100
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] blocked fuzzy record linkage: candidate pairs come from a
+    prefix-block equi-join (never an all-pairs cross join — the
+    record-linkage analog of LSH banding), then exact Levenshtein
+    verifies within blocks. At 100 TB the block key is the shuffle
+    key and block size bounds the per-task work."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "blk",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 1)
+        .select("key_a", "key_b", "dist")
+        .orderBy("key_a", "key_b")
+        .limit(100)
+    )
+
+
+@register(
+    "equidepth_histogram_totals",
+    """
+    WITH b AS (SELECT o_totalprice,
+                      ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                        AS bucket
+               FROM orders)
+    SELECT CAST(bucket AS INT) AS bucket, count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] equi-DEPTH histogram (deciles of order totals): ntile
+    over a unique total order, then per-bucket bounds — the
+    distribution snapshot equi-width bins miss on skewed data. The
+    global sort is the cost; at scale swap approx_percentile
+    boundaries (percentile_trim_approx shows that path) when exact
+    decile edges aren't required."""
+    o = t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_totalprice", F.ntile(10).over(w).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================
