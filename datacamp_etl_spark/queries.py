@@ -5103,6 +5103,52 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_sequences",
+    """
+    WITH tk AS (SELECT doc_id, source,
+                       CAST(greatest(1, length(text) // 4) AS BIGINT)
+                         AS n_tokens
+                FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM tk)
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sequence packing: documents pack greedily into 2048-token
+    context bins per source — bin = floor(preceding-cumsum / budget),
+    one partitioned window pass (the distributed form of the
+    sequential first-fit packer; a bin may overflow by at most one
+    document, the standard streaming-packer trade). Token counts are
+    the len/4 heuristic here; swap in token_count/regex_token_count
+    for tokenizer-accurate budgets. At scale the partition key
+    (source) bounds each window's span."""
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.greatest(F.lit(1), F.floor(F.length("text") / 4)).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = docs.select(
+        "doc_id", "source", n_tok.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 2048)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================
