@@ -86,6 +86,14 @@ HEADLINE = [
     "selective_window_refresh",
     "scd2_point_in_time_join",
     "hybrid_search_rrf",
+    # [EXT] round-4 additions: exact order statistics without global
+    # sorts, tokenizer-true packing, entropy/OOV quality signals
+    "equidepth_histogram_totals",
+    "percentile_trim_chars",
+    "winsorize_order_totals",
+    "pack_sequences",
+    "token_entropy_scores",
+    "oov_rate_top100",
 ]
 
 
@@ -94,19 +102,29 @@ def _execute(df) -> None:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --smoke: one cheap pass at sf0.001, no warm-up — a crash gate,
+    # not a timing run. Invoked from the test suite so a bench-breaking
+    # change can never ship unnoticed (round 2 shipped rc=1 exactly
+    # because bench.py was never re-run after a fixture change).
+    smoke = "--smoke" in sys.argv[1:]
+    default_sf = "/root/testdata/sf0.001" if smoke else "/root/testdata/sf0.1"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", default_sf)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("datacamp-etl-spark-bench")
 
-    # Warm-up pass: run every headline query once so the measured pass
-    # reports steady-state throughput (JIT/codegen compiled, parquet
-    # footers and pages in cache) rather than first-touch costs that
-    # a long-running cluster never pays per query.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is not None:
-            _execute(fn(spark, sf_dir))
+    from datacamp_etl_spark.operators.spread import release_engine_caches
+
+    if not smoke:
+        # Warm-up pass: run every headline query once so the measured
+        # pass reports steady-state throughput (JIT/codegen compiled,
+        # parquet footers and pages in cache) rather than first-touch
+        # costs that a long-running cluster never pays per query.
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is not None:
+                _execute(fn(spark, sf_dir))
+                release_engine_caches()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -116,6 +134,7 @@ def main() -> None:
         start = time.perf_counter()
         _execute(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
+        release_engine_caches()
 
     total = round(sum(timings.values()), 3)
     print(

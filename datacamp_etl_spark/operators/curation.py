@@ -16,11 +16,13 @@ Scale posture (100 TB):
   (at N in the thousands this never happens — the window only
   buffers until it has emitted N rows per key... conservatively, the
   sort buffer spills).
-- :func:`percentile_trim` (exact) is a global range-partitioned sort
-  (Spark ntile) — legitimate but heavy at 100 TB.
-  :func:`percentile_trim_approx` is the scale path: two
-  approxQuantile numbers broadcast into a narrow filter, no global
-  sort, error bounded by ``relative_error``.
+- :func:`percentile_trim` (exact) rides
+  :func:`~datacamp_etl_spark.operators.ids.exact_ntile` — a
+  range-exchange plus per-partition windows, never the single-task
+  partitionless WindowExec the naive ``ntile().over(orderBy)``
+  plans. :func:`percentile_trim_approx` stays the cheapest path when
+  approximate boundaries suffice: two approxQuantile numbers
+  broadcast into a narrow scan-pushable filter.
 """
 
 from __future__ import annotations
@@ -28,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cap_per_group", "percentile_trim", "percentile_trim_approx"]
+__all__ = [
+    "cap_per_group",
+    "percentile_trim",
+    "percentile_trim_approx",
+    "winsorize",
+]
 
 
 def _order_hash(id_col: str):
@@ -72,13 +79,17 @@ def percentile_trim(
     ``keep_lo..keep_hi`` inclusive (defaults drop the bottom and top
     1/buckets of rows). Deterministic: ties broken by id.
 
-    This is a global sort — use :func:`percentile_trim_approx` at
-    scale unless exact quantile boundaries are required.
+    Plans a range-exchange + parallel per-partition windows (via
+    :func:`~datacamp_etl_spark.operators.ids.exact_ntile`), not a
+    partitionless WindowExec — the exact trim survives 100 TB; reach
+    for :func:`percentile_trim_approx` only when approximate
+    boundaries are acceptable and the extra exchange isn't.
     """
+    from datacamp_etl_spark.operators.ids import exact_ntile
+
     keep_hi = buckets - 1 if keep_hi is None else keep_hi
-    w = Window.orderBy(F.col(value_col), F.col(id_col))
     return (
-        df.withColumn("__q", F.ntile(buckets).over(w))
+        exact_ntile(df, [value_col, id_col], buckets, bucket_col="__q")
         .where(F.col("__q").between(keep_lo, keep_hi))
         .drop("__q")
     )
@@ -97,3 +108,35 @@ def percentile_trim_approx(
     scan-pushable filter."""
     qlo, qhi = df.approxQuantile(value_col, [lo, hi], relative_error)
     return df.where(F.col(value_col).between(qlo, qhi))
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """EXACT winsorization: clip ``value_col`` to the order-statistic
+    values at quantiles ``lo``/``hi`` (value at 1-based sorted position
+    ``max(1, ceil(p * n))``, ordered by ``(value, id)``) — the
+    trim-free outlier treatment: rows are kept, tails are clamped.
+
+    Scale shape: the thresholds come from
+    :func:`~datacamp_etl_spark.operators.ids.exact_quantile_values`
+    (one range-exchange + a 2-value driver collect, no single-task
+    sort); the clip itself is then a narrow scan-pushable projection
+    with two literal bounds.
+    """
+    from datacamp_etl_spark.operators.ids import exact_quantile_values
+
+    vlo, vhi = exact_quantile_values(
+        df, value_col, [value_col, id_col], [lo, hi]
+    )
+    out_col = out_col or f"{value_col}_w"
+    return df.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.lit(vlo)), F.lit(vhi)),
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datacamp_etl_spark.operators.spread import ensure_parallelism
+from datacamp_etl_spark.operators.spread import ensure_parallelism, scoped_cache
 from datacamp_etl_spark.operators.text import fingerprint, normalize_text, tokens
 
 __all__ = [
@@ -370,9 +370,12 @@ def ngram_jaccard_pairs(
         # once is the standard trade at scale too — MEMORY_AND_DISK
         # spills, and a 100 TB pipeline would stage this very relation
         # to parquet before the join anyway.
-        sh = ensure_parallelism(df).select(
-            F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
-        ).cache()
+        sh = scoped_cache(
+            ensure_parallelism(df).select(
+                F.col(id_col),
+                F.explode(shingles(text_col, k)).alias("shingle"),
+            )
+        )
         # merge hint: self-equi-join — parallel sort + reused exchange
         # beats a single-threaded broadcast build.
         a = sh.hint("merge").select(F.col(id_col).alias("id_a"), "shingle")
@@ -408,10 +411,9 @@ def ngram_jaccard_pairs(
             ),
             {"sh_arr": shingles("__txt", k)},
         )
-        docsets = (
+        docsets = scoped_cache(
             base.select("id", "sh_arr", F.size("sh_arr").alias("n_sh"))
             .where(F.col("n_sh") > 0)
-            .cache()
         )
         if candidates is not None:
             cand = candidates.select("id_a", "id_b")
@@ -611,7 +613,7 @@ def simhash_near_pairs(
     op per candidate, no per-bit join.
     """
     seg_bits = SIMHASH_BITS // bands
-    sig = simhash(df, id_col, text_col).cache()
+    sig = scoped_cache(simhash(df, id_col, text_col))
 
     segs = sig.select(
         F.col(id_col),

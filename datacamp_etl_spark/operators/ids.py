@@ -20,7 +20,66 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["assign_contiguous_ids", "training_order"]
+__all__ = [
+    "assign_contiguous_ids",
+    "exact_ntile",
+    "exact_quantile_values",
+    "global_row_number",
+    "training_order",
+]
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    rn_col: str = "__rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Add a 1-based global ``row_number`` in the total order of
+    ``order_cols`` WITHOUT the single-task global-window stage.
+    Returns ``(df_with_rn, total_row_count)`` — the count falls out of
+    the offset pass for free.
+
+    Two-pass: range-partition on the order key, count rows per
+    partition (bounded driver collect: one long per partition), then
+    per-partition ``row_number`` (parallel windows) + broadcast
+    cumulative offsets.
+
+    The range-partitioned frame is ``localCheckpoint``-ed BEFORE the
+    count pass: ``repartitionByRange`` samples range boundaries with an
+    RDD-id-dependent seed, so re-evaluating the plan could draw
+    DIFFERENT boundaries and make pass-2 row counts disagree with the
+    broadcast offsets (silent duplicate/missing ranks). Checkpointing
+    pins one materialized partitioning for both passes — the same
+    contract ``graph.py`` uses for iterative lineage.
+    """
+    parts = df.repartitionByRange(
+        *( [num_partitions] if num_partitions else [] ), *order_cols
+    ).withColumn("__pid", F.spark_partition_id())
+    parts = parts.localCheckpoint()
+    # Pass 1: per-partition counts -> cumulative offsets. Bounded by
+    # the partition count, never by the data.
+    counts = parts.groupBy("__pid").count().orderBy("__pid").collect()
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    off_df = F.broadcast(
+        parts.sparkSession.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "__pid int, __off long"
+        )
+    )
+    # Pass 2: per-partition row_number (parallel windows) + offset.
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = (
+        parts.join(off_df, "__pid")
+        .withColumn(
+            rn_col, (F.row_number().over(w) + F.col("__off")).cast("long")
+        )
+        .drop("__pid", "__off")
+    )
+    return out, acc
 
 
 def assign_contiguous_ids(
@@ -34,30 +93,82 @@ def assign_contiguous_ids(
     """Add ``id_col`` with contiguous ids ``start..start+n-1`` in the
     total order of ``order_cols`` (which must be a unique key — ties
     would make the order, and thus the ids, nondeterministic)."""
-    parts = df.repartitionByRange(
-        *( [num_partitions] if num_partitions else [] ), *order_cols
-    ).withColumn("__pid", F.spark_partition_id())
-    # Pass 1: per-partition counts -> cumulative offsets. Bounded by
-    # the partition count, never by the data.
-    counts = parts.groupBy("__pid").count().orderBy("__pid").collect()
-    offsets, acc = {}, start
-    for r in counts:
-        offsets[r["__pid"]] = acc
-        acc += r["count"]
-    off_df = F.broadcast(
-        parts.sparkSession.createDataFrame(
-            [(p, o) for p, o in offsets.items()], "__pid int, __off long"
-        )
+    ranked, _ = global_row_number(
+        df, order_cols, rn_col="__grn", num_partitions=num_partitions
     )
-    # Pass 2: per-partition row_number (parallel windows) + offset.
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
-        parts.join(off_df, "__pid")
-        .withColumn(
-            id_col, (F.row_number().over(w) - 1 + F.col("__off")).cast("long")
-        )
-        .drop("__pid", "__off")
+    return ranked.withColumn(
+        id_col, (F.col("__grn") - 1 + F.lit(start)).cast("long")
+    ).drop("__grn")
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    buckets: int,
+    *,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT SQL ``ntile(buckets)`` over a global order — without the
+    partitionless WindowExec (single-task global sort) the naive
+    ``ntile().over(Window.orderBy(...))`` plans.
+
+    Built on :func:`global_row_number`; the bucket is then pure
+    arithmetic on the rank: with ``n`` rows, ``q = n div buckets``,
+    ``r = n mod buckets``, the first ``r`` buckets hold ``q+1`` rows
+    and the rest ``q`` (the ANSI ntile contract, verified against
+    DuckDB). ``order_cols`` must be a unique key for determinism.
+    """
+    ranked, n = global_row_number(
+        df, order_cols, rn_col="__grn", num_partitions=num_partitions
     )
+    q, r = divmod(n, buckets)
+    rn = F.col("__grn")
+    big = r * (q + 1)  # rows living in the q+1-sized buckets
+    if q == 0:
+        bucket = rn  # n < buckets: one row per bucket
+    else:
+        bucket = F.when(
+            rn <= big, F.floor((rn - 1) / (q + 1)) + 1
+        ).otherwise(F.lit(r) + F.floor((rn - big - 1) / q) + 1)
+    return ranked.withColumn(
+        bucket_col, bucket.cast("int")
+    ).drop("__grn")
+
+
+def exact_quantile_values(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    probs: list[float],
+    *,
+    num_partitions: int | None = None,
+) -> list:
+    """EXACT discrete quantiles at scale: the value at 1-based sorted
+    position ``max(1, ceil(p * n))`` for each ``p`` — computed with the
+    two-pass rank (no single-task sort), then a rank-IN filter whose
+    result is ``len(probs)`` rows. ``order_cols`` must start with
+    ``value_col`` (plus a tiebreak) for a total order.
+
+    This is the building block for exact winsorize/trim thresholds at
+    100 TB: the heavy work is one range-exchange; the driver sees only
+    ``len(probs)`` values.
+    """
+    import math
+
+    ranked, n = global_row_number(
+        df, order_cols, rn_col="__grn", num_partitions=num_partitions
+    )
+    if n == 0:
+        return [None] * len(probs)
+    positions = [max(1, math.ceil(p * n)) for p in probs]
+    got = {
+        row["__grn"]: row[value_col]
+        for row in ranked.where(
+            F.col("__grn").isin(sorted(set(positions)))
+        ).select("__grn", value_col).collect()
+    }
+    return [got[pos] for pos in positions]
 
 
 def training_order(df: DataFrame, key_cols: list[str], *, seed: int = 0) -> Column:

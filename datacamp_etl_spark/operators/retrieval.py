@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datacamp_etl_spark.operators.spread import ensure_parallelism
+from datacamp_etl_spark.operators.spread import ensure_parallelism, scoped_cache
 from datacamp_etl_spark.operators.text import tokens
 
 __all__ = ["tfidf_topk_terms", "bm25_search"]
@@ -50,9 +50,12 @@ def tfidf_topk_terms(
     # relation on different keys, and without materialization each
     # re-runs the tokenizer over the corpus. (At scale this relation
     # is the posting list a pipeline stages to parquet anyway.)
-    posting = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
-    ).cache()
+    posting = scoped_cache(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+    )
     tf = posting.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dfreq = posting.groupBy("term").agg(
         F.countDistinct("id").alias("df")
@@ -113,11 +116,13 @@ def bm25_search(
     # Cached: tf and df consume the same filtered postings; the
     # surviving rows are O(postings of |q| terms), so the cache is
     # tiny while saving a full-corpus tokenizer pass.
-    posting = df.select(
-        F.col(id_col).alias("id"),
-        F.size(tokens(text_col)).alias("dl"),
-        F.explode(tokens(text_col)).alias("term"),
-    ).where(F.col("term").isin(*qlits)).cache()
+    posting = scoped_cache(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(tokens(text_col)).alias("dl"),
+            F.explode(tokens(text_col)).alias("term"),
+        ).where(F.col("term").isin(*qlits))
+    )
     tf = posting.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = posting.groupBy("term").agg(F.countDistinct("id").alias("df"))
     stats = df.select(

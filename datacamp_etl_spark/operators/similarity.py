@@ -312,15 +312,27 @@ def cosine_near_dup_pairs(
     num_planes: int = 8,
     dim: int = 64,
     exact: bool = False,
+    max_exact_rows: int = 50_000,
 ) -> DataFrame:
     """Embedding near-dup pairs: ``(id_a, id_b, cosine)`` with cosine
     >= threshold.
 
     ``exact=False`` (default, the scale path): candidates must share
     an LSH bucket -> per-bucket self-join. ``exact=True`` compares all
-    pairs (verification/small data only).
+    pairs (verification/small data only) and is size-guarded: it
+    counts the input first and raises above ``max_exact_rows`` — the
+    same contract as ``knn_join_topk``'s no-candidates path, so an
+    O(n²) plan can never silently reach production scale. Raise
+    ``max_exact_rows`` explicitly to override.
     """
     if exact:
+        n = df.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"cosine_near_dup_pairs(exact=True) on {n} rows: the "
+                f"all-pairs plan is O(n²); limit the input or raise "
+                f"max_exact_rows (currently {max_exact_rows}) to force"
+            )
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))

@@ -20,7 +20,42 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["ensure_parallelism", "evaluate_once"]
+__all__ = [
+    "ensure_parallelism",
+    "evaluate_once",
+    "release_engine_caches",
+    "scoped_cache",
+]
+
+#: Handles of every DataFrame the engine cached via scoped_cache, so
+#: hosts can bound cache lifetime (Spark's CacheManager never evicts
+#: by itself; without a release hook, repeated operator invocations
+#: accumulate executor storage for the session's lifetime).
+_ENGINE_CACHES: list[DataFrame] = []
+
+
+def scoped_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` with a REGISTERED lifecycle: the handle is
+    recorded so :func:`release_engine_caches` can unpersist every
+    engine-held intermediate after the host's action completes.
+    Operators cache multi-consumer intermediates (posting lists,
+    shingle indexes) through this, never via bare ``.cache()``."""
+    _ENGINE_CACHES.append(df)
+    return df.cache()
+
+
+def release_engine_caches() -> int:
+    """Unpersist every :func:`scoped_cache`-registered DataFrame
+    (non-blocking) and return how many were released. Call between
+    queries in long-lived hosts (bench loop, driver gate, notebook)."""
+    n = len(_ENGINE_CACHES)
+    for df in _ENGINE_CACHES:
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _ENGINE_CACHES.clear()
+    return n
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

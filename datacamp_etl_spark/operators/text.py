@@ -31,6 +31,8 @@ __all__ = [
     "fingerprint",
     "rolling_hash",
     "text_profile",
+    "token_entropy",
+    "oov_rate",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -251,4 +253,94 @@ def chunk_text(
         "chunk_no",
         F.size(F.split(F.col("chunk"), " ")).cast("int").alias("n_tokens"),
         "chunk",
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the whitespace-token
+    distribution (nats) — a repetition/diversity quality signal:
+    boilerplate and keyword-stuffed spam score low, natural prose
+    high. Returns ``(id, n_tokens, entropy)`` for documents with at
+    least one token.
+
+    Shape at scale: explode -> two map-side-combinable groupBys
+    ((doc, term) counts, then per-doc fold of ``c * ln c``) — all
+    shuffles are keyed by doc id, no window, no UDF. The entropy is
+    computed as ``ln(n) - sum(c*ln(c))/n`` so only integer counts
+    leave the first aggregation, and the result is rounded to
+    ``decimals`` to absorb sum-order ulp drift (the cross-engine
+    determinism contract kmeans_train also uses).
+    """
+    posting = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    counts = posting.groupBy("id", "term").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("s"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(F.log("n") - F.col("s") / F.col("n"), decimals).alias(
+                "entropy"
+            ),
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    vocab_size: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus' own
+    top-``vocab_size`` token vocabulary (ties broken by token text) —
+    the tokenizer-coverage signal a training pipeline uses to spot
+    documents a fixed vocab would shred into rare tokens.
+
+    Shape at scale: one (term) aggregation builds the vocab, which is
+    ``vocab_size`` rows — broadcast-joined back against the posting
+    relation (never the corpus against itself); per-doc totals are a
+    doc-keyed aggregation. Returns ``(id, n_tokens, n_oov,
+    oov_rate)``; rate = n_oov / n_tokens rounded to ``decimals``.
+    """
+    posting = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    vocab = (
+        posting.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("__in_vocab"))
+    )
+    marked = posting.join(F.broadcast(vocab), "term", "left")
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long"),
+            F.col("n_oov").cast("long"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), decimals).alias(
+                "oov_rate"
+            ),
+        )
     )

@@ -1214,7 +1214,10 @@ def _bucket_sql(vec_sql: str, dim: int = 64, num_planes: int = 8) -> str:
 )
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] exact embedding near-dup pairs (cosine >= 0.45) — the
-    brute-force verification baseline (small data / recall audits)."""
+    brute-force verification baseline (small data / recall audits).
+    Size-guarded since round 4: cosine_near_dup_pairs(exact=True)
+    raises above max_exact_rows, so this O(n²) plan cannot silently
+    run at production scale; cosine_near_dup_lsh is the scale path."""
     from datacamp_etl_spark.operators.similarity import cosine_near_dup_pairs
 
     return cosine_near_dup_pairs(
@@ -4039,9 +4042,11 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] exact percentile trim: drop the shortest and longest 5%
-    of documents by character count (ntile 20, id-tiebroken). The
-    oracle-gated exact variant; percentile_trim_approx is the
-    sort-free 100 TB path (pytest tolerance-tested)."""
+    of documents by character count (ntile 20, id-tiebroken). Exact
+    AND scale-safe since round 4: rides exact_ntile's two-pass rank
+    (range-exchange + parallel windows), no partitionless WindowExec.
+    percentile_trim_approx remains the cheapest-path option
+    (pytest tolerance-tested)."""
     from datacamp_etl_spark.operators.curation import percentile_trim
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -5082,33 +5087,33 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] equi-DEPTH histogram (deciles of order totals): ntile
-    over a unique total order, then per-bucket bounds — the
-    distribution snapshot equi-width bins miss on skewed data. The
-    global sort is the cost; at scale swap approx_percentile
-    boundaries (percentile_trim_approx shows that path) when exact
-    decile edges aren't required."""
-    o = t(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select(
-            "o_totalprice", F.ntile(10).over(w).alias("bucket")
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("o_totalprice").cast("double").alias("lo"),
-            F.max("o_totalprice").cast("double").alias("hi"),
-        )
+    """[EXT] equi-DEPTH histogram (deciles of order totals): exact
+    ntile over a unique total order, then per-bucket bounds — the
+    distribution snapshot equi-width bins miss on skewed data.
+    Exact AND scale-safe: operators/ids.exact_ntile plans a
+    range-exchange + parallel per-partition windows instead of the
+    single-task partitionless WindowExec that naive
+    ``ntile().over(orderBy)`` produces."""
+    from datacamp_etl_spark.operators.ids import exact_ntile
+
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    binned = exact_ntile(
+        o, ["o_totalprice", "o_orderkey"], 10, bucket_col="bucket"
+    )
+    return binned.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
     )
 
 
 @register(
     "pack_sequences",
-    """
+    f"""
     WITH tk AS (SELECT doc_id, source,
-                       CAST(greatest(1, length(text) // 4) AS BIGINT)
-                         AS n_tokens
+                       CAST(greatest(1, CASE WHEN {_NORM_SQL} = '' THEN 0
+                            ELSE len(string_split({_NORM_SQL}, ' ')) END)
+                         AS BIGINT) AS n_tokens
                 FROM documents),
     c AS (SELECT doc_id, source, n_tokens,
                  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -5125,12 +5130,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     context bins per source — bin = floor(preceding-cumsum / budget),
     one partitioned window pass (the distributed form of the
     sequential first-fit packer; a bin may overflow by at most one
-    document, the standard streaming-packer trade). Token counts are
-    the len/4 heuristic here; swap in token_count/regex_token_count
-    for tokenizer-accurate budgets. At scale the partition key
-    (source) bounds each window's span."""
+    document, the standard streaming-packer trade). Budgets use the
+    REAL whitespace token count (text.token_count over normalized
+    text), not a length heuristic — the oracle replays the same
+    normalization. At scale the partition key (source) bounds each
+    window's span."""
+    from datacamp_etl_spark.operators.text import token_count
+
     docs = t(spark, sf_dir, "documents")
-    n_tok = F.greatest(F.lit(1), F.floor(F.length("text") / 4)).cast("long")
+    n_tok = F.greatest(F.lit(1), token_count(F.col("text"))).cast("long")
     w = (
         W.partitionBy("source")
         .orderBy("doc_id")
@@ -5147,6 +5155,103 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin_id"),
     )
+
+
+# =====================================================================
+# [EXT] Round-4 additions: exact winsorize (operators/curation.py),
+# token entropy + OOV rate (operators/text.py)
+# =====================================================================
+
+@register(
+    "winsorize_order_totals",
+    """
+    WITH r AS (SELECT o_orderkey, o_totalprice,
+                      row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                        AS rn,
+                      count(*) OVER () AS n
+               FROM orders),
+    lo AS (SELECT o_totalprice AS v FROM r
+           WHERE rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))),
+    hi AS (SELECT o_totalprice AS v FROM r
+           WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT)))
+    SELECT o_orderkey,
+           CAST(least(greatest(o_totalprice, lo.v), hi.v)
+                AS DOUBLE) AS totalprice_w
+    FROM orders, lo, hi
+    """,
+)
+def q_winsorize_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact winsorization of order totals at the p05/p95 order
+    statistics (value at position max(1, ceil(p*n)), (value, key)
+    ordered). The thresholds come from exact_quantile_values' two-pass
+    rank — one range-exchange, a 2-value driver collect, NO
+    partitionless window; the clip is a narrow literal-bound
+    projection. (The oracle's window runs in single-node DuckDB where
+    a global window is free.)"""
+    from datacamp_etl_spark.operators.curation import winsorize
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return winsorize(
+        o, "o_totalprice", "o_orderkey", lo=0.05, hi=0.95,
+        out_col="totalprice_w",
+    ).select(
+        "o_orderkey",
+        F.col("totalprice_w").cast("double").alias("totalprice_w"),
+    )
+
+
+@register(
+    "token_entropy_scores",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+           FROM n WHERE norm <> ''),
+    c AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
+    e AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s
+          FROM c GROUP BY 1)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           round(ln(n) - s / n, 6) AS entropy
+    FROM e
+    """,
+)
+def q_token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-document token-distribution Shannon entropy (nats) —
+    repetition/diversity quality signal. Explode + two doc-keyed
+    map-side-combinable aggregations; integer counts cross the
+    shuffle, the float fold happens once per doc (round-6 absorbs
+    sum-order ulp, the kmeans determinism contract)."""
+    from datacamp_etl_spark.operators.text import token_entropy
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_entropy(docs, "doc_id", "text")
+
+
+@register(
+    "oov_rate_top100",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+           FROM n WHERE norm <> ''),
+    vocab AS (SELECT term FROM tk GROUP BY term
+              ORDER BY count(*) DESC, term LIMIT 100),
+    m AS (SELECT tk.doc_id, tk.term,
+                 CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END AS oov
+          FROM tk LEFT JOIN vocab ON tk.term = vocab.term)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(oov) / count(*), 6) AS oov_rate
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-document out-of-vocabulary rate against the corpus'
+    own top-100 token vocabulary — tokenizer-coverage signal. The
+    vocab is a bounded (100-row) broadcast against the posting
+    relation; per-doc totals are one doc-keyed aggregation."""
+    from datacamp_etl_spark.operators.text import oov_rate
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return oov_rate(docs, "doc_id", "text", vocab_size=100)
 
 
 # =====================================================================
@@ -5170,51 +5275,56 @@ _ADJUDICATION_PRIORITY = [
     "md5_digest",
     "table_diff",
     "incremental_load",
-    # Fixed this round (events ts fixture change) — fresh evidence.
-    "events_window_agg",
-    "asof_join_last_click",
-    "events_sessionize",
-    "streaming_window_counts",
-    "streaming_dim_join_counts",
-    # Never adjudicated by a driver round yet (registration order).
-    "streaming_session_window",
-    "streaming_stream_join",
-    "streaming_dedup",
-    "multimodal_features",
-    "frame_sample",
-    "dedup_clusters",
-    "near_dup_apply",
-    "stateful_user_totals",
-    "redact_pii",
-    "hash_sample",
-    "train_val_test_split",
-    "curation_pipeline",
-    "vocab_topk",
-    "json_props_agg",
-    "q2_cheapest_supplier",
-    "q15_top_supplier",
-    "fk_integrity",
-    "null_and_domain_audit",
-    "salted_join_revenue",
-    "sliding_window_counts",
-    "chunk_documents",
-    "stats_summary",
-    "grouped_topk_pandas",
-    "q21_sole_late_supplier",
-    "rolling_7day_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_shipping",
-    "q20_top_quantity_suppliers",
-    "window_suite2",
-    "grouping_sets_flags",
-    "near_dup_verified",
-    "contamination_check",
-    "repetition_profile",
-    "tfidf_topk_terms",
-    "bm25_search",
-    "kmeans_embeddings",
-    "streaming_chained_agg",
+    # NEW this round (round 4) — new code faces adjudication first.
+    "winsorize_order_totals",
+    "token_entropy_scores",
+    "oov_rate_top100",
+    # Never driver-adjudicated across r1-r3 (40 entries; with the 10
+    # above this fills the driver's 50-entry window exactly, making
+    # the union of driver-green rows 131/131 once this round lands).
+    # Includes the two plan-shape rewrites (equidepth, percentile
+    # trim) and the queries whose operators changed this round, so
+    # the fresh plans get driver evidence, not just selfcheck.
+    "assign_contiguous_ids",
+    "bloom_semi_join_urgent",
+    "cm_heavy_hitters",
+    "cohort_retention_weekly",
+    "column_profile_orders",
+    "contamination_apply",
+    "dedup_clusters_star",
+    "domain_cap",
+    "equidepth_histogram_totals",
+    "funnel_signup_click_purchase",
+    "fuzzy_name_pairs",
+    "gapfill_hourly_events",
+    "histogram_order_totals",
+    "hll_incremental_distinct",
+    "hybrid_search_rrf",
+    "incremental_agg_maintenance",
+    "incremental_dedup_against_corpus",
+    "interval_join_click_after_error",
+    "kmv_distinct_custkey",
+    "kmv_distinct_users_by_type",
+    "mixture_sample",
+    "pack_sequences",
+    "percentile_trim_chars",
+    "posting_lists",
+    "pq_encode_embeddings",
+    "pq_topk_embeddings",
+    "pydatasource_scan",
+    "quantize_embeddings",
+    "scd2_customer_segment",
+    "scd2_point_in_time_join",
+    "selective_window_refresh",
+    "span_dedup",
+    "streaming_dedup_watermark",
+    "streaming_rocksdb_window_counts",
+    "streaming_upsert_latest",
+    "temperature_mix",
+    "training_shuffle",
+    "udtf_char_chunks",
+    "variant_props_stats",
+    "window_locf_last_value",
 ]
 
 

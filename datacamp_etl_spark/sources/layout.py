@@ -172,6 +172,15 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16):
     """
     from pyspark.sql import functions as F
 
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_key: {bits} bits x {len(cols)} columns = "
+            f"{bits * len(cols)} interleaved bits does not fit a "
+            f"signed 64-bit key; lower bits to {63 // len(cols)} or "
+            f"fewer columns"
+        )
     stats = df.agg(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
@@ -179,6 +188,12 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16):
     n_cells = 1 << bits
     coords = []
     for c in cols:
+        if stats[f"mn_{c}"] is None or stats[f"mx_{c}"] is None:
+            raise ValueError(
+                f"zorder_key: column {c!r} is entirely NULL (or the "
+                f"input is empty) — no min/max to scale the grid; "
+                f"filter NULLs or drop the column from the key"
+            )
         lo, hi = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
         span = (hi - lo) or 1.0
         cell = F.least(

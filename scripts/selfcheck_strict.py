@@ -84,6 +84,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from datacamp_etl_spark.operators.spread import release_engine_caches
     from datacamp_etl_spark.queries import ORACLE, QUERIES
 
     names = [n for n in sorted(QUERIES) if not only or n in only]
@@ -122,6 +123,7 @@ def main() -> int:
             rec["err"] = f"{type(e).__name__}: {e}"[:500]
             n_fail += 1
             failures.append(name)
+        release_engine_caches()
         print(json.dumps(rec), flush=True)
 
     print(

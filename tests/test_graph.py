@@ -70,6 +70,22 @@ def test_star_matches_plain_on_mixed_graph(spark):
     assert b[204] == 0 and b[104] == 0  # bridges fused the stars
 
 
+def test_star_keeps_self_loop_only_nodes(spark):
+    """A node whose only edge is a self-loop is a singleton component
+    in BOTH variants (the star variant builds its node set before
+    stripping self-loops)."""
+    from datacamp_etl_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7)], "src long, dst long"
+    )
+    a = {r["node"]: r["component"]
+         for r in G.connected_components(edges).collect()}
+    b = {r["node"]: r["component"]
+         for r in G.connected_components_star(edges).collect()}
+    assert a == b == {1: 1, 2: 1, 7: 7}
+
+
 def test_star_converges_fast_on_long_chain(spark):
     """A 150-link path has diameter 150: plain propagation cannot
     close it in 8 rounds; star contraction converges within its

@@ -135,3 +135,22 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
         assert mean_span <= 32, (c, spans[c])
     # round-trip integrity
     assert spark.read.parquet(out).count() == 4096
+
+
+def test_zorder_key_rejects_bit_overflow_and_all_null(spark):
+    """Interleaving must fit a signed 64-bit key, and an all-NULL
+    column has no min/max to scale by — both raise, never corrupt."""
+    import pytest
+
+    from datacamp_etl_spark.sources.layout import zorder_key
+
+    df = spark.range(10).selectExpr(
+        "id AS a", "id AS b", "id AS c", "id AS d", "id AS e",
+        "CAST(NULL AS LONG) AS nl",
+    )
+    with pytest.raises(ValueError, match="does not fit a signed"):
+        zorder_key(df, ["a", "b", "c", "d", "e"], bits=16)
+    with pytest.raises(ValueError, match="entirely NULL"):
+        zorder_key(df, ["a", "nl"], bits=8)
+    # 5 cols x 12 bits = 60 interleaved bits: fine
+    assert zorder_key(df, ["a", "b", "c", "d", "e"], bits=12) is not None

@@ -1,0 +1,126 @@
+"""Exact order-statistics machinery [EXT]: global_row_number /
+exact_ntile / exact_quantile_values (operators/ids.py) and the
+operators built on them (curation.winsorize, percentile_trim). These
+replace partitionless-WindowExec plans with range-exchange + parallel
+windows — the plan shape is asserted here too."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datacamp_etl_spark.operators.ids import (
+    exact_ntile,
+    exact_quantile_values,
+    global_row_number,
+)
+
+
+def _shuffled(spark, n=997):
+    # deterministic scramble: md5-ordered ids with a value column
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") * 37 % 1000).alias("v"),
+        )
+        .orderBy(F.md5(F.col("id").cast("string")))
+    )
+
+
+def test_global_row_number_is_contiguous_and_ordered(spark):
+    df = _shuffled(spark)
+    out, n = global_row_number(df, ["v", "id"], rn_col="rn")
+    assert n == 997
+    rows = out.orderBy("rn").collect()
+    assert [r["rn"] for r in rows] == list(range(1, 998))
+    keys = [(r["v"], r["id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_exact_ntile_matches_sql_ntile(spark):
+    df = _shuffled(spark, n=103)
+    got = {
+        r["id"]: r["bucket"]
+        for r in exact_ntile(df, ["v", "id"], 10, bucket_col="bucket").collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["b"]
+        for r in df.withColumn("b", F.ntile(10).over(w)).collect()
+    }
+    assert got == want
+    # bucket sizes: 103 = 10*10 + 3 -> three 11s then seven 10s
+    sizes = sorted(
+        (list(got.values()).count(b) for b in range(1, 11)), reverse=True
+    )
+    assert sizes == [11, 11, 11] + [10] * 7
+
+
+def test_exact_ntile_fewer_rows_than_buckets(spark):
+    df = spark.range(4).select(F.col("id"), F.col("id").alias("v"))
+    out = exact_ntile(df, ["v", "id"], 10, bucket_col="bucket").collect()
+    assert sorted(r["bucket"] for r in out) == [1, 2, 3, 4]
+
+
+def test_exact_quantile_values(spark):
+    df = _shuffled(spark, n=200)
+    vals = sorted((r["v"], r["id"]) for r in df.collect())
+    lo, med, hi = exact_quantile_values(
+        df, "v", ["v", "id"], [0.05, 0.5, 0.95]
+    )
+    assert lo == vals[max(1, math.ceil(0.05 * 200)) - 1][0]
+    assert med == vals[math.ceil(0.5 * 200) - 1][0]
+    assert hi == vals[math.ceil(0.95 * 200) - 1][0]
+    assert exact_quantile_values(
+        df.where(F.lit(False)), "v", ["v", "id"], [0.5]
+    ) == [None]
+
+
+def test_winsorize_clips_tails_only(spark):
+    from datacamp_etl_spark.operators.curation import winsorize
+
+    df = _shuffled(spark, n=400)
+    out = winsorize(df, "v", "id", lo=0.1, hi=0.9, out_col="w")
+    rows = out.collect()
+    assert len(rows) == 400  # winsorize keeps every row
+    lo, hi = exact_quantile_values(df, "v", ["v", "id"], [0.1, 0.9])
+    for r in rows:
+        assert r["w"] == min(max(r["v"], lo), hi)
+
+
+def test_orderstats_plans_have_no_global_window(spark):
+    from tests.test_plan_audit import global_window_lines
+
+    df = _shuffled(spark)
+    for frame in (
+        exact_ntile(df, ["v", "id"], 10),
+        global_row_number(df, ["v", "id"])[0],
+    ):
+        phys = frame._jdf.queryExecution().executedPlan().toString()
+        assert not global_window_lines(phys), phys
+
+
+def test_token_entropy_and_oov_rate(spark):
+    from datacamp_etl_spark.operators.text import oov_rate, token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # zero entropy, all in vocab
+            (2, "alpha beta gamma delta"),   # max entropy for 4 tokens
+            (3, ""),                         # no tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    ent = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert set(ent) == {1, 2}
+    assert ent[1]["entropy"] == 0.0
+    assert abs(ent[2]["entropy"] - round(math.log(4), 6)) < 1e-9
+    # vocab_size=2: 'the' dominates; alphabetical tiebreak fills slot 2
+    oov = {r["doc_id"]: r for r in oov_rate(docs, vocab_size=2).collect()}
+    assert oov[1]["n_oov"] == 0 and oov[1]["oov_rate"] == 0.0
+    assert oov[2]["n_tokens"] == 4 and oov[2]["n_oov"] == 3
+    assert oov[2]["oov_rate"] == 0.75

@@ -1,10 +1,14 @@
 """Registry-wide physical-plan audit: no query may plan a cartesian
-product, and nested-loop joins are allowed only where the broadcast
-side is bounded by construction (scalar aggregates, fixed rate
-tables, bounded time spines) — the patterns that stay cheap at any
-data scale. A new entry here needs a written justification."""
+product, nested-loop joins are allowed only where the broadcast side
+is bounded by construction (scalar aggregates, fixed rate tables,
+bounded time spines), and no query may plan a PARTITIONLESS window
+(single-task global sort) over an unbounded input — the patterns that
+stay cheap at any data scale. A new entry in either allowlist needs a
+written justification."""
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -20,10 +24,19 @@ ALLOWED_BNLJ = {
     "bm25_search": "1-row corpus stats (N docs, avg doc length)",
     "hybrid_search_rrf": "inherits bm25_search's 1-row corpus-stats "
     "broadcast; both fusion pools are TakeOrdered-bounded",
-    "cosine_near_dup": "documented exact=True verification variant; "
-    "the default scale path is cosine_near_dup_lsh",
+    "cosine_near_dup": "documented exact=True verification variant, "
+    "size-guarded: cosine_near_dup_pairs counts the input and raises "
+    "above max_exact_rows, so the O(n²) plan cannot reach production "
+    "scale; the default scale path is cosine_near_dup_lsh",
     "temperature_mix": "per-source sampling-rate table (|sources| rows)",
     "gapfill_hourly_events": "hour spine bounded by the queried range",
+}
+
+#: Partitionless-Window allowlist: query -> why the window's input is
+#: bounded by construction (NOT by luck of the current data size).
+ALLOWED_GLOBAL_WINDOW = {
+    "hybrid_search_rrf": "fusion-pool rankings run after limit(pool) "
+    "TakeOrdered caps — each global window sees <= 50 rows",
 }
 
 
@@ -31,6 +44,50 @@ def _plannable(name: str) -> bool:
     # Streaming queries execute on construction (AvailableNow drain);
     # their plans are covered by their own tests.
     return not name.startswith(("streaming_", "stateful_"))
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a plan-node argument string."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(s[start + 1 : i])
+                start = None
+    return groups
+
+
+def global_window_lines(phys: str) -> list[str]:
+    """Lines planning a WindowExec with no partition spec.
+
+    ``Window`` OMITS an empty partition spec: partitioned prints
+    ``Window [exprs], [partSpec], [orderSpec]`` (3 top-level bracket
+    groups), global prints ``Window [exprs], [orderSpec]`` (2 groups,
+    the last an ORDER spec) or ``Window [exprs]`` (orderless).
+    ``WindowGroupLimit`` PRINTS it: ``WindowGroupLimit [partSpec],
+    [orderSpec], rankFn, limit, mode`` — global iff the first group
+    is empty.
+    """
+    hits = []
+    for line in phys.splitlines():
+        m = re.search(r"\b(Window|WindowGroupLimit) (\[.*)$", line)
+        if not m:
+            continue
+        node, groups = m.group(1), _bracket_groups(m.group(2))
+        if node == "WindowGroupLimit":
+            if groups and groups[0].strip() == "":
+                hits.append(line.strip())
+        elif len(groups) < 2:
+            # Window with only expressions = global, no order — flag.
+            hits.append(line.strip())
+        elif len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[-1]):
+            hits.append(line.strip())
+    return hits
 
 
 @pytest.mark.parametrize(
@@ -44,4 +101,11 @@ def test_no_unbounded_join_explosion(spark, sf_dir, name):
         assert name in ALLOWED_BNLJ, (
             f"{name} plans BroadcastNestedLoopJoin but has no bounded-"
             f"broadcast justification in ALLOWED_BNLJ"
+        )
+    hits = global_window_lines(phys)
+    if hits:
+        assert name in ALLOWED_GLOBAL_WINDOW, (
+            f"{name} plans a PARTITIONLESS window (single-task global "
+            f"sort) with no bounded-input justification in "
+            f"ALLOWED_GLOBAL_WINDOW:\n" + "\n".join(hits)
         )

@@ -58,6 +58,18 @@ def test_cosine_near_dup_pairs_exact(spark):
     assert (1, 4) not in pairs
 
 
+def test_cosine_near_dup_exact_size_guard(spark):
+    # exact=True must refuse O(n²) work above max_exact_rows; an
+    # explicit override forces it through.
+    df = _vectors(spark)
+    with pytest.raises(ValueError, match="all-pairs plan is O"):
+        S.cosine_near_dup_pairs(df, exact=True, max_exact_rows=3)
+    out = S.cosine_near_dup_pairs(
+        df, threshold=0.9, exact=True, max_exact_rows=5
+    )
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in out.collect()}
+
+
 def test_knn_join_topk(spark):
     df = _vectors(spark)
     out = S.knn_join_topk(df.limit(2), df, k=2)
