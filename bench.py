@@ -94,6 +94,10 @@ HEADLINE = [
     "pack_sequences",
     "token_entropy_scores",
     "oov_rate_top100",
+    "boilerplate_shingle_ratio",
+    "standardize_embeddings",
+    "trim_by_source",
+    "leakage_safe_split",
 ]
 
 

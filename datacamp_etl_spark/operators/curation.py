@@ -34,6 +34,7 @@ __all__ = [
     "cap_per_group",
     "percentile_trim",
     "percentile_trim_approx",
+    "percentile_trim_grouped",
     "winsorize",
 ]
 
@@ -139,4 +140,34 @@ def winsorize(
     return df.withColumn(
         out_col,
         F.least(F.greatest(F.col(value_col), F.lit(vlo)), F.lit(vhi)),
+    )
+
+
+def percentile_trim_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    buckets: int = 20,
+    keep_lo: int = 2,
+    keep_hi: int | None = None,
+) -> DataFrame:
+    """EXACT percentile trim WITHIN each group: rank rows by
+    ``(value, id)`` inside every ``group_col`` partition into
+    ``buckets`` ntiles and keep ``keep_lo..keep_hi`` — per-source
+    outlier policy (each source sheds ITS OWN tails, so a verbose
+    source doesn't eat a terse one's budget).
+
+    The window is partitioned by the group key, so this is the plain
+    scale-safe shape — one shuffle on ``group_col``, parallel windows,
+    no order-statistics machinery needed.
+    """
+    keep_hi = buckets - 1 if keep_hi is None else keep_hi
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("__q", F.ntile(buckets).over(w))
+        .where(F.col("__q").between(keep_lo, keep_hi))
+        .drop("__q")
     )

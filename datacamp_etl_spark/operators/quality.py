@@ -25,7 +25,12 @@ from datacamp_etl_spark.operators.dedup import shingles
 from datacamp_etl_spark.operators.spread import ensure_parallelism, evaluate_once
 from datacamp_etl_spark.operators.text import tokens
 
-__all__ = ["contamination_check", "contamination_apply", "repetition_profile"]
+__all__ = [
+    "contamination_check",
+    "contamination_apply",
+    "repetition_profile",
+    "boilerplate_ratio",
+]
 
 
 def contamination_check(
@@ -185,4 +190,54 @@ def repetition_profile(
         _ratio(n_tok - n_dis, n_tok).alias("dup_token_ratio"),
         _ratio(F.coalesce(top_cnt, F.lit(0)), n_tok).alias("top_token_frac"),
         _ratio(n_big - n_big_dis, n_big).alias("dup_bigram_frac"),
+    )
+
+
+def boilerplate_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    min_docs: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cross-document boilerplate signal (the CCNet/C4 idea at shingle
+    granularity): a word ``k``-shingle is boilerplate when it appears
+    in at least ``min_docs`` distinct documents; each document is
+    scored by the fraction of its distinct shingles that are
+    boilerplate. High ratios mark template/menu/footer-heavy pages a
+    curation pass should drop or strip.
+
+    Returns ``(id, n_shingles, n_boiler, boiler_ratio)`` for documents
+    with at least one shingle. Shape at scale: the shingle index is
+    exploded once (shingles() is distinct per doc, so ``count(*)`` per
+    shingle IS the document frequency — one map-side-combinable
+    aggregation), the boilerplate set is re-joined by shingle key, and
+    the final fold is doc-keyed. No windows, no UDFs, no driver
+    materialization.
+    """
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, k)).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    boiler = dfreq.where(F.col("df") >= min_docs).select(
+        "shingle", F.lit(1).alias("__b")
+    )
+    marked = sh.join(boiler, "shingle", "left")
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))).alias("n_boiler"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_shingles").cast("long"),
+            F.col("n_boiler").cast("long"),
+            F.round(F.col("n_boiler") / F.col("n_shingles"), decimals).alias(
+                "boiler_ratio"
+            ),
+        )
     )

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_int8", "dequantize_int8", "quantization_error"]
+__all__ = [
+    "quantize_int8",
+    "dequantize_int8",
+    "quantization_error",
+    "standardize_embeddings",
+]
 
 
 def quantize_int8(
@@ -83,4 +88,52 @@ def quantization_error(
         F.col(id_col),
         err.alias("max_abs_err"),
         (F.col("scale") / 2).alias("bound"),
+    )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    stat_decimals: int = 6,
+    z_decimals: int = 4,
+) -> DataFrame:
+    """Per-DIMENSION z-score standardization of an embedding column —
+    the feature-prep pass before distance-based ops (k-means, IVF)
+    when dimensions have wildly different scales. Returns the
+    unpivoted ``(id, pos, z)`` form.
+
+    Two passes, both bounded: ``posexplode`` then a dimension-keyed
+    aggregation (``dim`` rows out — 64, not corpus-sized), and the
+    per-dim stats broadcast back for the normalize projection.
+    Cross-engine determinism: the first and second moments are rounded
+    to ``stat_decimals`` BEFORE the z computation (absorbing sum-order
+    ulp drift), std is the population form ``sqrt(m2 - m1*m1)`` on the
+    rounded moments, zero-variance dims emit z=0, and z rounds to
+    ``z_decimals``.
+    """
+    unp = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                     ).alias("pos", "x"),
+    )
+    stats = unp.groupBy("pos").agg(
+        F.round(F.avg("x"), stat_decimals).alias("m1"),
+        F.round(F.avg(F.col("x") * F.col("x")), stat_decimals).alias("m2"),
+    )
+    std = F.sqrt(F.greatest(F.col("m2") - F.col("m1") * F.col("m1"),
+                            F.lit(0.0)))
+    return (
+        unp.join(F.broadcast(stats), "pos")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("pos").cast("int"),
+            (
+                F.when(std == 0, F.lit(0.0)).otherwise(
+                    F.round((F.col("x") - F.col("m1")) / std, z_decimals)
+                )
+                + F.lit(0.0)  # -0.0 + 0.0 = +0.0: one cross-engine zero
+            ).alias("z"),
+        )
     )

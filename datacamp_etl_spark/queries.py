@@ -5254,6 +5254,141 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(docs, "doc_id", "text", vocab_size=100)
 
 
+@register(
+    "boilerplate_shingle_ratio",
+    f"""
+    {_SHINGLES_CTE},
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    b AS (SELECT shingle FROM df WHERE df >= 20),
+    m AS (SELECT sh.doc_id, sh.shingle,
+                 CASE WHEN b.shingle IS NULL THEN 0 ELSE 1 END AS isb
+          FROM sh LEFT JOIN b ON sh.shingle = b.shingle)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(isb) AS BIGINT) AS n_boiler,
+           round(sum(isb) / count(*), 6) AS boiler_ratio
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] cross-document boilerplate scoring (CCNet/C4 family): a
+    word 3-shingle repeated across >= 20 distinct documents is
+    boilerplate; each doc is scored by its boilerplate-shingle
+    fraction. One shingle-keyed aggregation + one equi-join back —
+    no windows, no UDFs; the shingle index is the same relation the
+    dedup family already stages at scale."""
+    from datacamp_etl_spark.operators.quality import boilerplate_ratio
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return boilerplate_ratio(docs, "doc_id", "text", k=3, min_docs=20)
+
+
+@register(
+    "standardize_embeddings",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    u AS (SELECT vec_id, CAST(gs - 1 AS INT) AS pos, e[gs] AS x
+          FROM v, unnest(generate_series(1, len(e))) AS t(gs)),
+    s AS (SELECT pos, round(avg(x), 6) AS m1, round(avg(x * x), 6) AS m2
+          FROM u GROUP BY pos),
+    z AS (SELECT vec_id, u.pos,
+                 sqrt(greatest(m2 - m1 * m1, 0)) AS sd, x, m1
+          FROM u JOIN s ON u.pos = s.pos)
+    SELECT vec_id, pos,
+           CASE WHEN sd = 0 THEN 0.0
+                ELSE round((x - m1) / sd, 4) END + 0.0 AS z
+    FROM z
+    """,
+)
+def q_standardize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-dimension z-score standardization of the embedding
+    column, unpivoted to (vec_id, pos, z). Dimension-keyed stats (64
+    rows) broadcast back into a narrow projection; moments rounded
+    before the z computation so both engines derive identical
+    thresholds (the kmeans determinism contract)."""
+    from datacamp_etl_spark.operators.quantize import standardize_embeddings
+
+    emb = t(spark, sf_dir, "embeddings")
+    return standardize_embeddings(emb, "embedding", "vec_id")
+
+
+@register(
+    "trim_by_source",
+    """
+    WITH r AS (SELECT doc_id, source, n_chars,
+                      ntile(20) OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS q
+               FROM documents)
+    SELECT doc_id, source, n_chars FROM r WHERE q BETWEEN 2 AND 19
+    """,
+)
+def q_trim_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-source percentile trim: every source sheds its own
+    shortest/longest 5% (ntile 20 within the source partition) — the
+    per-group outlier policy. The window is partitioned by the group
+    key: one shuffle, parallel windows, scale-safe by construction."""
+    from datacamp_etl_spark.operators.curation import percentile_trim_grouped
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return percentile_trim_grouped(
+        docs, "source", "n_chars", "doc_id", buckets=20
+    )
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE pairs AS ({{LSH_PAIRS}}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    lab AS (SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_hash_bucket_sql("CAST(cluster_id AS VARCHAR)")} % 100 < 80
+                     THEN 'train'
+                WHEN {_hash_bucket_sql("CAST(cluster_id AS VARCHAR)")} % 100 < 90
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] leakage-safe train/val/test split: near-duplicate
+    CLUSTERS (MinHash-LSH pairs -> connected components) are the split
+    unit, so two near-identical documents can never straddle train
+    and eval — the contamination mode a doc_id-hashed split cannot
+    prevent. Split = md5 bucket of the cluster id (deterministic,
+    append-stable)."""
+    from datacamp_etl_spark.operators.dedup import lsh_candidate_pairs
+    from datacamp_etl_spark.operators.graph import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    clustered = dedup_clusters(docs, lsh_candidate_pairs(docs))
+    bucket = _hash_bucket_col(F.col("cluster_id")) % 100
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+ORACLE["leakage_safe_split"] = ORACLE["leakage_safe_split"].replace(
+    "{LSH_PAIRS}", ORACLE["lsh_candidate_pairs"]
+)
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================

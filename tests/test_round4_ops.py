@@ -1,0 +1,70 @@
+"""Round-4 operators: boilerplate scoring, embedding standardization,
+grouped percentile trim, leakage-safe splitting."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_boilerplate_ratio_flags_repeated_shingles(spark):
+    from datacamp_etl_spark.operators.quality import boilerplate_ratio
+
+    tmpl = "all rights reserved contact us today"
+    rows = [(i, f"{tmpl} unique{i} words{i} here{i}") for i in range(10)]
+    rows.append((99, "completely original text nothing shared at all"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_ratio(docs, min_docs=10).collect()
+    }
+    # the template's 4 shingles appear in 10 docs -> boilerplate
+    assert out[0]["n_boiler"] == 4
+    assert out[0]["boiler_ratio"] > 0
+    assert out[99]["n_boiler"] == 0 and out[99]["boiler_ratio"] == 0.0
+
+
+def test_standardize_embeddings_zero_mean_unit_var(spark):
+    from datacamp_etl_spark.operators.quantize import standardize_embeddings
+
+    rows = [(i, [float(i), 7.0]) for i in range(8)]  # dim1 constant
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = standardize_embeddings(df).collect()
+    d0 = [r["z"] for r in out if r["pos"] == 0]
+    d1 = [r["z"] for r in out if r["pos"] == 1]
+    assert all(z == 0.0 for z in d1)  # zero-variance dim -> 0
+    assert abs(sum(d0)) < 1e-3
+    var = sum(z * z for z in d0) / len(d0)
+    assert abs(var - 1.0) < 1e-3
+    assert not any(math.copysign(1, z) < 0 and z == 0 for z in d0)  # no -0.0
+
+
+def test_percentile_trim_grouped_trims_per_group(spark):
+    from datacamp_etl_spark.operators.curation import percentile_trim_grouped
+
+    rows = [(g, i, i * (g + 1)) for g in range(2) for i in range(100)]
+    df = spark.createDataFrame(rows, "g int, id int, v int")
+    out = percentile_trim_grouped(df, "g", "v", "id", buckets=20)
+    kept = out.groupBy("g").agg(
+        F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()
+    for r in kept:
+        assert r["n"] == 90  # each group sheds its own 5% tails
+        scale = r["g"] + 1
+        assert r["lo"] == 5 * scale and r["hi"] == 94 * scale
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    from datacamp_etl_spark.queries import QUERIES
+
+    out = QUERIES["leakage_safe_split"](spark, sf_dir)
+    leaks = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert leaks == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
