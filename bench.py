@@ -98,6 +98,7 @@ HEADLINE = [
     "standardize_embeddings",
     "trim_by_source",
     "leakage_safe_split",
+    "median_chars_by_source",
 ]
 
 

@@ -5389,6 +5389,60 @@ ORACLE["leakage_safe_split"] = ORACLE["leakage_safe_split"].replace(
 )
 
 
+@register(
+    "median_chars_by_source",
+    """
+    WITH r AS (SELECT source, n_chars,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars, doc_id) AS rn,
+                      count(*) OVER (PARTITION BY source) AS n
+               FROM documents)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           round(avg(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                          THEN CAST(n_chars AS DOUBLE) END), 1) AS median_chars
+    FROM r GROUP BY source, n
+    """,
+)
+def q_median_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact per-GROUP median (document length by source): rank
+    within each source partition, average the middle one/two values —
+    grouped order statistics stay scale-safe with plain partitioned
+    windows (the group key is the shuffle key), no global machinery
+    needed. Ties broken by doc_id; even-count groups average the two
+    middle values."""
+    docs = t(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    )
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = W.partitionBy("source")
+    r = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    lo_mid = F.floor((F.col("n") + 1) / 2).cast("long")
+    hi_mid = F.floor((F.col("n") + 2) / 2).cast("long")
+    mid = (F.col("rn") == lo_mid) | (F.col("rn") == hi_mid)
+    return (
+        r.groupBy("source", "n")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(mid, F.col("n_chars").cast("double"))
+                ),
+                1,
+            ).alias("median_chars")
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "median_chars",
+        )
+    )
+
+
 # =====================================================================
 # Adjudication-window rotation
 # =====================================================================
