@@ -99,6 +99,8 @@ HEADLINE = [
     "trim_by_source",
     "leakage_safe_split",
     "median_chars_by_source",
+    "containment_pairs",
+    "pack_concat",
 ]
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "span_dedup",
+    "containment_pairs",
 ]
 
 
@@ -731,4 +732,54 @@ def span_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# Asymmetric containment (sub-document / quote detection)
+# ---------------------------------------------------------------------
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: ``(id_a, id_b, n_common, n_a)``
+    where at least ``threshold`` of A's distinct ``k``-shingles also
+    appear in B — the asymmetric signal Jaccard misses: a short
+    document quoted inside a much longer one scores near-zero Jaccard
+    (union is dominated by B) but containment ~1. The standard
+    operator for quote/subset/boilerplate-inclusion detection.
+
+    Same scale shape as the ngram-Jaccard expand path: inverted-index
+    self-join on shared shingles (skinny id pairs through the
+    shuffle), one (id_a, id_b) count aggregation, then a size join on
+    the A side only. The threshold compare is integer arithmetic
+    (``n_common * 10000 >= thr * n_a``) — no float drift. Directed:
+    both (a,b) and (b,a) can emit; self-pairs never do.
+    """
+    thr_num = int(round(threshold * 10000))
+    sh = scoped_cache(
+        ensure_parallelism(df).select(
+            F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+        )
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.hint("merge").select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_a"))
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), "n_a"), "id_a"
+        )
+        .where(F.col("n_common") * 10000 >= F.lit(thr_num) * F.col("n_a"))
+        .select("id_a", "id_b", "n_common", "n_a")
     )

@@ -5390,6 +5390,98 @@ ORACLE["leakage_safe_split"] = ORACLE["leakage_safe_split"].replace(
 
 
 @register(
+    "containment_pairs",
+    f"""
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_a FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id <> b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, n_common, s.n_a
+    FROM inter JOIN sizes s ON s.doc_id = id_a
+    WHERE n_common * 10000 >= 8000 * s.n_a
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] directed near-containment pairs (>= 80% of A's shingles
+    inside B) — the asymmetric dedup signal Jaccard misses: a short
+    doc quoted inside a long one. Inverted-index join, integer-exact
+    threshold on the A-side size only."""
+    from datacamp_etl_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "pack_concat",
+    f"""
+    WITH tk AS (SELECT doc_id, source, text,
+                       CAST(greatest(1, CASE WHEN {_NORM_SQL} = '' THEN 0
+                            ELSE len(string_split({_NORM_SQL}, ' ')) END)
+                         AS BIGINT) AS n_tokens
+                FROM documents),
+    c AS (SELECT doc_id, source, text, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM tk),
+    binned AS (SELECT doc_id, source, text, n_tokens,
+                      CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
+               FROM c)
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           string_agg(text, ' <|endofdoc|> ' ORDER BY doc_id) AS packed
+    FROM binned GROUP BY source, bin_id
+    """,
+)
+def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] materialized packed sequences: the bins pack_sequences
+    assigns, concatenated into one training row per bin (documents in
+    doc_id order, separator-delimited) with doc and token counts.
+    groupBy(source, bin) with a sorted collect_list — each group is
+    bounded by the 2048-token budget, so the collected payload per
+    task is capped by construction."""
+    from datacamp_etl_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.greatest(F.lit(1), token_count(F.col("text"))).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    binned = docs.select(
+        "doc_id", "source", "text", n_tok.alias("n_tokens")
+    ).withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048
+        ).cast("long"),
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " <|endofdoc|> ",
+            ).alias("packed"),
+        )
+    )
+
+
+@register(
     "median_chars_by_source",
     """
     WITH r AS (SELECT source, n_chars,

@@ -55,6 +55,46 @@ def test_percentile_trim_grouped_trims_per_group(spark):
         assert r["lo"] == 5 * scale and r["hi"] == 94 * scale
 
 
+def test_containment_catches_quote_jaccard_misses(spark):
+    from datacamp_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated content here now")],
+        "doc_id long, text string",
+    )
+    cont = {(r["id_a"], r["id_b"]) for r in containment_pairs(docs).collect()}
+    assert (1, 2) in cont          # short doc contained in long
+    assert (2, 1) not in cont      # not symmetric
+    assert not any(3 in p for p in cont)
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert not any(                # Jaccard misses the quote pair
+        {r["id_a"], r["id_b"]} == {1, 2} for r in jac
+    )
+
+
+def test_pack_concat_bins_respect_budget_and_order(spark, sf_dir):
+    from datacamp_etl_spark.queries import QUERIES
+
+    packed = QUERIES["pack_concat"](spark, sf_dir).collect()
+    seqs = QUERIES["pack_sequences"](spark, sf_dir).collect()
+    import collections
+
+    want = collections.Counter((r["source"], r["bin_id"]) for r in seqs)
+    got = {(r["source"], r["bin_id"]): r for r in packed}
+    assert set(got) == set(want)
+    for key, r in got.items():
+        assert r["n_docs"] == want[key]
+        assert r["packed"].count(" <|endofdoc|> ") == r["n_docs"] - 1
+        # a bin overflows by at most one document (streaming packer)
+        if r["n_docs"] > 1:
+            assert r["n_tokens"] - 2048 < 2048
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     from datacamp_etl_spark.queries import QUERIES
 
