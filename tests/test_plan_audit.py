@@ -34,10 +34,10 @@ ALLOWED_BNLJ = {
 
 #: Partitionless-Window allowlist: query -> why the window's input is
 #: bounded by construction (NOT by luck of the current data size).
-ALLOWED_GLOBAL_WINDOW = {
-    "hybrid_search_rrf": "fusion-pool rankings run after limit(pool) "
-    "TakeOrdered caps — each global window sees <= 50 rows",
-}
+#: Currently EMPTY — every registered query plans zero global windows
+#: (hybrid RRF's bounded pool rankings were rewritten as self-join
+#: counts precisely so this list could stay empty).
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {}
 
 
 def _plannable(name: str) -> bool:
