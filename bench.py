@@ -101,6 +101,7 @@ HEADLINE = [
     "median_chars_by_source",
     "containment_pairs",
     "pack_concat",
+    "ann_recall_eval",
 ]
 
 

@@ -5482,6 +5482,57 @@ def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_eval",
+    """
+    WITH exact AS ({EXACT_TOPK}),
+    approx AS ({APPROX_TOPK}),
+    hits AS (SELECT count(*) AS n_hits
+             FROM approx WHERE vec_id IN (SELECT vec_id FROM exact))
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / 10.0, 6) AS recall_at_k
+    FROM hits
+    """,
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ANN quality evaluation: recall@10 of the LSH top-k
+    against the exact brute-force top-k for the vec_id=0 query — the
+    measure-don't-guess harness for tuning num_planes/probes before a
+    corpus-scale rollout. Both branches are the registered operators
+    themselves; the comparison is a 10-row broadcast semi-join and a
+    1-row output."""
+    from datacamp_etl_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    exact = brute_force_topk(emb, q, k=10).select("vec_id")
+    approx = lsh_topk(emb, q, k=10).select("vec_id")
+    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi")
+    n_approx = approx.agg(F.count("*").alias("n_approx"))
+    return (
+        hits.agg(F.count("*").alias("n_hits"))
+        .crossJoin(n_approx)
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.col("n_approx").cast("long"),
+            F.col("n_hits").cast("long"),
+            F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_k"),
+        )
+    )
+
+
+ORACLE["ann_recall_eval"] = (
+    ORACLE["ann_recall_eval"]
+    .replace("{EXACT_TOPK}", ORACLE["embedding_topk"])
+    .replace("{APPROX_TOPK}", ORACLE["lsh_topk"])
+)
+
+
+@register(
     "median_chars_by_source",
     """
     WITH r AS (SELECT source, n_chars,

@@ -30,6 +30,8 @@ ALLOWED_BNLJ = {
     "scale; the default scale path is cosine_near_dup_lsh",
     "temperature_mix": "per-source sampling-rate table (|sources| rows)",
     "gapfill_hourly_events": "hour spine bounded by the queried range",
+    "ann_recall_eval": "1-row x 1-row scalar-aggregate cross join "
+    "(hit count x pool count) plus a 10-row exact-top-k broadcast",
 }
 
 #: Partitionless-Window allowlist: query -> why the window's input is
