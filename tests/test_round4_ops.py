@@ -75,6 +75,12 @@ def test_containment_catches_quote_jaccard_misses(spark):
     assert not any(                # Jaccard misses the quote pair
         {r["id_a"], r["id_b"]} == {1, 2} for r in jac
     )
+    # the prefix-filtered strategy is lossless (pigeonhole prune)
+    pref = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(docs, strategy="prefix").collect()
+    }
+    assert pref == cont
 
 
 def test_pack_concat_bins_respect_budget_and_order(spark, sf_dir):
