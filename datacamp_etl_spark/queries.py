@@ -5612,8 +5612,9 @@ _ADJUDICATION_PRIORITY = [
     "token_entropy_scores",
     "oov_rate_top100",
     # Never driver-adjudicated across r1-r3 (40 entries; with the 10
-    # above this fills the driver's 50-entry window exactly, making
-    # the union of driver-green rows 131/131 once this round lands).
+    # above this fills the driver's 50-entry window exactly, giving
+    # every query registered through r3 a driver-green row once this
+    # round lands; the 8 late-round-4 registrations rotate in next).
     # Includes the two plan-shape rewrites (equidepth, percentile
     # trim) and the queries whose operators changed this round, so
     # the fresh plans get driver evidence, not just selfcheck.

@@ -93,3 +93,35 @@ def test_contiguous_ids_are_a_dense_order_isomorphism(spark, keys):
     out = assign_contiguous_ids(df, ["k"], num_partitions=3)
     rows = sorted(out.collect(), key=lambda r: r["k"])
     assert [r["row_id"] for r in rows] == list(range(len(keys)))
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-10**6, max_value=10**6),
+        min_size=1, max_size=60, unique=True,
+    ),
+    buckets=st.integers(min_value=1, max_value=12),
+)
+@settings(**SETTINGS)
+def test_exact_ntile_matches_spec_for_any_size(spark, keys, buckets):
+    """exact_ntile == the ANSI ntile contract for ANY (n, buckets):
+    first n%b buckets hold n//b+1 rows, the rest n//b, assigned in
+    key order — including n < buckets and n % buckets == 0."""
+    from datacamp_etl_spark.operators.ids import exact_ntile
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["bucket"]
+        for r in exact_ntile(df, ["k"], buckets, num_partitions=3).collect()
+    }
+    n, b = len(keys), buckets
+    q, r = divmod(n, b)
+    want, rank = {}, 0
+    for k in sorted(keys):
+        bucket, acc = 1, q + 1 if r >= 1 else q
+        while rank >= acc:
+            bucket += 1
+            acc += q + 1 if bucket <= r else q
+        want[k] = bucket
+        rank += 1
+    assert got == want
