@@ -5607,17 +5607,33 @@ _ADJUDICATION_PRIORITY = [
     "md5_digest",
     "table_diff",
     "incremental_load",
-    # NEW this round (round 4) — new code faces adjudication first.
+    # NEW this round (round 4) — ALL 11 queries registered this round,
+    # in registration order. New code faces adjudication first; none
+    # of it ships on selfcheck evidence alone.
     "winsorize_order_totals",
     "token_entropy_scores",
     "oov_rate_top100",
-    # Never driver-adjudicated across r1-r3 (40 entries; with the 10
-    # above this fills the driver's 50-entry window exactly, giving
-    # every query registered through r3 a driver-green row once this
-    # round lands; the 8 late-round-4 registrations rotate in next).
-    # Includes the two plan-shape rewrites (equidepth, percentile
-    # trim) and the queries whose operators changed this round, so
-    # the fresh plans get driver evidence, not just selfcheck.
+    "boilerplate_shingle_ratio",
+    "standardize_embeddings",
+    "trim_by_source",
+    "leakage_safe_split",
+    "containment_pairs",
+    "pack_concat",
+    "ann_recall_eval",
+    "median_chars_by_source",
+    # Never driver-adjudicated across r1-r3: 40 such entries remain,
+    # but only 32 slots do (7 core + 11 new above). The 8 deferred to
+    # round 5 each have a driver-green sibling exercising the same
+    # operator (kmv_distinct_users_by_type ~ kmv_distinct_custkey;
+    # temperature_mix ~ mixture_sample; pq_encode ~ pq_topk;
+    # histogram_order_totals ~ column_profile_orders + equidepth;
+    # streaming_rocksdb_window_counts / streaming_dedup_watermark /
+    # streaming_upsert_latest ~ the seven green streaming entries;
+    # hll_incremental_distinct is rows-only by design either way).
+    # Included here: the two plan-shape rewrites (equidepth,
+    # percentile trim) and every query whose operator changed this
+    # round, so the fresh plans get driver evidence, not just
+    # selfcheck.
     "assign_contiguous_ids",
     "bloom_semi_join_urgent",
     "cm_heavy_hitters",
@@ -5630,19 +5646,15 @@ _ADJUDICATION_PRIORITY = [
     "funnel_signup_click_purchase",
     "fuzzy_name_pairs",
     "gapfill_hourly_events",
-    "histogram_order_totals",
-    "hll_incremental_distinct",
     "hybrid_search_rrf",
     "incremental_agg_maintenance",
     "incremental_dedup_against_corpus",
     "interval_join_click_after_error",
     "kmv_distinct_custkey",
-    "kmv_distinct_users_by_type",
     "mixture_sample",
     "pack_sequences",
     "percentile_trim_chars",
     "posting_lists",
-    "pq_encode_embeddings",
     "pq_topk_embeddings",
     "pydatasource_scan",
     "quantize_embeddings",
@@ -5650,10 +5662,6 @@ _ADJUDICATION_PRIORITY = [
     "scd2_point_in_time_join",
     "selective_window_refresh",
     "span_dedup",
-    "streaming_dedup_watermark",
-    "streaming_rocksdb_window_counts",
-    "streaming_upsert_latest",
-    "temperature_mix",
     "training_shuffle",
     "udtf_char_chunks",
     "variant_props_stats",
