@@ -111,29 +111,60 @@ def exact_ntile(
 ) -> DataFrame:
     """EXACT SQL ``ntile(buckets)`` over a global order — without the
     partitionless WindowExec (single-task global sort) the naive
-    ``ntile().over(Window.orderBy(...))`` plans.
+    ``ntile().over(Window.orderBy(...))`` plans, and WITHOUT moving
+    the full table at all.
 
-    Built on :func:`global_row_number`; the bucket is then pure
-    arithmetic on the rank: with ``n`` rows, ``q = n div buckets``,
-    ``r = n mod buckets``, the first ``r`` buckets hold ``q+1`` rows
-    and the rest ``q`` (the ANSI ntile contract, verified against
-    DuckDB). ``order_cols`` must be a unique key for determinism.
+    Boundary-literal design: the ``buckets - 1`` bucket-END tuples
+    (the ``order_cols`` values at ANSI positions: with ``n`` rows,
+    ``q = n div buckets``, ``r = n mod buckets``, the first ``r``
+    buckets hold ``q+1`` rows) are found by ranking a NARROW
+    projection of just ``order_cols`` (one range-exchange of the key
+    columns — document bodies, embeddings, etc. never enter a
+    shuffle), collected to the driver (bounded: ``buckets - 1``
+    tuples), and folded back as literals: each row's bucket is
+    ``1 + #(boundaries strictly below its own key tuple)`` — a pure
+    projection on the ORIGINAL DataFrame, preserving its partitioning
+    and leaving any filter on the bucket scan-pushable.
+
+    ``order_cols`` must be a unique key (ties would make the order
+    nondeterministic) with no NULLs (boundary literals can't encode
+    SQL null ordering; raises if a boundary lands on one).
     """
+    narrow = df.select(*order_cols)
     ranked, n = global_row_number(
-        df, order_cols, rn_col="__grn", num_partitions=num_partitions
+        narrow, order_cols, rn_col="__grn", num_partitions=num_partitions
     )
+    if n == 0 or buckets <= 1:
+        return df.withColumn(
+            bucket_col, (F.lit(None) if n == 0 else F.lit(1)).cast("int")
+        )
     q, r = divmod(n, buckets)
-    rn = F.col("__grn")
     big = r * (q + 1)  # rows living in the q+1-sized buckets
-    if q == 0:
-        bucket = rn  # n < buckets: one row per bucket
-    else:
-        bucket = F.when(
-            rn <= big, F.floor((rn - 1) / (q + 1)) + 1
-        ).otherwise(F.lit(r) + F.floor((rn - big - 1) / q) + 1)
-    return ranked.withColumn(
-        bucket_col, bucket.cast("int")
-    ).drop("__grn")
+    ends = []
+    for b in range(1, buckets):
+        pos = b * (q + 1) if b <= r else big + (b - r) * q
+        ends.append(max(1, min(pos, n)))
+    rows = {
+        row["__grn"]: row
+        for row in ranked.where(
+            F.col("__grn").isin(sorted(set(ends)))
+        ).collect()
+    }
+    bucket = F.lit(1)
+    for pos in ends:
+        vals = [rows[pos][c] for c in order_cols]
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"exact_ntile: NULL in order_cols at boundary rank {pos}; "
+                f"order keys must be NULL-free for the literal-boundary "
+                f"plan"
+            )
+        # lexicographic "row tuple > boundary tuple", innermost-first
+        gt = F.lit(False)
+        for c, v in reversed(list(zip(order_cols, vals))):
+            gt = (F.col(c) > F.lit(v)) | ((F.col(c) == F.lit(v)) & gt)
+        bucket = bucket + gt.cast("int")
+    return df.withColumn(bucket_col, bucket.cast("int"))
 
 
 def exact_quantile_values(
@@ -156,8 +187,13 @@ def exact_quantile_values(
     """
     import math
 
+    # rank a NARROW projection — only the order-key columns make the
+    # range-exchange; the full rows never move
     ranked, n = global_row_number(
-        df, order_cols, rn_col="__grn", num_partitions=num_partitions
+        df.select(*order_cols),
+        order_cols,
+        rn_col="__grn",
+        num_partitions=num_partitions,
     )
     if n == 0:
         return [None] * len(probs)

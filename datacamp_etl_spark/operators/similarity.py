@@ -40,6 +40,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "kmeans_train",
+    "semantic_dedup",
     "cosine_near_dup_pairs",
 ]
 
@@ -444,4 +445,86 @@ def kmeans_train(
         F.col(id_col),
         "cluster",
         F.round(F.array_min("__dist_arr"), 4).alias("dist"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embedding corpus with k-means, then
+    search for near-duplicates only WITHIN each cluster — the cluster
+    assignment replaces the O(n²) all-pairs scan with an equi-join on
+    ``cluster``, the published recipe for embedding dedup at corpus
+    scale.
+
+    Returns ``(id, cluster, keep)``: ``keep`` is False iff some
+    same-cluster row with a SMALLER id has cosine similarity >=
+    ``threshold`` (rounded to 6 decimals — the engine-portable cosine
+    contract of :func:`cosine_near_dup_pairs`). Exactly the
+    lowest-id member of every semantic duplicate group survives
+    within its cluster.
+
+    Scale contract: k-means is the bounded-driver loop of
+    :func:`kmeans_train` (k x dim doubles to the driver, map-side
+    combinable shuffles). The within-cluster pair join is quadratic
+    in CLUSTER size, not corpus size — choose ``k`` proportional to
+    corpus size (n / target_cluster_rows) so each cluster stays
+    bounded; SemDeDup uses tens of thousands of clusters at
+    billion-document scale. Skewed (mega-) clusters are AQE
+    skew-join territory; shrink them by raising ``k``.
+    """
+    assign = kmeans_train(
+        df, id_col=id_col, vec_col=vec_col, k=k, n_iter=n_iter
+    ).drop("dist")
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # hoist the per-vector L2 norm out of the pair join: cosine is then
+    # one dot-product fold per pair instead of three folds — float
+    # semantics identical (den = sqrt(ssa) * sqrt(ssb), left-to-right,
+    # exactly cosine_similarity's operation order)
+    emb = (
+        df.select(
+            F.col(id_col),
+            dvec.alias("__v"),
+            l2_norm(dvec).alias("__n"),
+        )
+        .join(assign, id_col)
+    )
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        "cluster",
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        "cluster",
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    den = F.col("__na") * F.col("__nb")
+    cos = F.round(
+        F.when(den != 0, dot_product(F.col("__va"), F.col("__vb")) / den),
+        6,
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= F.lit(threshold))
+        .select(F.col("id_b").alias("__dropped"))
+        .distinct()
+    )
+    return (
+        emb.join(dropped, emb[id_col] == F.col("__dropped"), "left")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.col("__dropped").isNull().alias("keep"),
+        )
     )

@@ -3416,10 +3416,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2) -> str:
-    """Unrolled Lloyd's in DuckDB: same md5 init, same per-iteration
-    6-decimal centroid rounding, same lowest-cluster tie-break, same
-    left-to-right distance fold (list_sum over list_transform)."""
+def _kmeans_cte_sql(k: int = 4, n_iter: int = 2) -> str:
+    """Unrolled Lloyd's in DuckDB as a WITH-body ending at ``dfin``
+    (per-row distance to every final centroid): same md5 init, same
+    per-iteration 6-decimal centroid rounding, same lowest-cluster
+    tie-break, same left-to-right distance fold (list_sum over
+    list_transform). Shared by the kmeans and semantic-dedup oracles."""
     dist = (
         "list_sum(list_transform(range(len(e.embedding)), "
         "i -> (CAST(e.embedding[i+1] AS DOUBLE) - c{it}.c[i+1]) "
@@ -3458,12 +3460,19 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2) -> str:
     d_fin = dist.format(it=n_iter)
     parts.append(f"""
     dfin AS (SELECT e.vec_id, c{n_iter}.cluster, {d_fin} AS d
-             FROM e CROSS JOIN c{n_iter})
+             FROM e CROSS JOIN c{n_iter})""")
+    return ",".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 2) -> str:
+    return (
+        _kmeans_cte_sql(k, n_iter)
+        + """
     SELECT vec_id, CAST(cluster AS INT) AS cluster, round(d, 4) AS dist
     FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
               ORDER BY d, cluster) AS rn FROM dfin)
-    WHERE rn = 1""")
-    return ",".join(parts)
+    WHERE rn = 1"""
+    )
 
 
 @register("kmeans_embeddings", _kmeans_oracle_sql())
@@ -3478,6 +3487,48 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmeans_train(
         t(spark, sf_dir, "embeddings"), k=4, n_iter=2
+    )
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8, n_iter: int = 2, threshold: float = 0.45
+) -> str:
+    return (
+        _kmeans_cte_sql(k, n_iter)
+        + f""",
+    afin AS (SELECT vec_id, cluster FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cluster) AS rn FROM dfin)
+             WHERE rn = 1),
+    ev AS (SELECT e.vec_id, afin.cluster,
+                  CAST(e.embedding AS DOUBLE[]) AS v
+           FROM e JOIN afin USING (vec_id)),
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM ev a JOIN ev b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                      >= {threshold})
+    SELECT ev.vec_id, CAST(ev.cluster AS INT) AS cluster,
+           d.vec_id IS NULL AS keep
+    FROM ev LEFT JOIN dropped d USING (vec_id)"""
+    )
+
+
+@register("semantic_dedup", _semantic_dedup_oracle_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup semantic deduplication
+    (operators/similarity.py:semantic_dedup): k-means clusters the
+    embedding corpus (k=8, 2 Lloyd iterations, md5-deterministic
+    init), then cosine near-dup search runs only WITHIN clusters —
+    an equi-join on cluster id in place of the O(n²) all-pairs scan.
+    keep=False iff a smaller-id same-cluster row has cosine >= 0.45.
+    The oracle replays the full pipeline: unrolled Lloyd's with the
+    6-decimal centroid rounding contract, then the within-cluster
+    pair join at the same rounded-cosine threshold."""
+    from datacamp_etl_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        t(spark, sf_dir, "embeddings"), k=8, n_iter=2, threshold=0.45
     )
 
 
@@ -5621,14 +5672,17 @@ _ADJUDICATION_PRIORITY = [
     "pack_concat",
     "ann_recall_eval",
     "median_chars_by_source",
+    "semantic_dedup",
     # Never driver-adjudicated across r1-r3: 40 such entries remain,
-    # but only 32 slots do (7 core + 11 new above). The 8 deferred to
+    # but only 31 slots do (7 core + 12 new above). The 9 deferred to
     # round 5 each have a driver-green sibling exercising the same
     # operator (kmv_distinct_users_by_type ~ kmv_distinct_custkey;
     # temperature_mix ~ mixture_sample; pq_encode ~ pq_topk;
     # histogram_order_totals ~ column_profile_orders + equidepth;
     # streaming_rocksdb_window_counts / streaming_dedup_watermark /
     # streaming_upsert_latest ~ the seven green streaming entries;
+    # scd2_customer_segment ~ scd2_point_in_time_join, which builds
+    # the same SCD2 dimension internally;
     # hll_incremental_distinct is rows-only by design either way).
     # Included here: the two plan-shape rewrites (equidepth,
     # percentile trim) and every query whose operator changed this
@@ -5658,7 +5712,6 @@ _ADJUDICATION_PRIORITY = [
     "pq_topk_embeddings",
     "pydatasource_scan",
     "quantize_embeddings",
-    "scd2_customer_segment",
     "scd2_point_in_time_join",
     "selective_window_refresh",
     "span_dedup",

@@ -109,3 +109,25 @@ def test_kmeans_train_deterministic_and_sane(spark):
     assert len(even) == 1 and len(odd) == 1 and even != odd
     dists = [r["dist"] for r in kmeans_train(df, k=2, n_iter=3).collect()]
     assert all(d is not None and d >= 0 for d in dists)
+
+
+def test_semantic_dedup_within_cluster_keep_contract(spark):
+    # 1 and 2 are near-identical (cos ~ 0.994); 4 is the antipode of 1.
+    out = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in S.semantic_dedup(
+            _vectors(spark), k=2, n_iter=1, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 5
+    # every cluster keeps at least one member
+    clusters = {c for c, _ in out.values()}
+    for c in clusters:
+        assert any(k for cc, k in out.values() if cc == c)
+    # if 1 and 2 share a cluster, the larger id is the dropped one
+    if out[1][0] == out[2][0]:
+        assert out[1][1] and not out[2][1]
+    # dissimilar vectors never drop each other: 4 can only be dropped
+    # by a same-cluster vector with cosine >= 0.9, and no such vector
+    # exists in the fixture
+    assert out[4][1]
