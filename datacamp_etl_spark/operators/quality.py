@@ -158,21 +158,30 @@ def repetition_profile(
         ensure_parallelism(df), {"__toks": tokens(text_col)}
     )
     toks = F.col("__toks")
-    dis = F.array_distinct(toks)
     n_tok = F.size(toks)
+    m = F.greatest(n_tok - 1, F.lit(0))
+    # second barrier: the distinct-token and bigram arrays each feed
+    # two signals below — materialize them once per row too
+    base = evaluate_once(
+        base,
+        {
+            "__dis": F.array_distinct(toks),
+            "__big": F.zip_with(
+                F.slice(toks, 1, m),
+                F.when(n_tok >= 2, F.slice(toks, 2, m)).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        },
+    )
+    dis = F.col("__dis")
+    big = F.col("__big")
     n_dis = F.size(dis)
     top_cnt = F.array_max(
         F.transform(
             dis, lambda x: F.size(F.filter(toks, lambda y: y == x))
         )
-    )
-    m = F.greatest(n_tok - 1, F.lit(0))
-    big = F.zip_with(
-        F.slice(toks, 1, m),
-        F.when(n_tok >= 2, F.slice(toks, 2, m)).otherwise(
-            F.array().cast("array<string>")
-        ),
-        lambda a, b: F.concat_ws(" ", a, b),
     )
     n_big = F.size(big)
     n_big_dis = F.size(F.array_distinct(big))

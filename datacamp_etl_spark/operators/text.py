@@ -147,21 +147,27 @@ def language_id_from_tokens(toks: Column) -> Column:
         # so default-arg capture would be misread as (element, index)
         return lambda x: F.array_contains(arr, x)
 
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(w) for w in markers])
-        scores.append((lang, F.size(F.filter(toks, _contains(arr)))))
-    best = F.lit("und")
-    best_score = F.lit(0)
-    # Forward fold with strict '>': a later language must strictly beat
-    # the running best (which already includes every earlier language),
-    # so ties resolve to the EARLIER entry in LANG_MARKERS — matching
-    # the docstring and the oracle's CASE order.
-    for lang, score in scores:
-        cond = score > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, score).otherwise(best_score)
-    return best
+    # Argmax over an ARRAY of per-language scores, not a chained
+    # when-fold: the fold nests each score expression into every later
+    # when(), so the tree holds ~2^|langs| copies of the marker-filter
+    # — and higher-order functions are interpreted (never codegen'd),
+    # so every copy re-evaluates (measured 8.6 s -> 0.3 s at sf0.1 for
+    # the inline form). Here each filter is evaluated exactly once;
+    # array_position returns the FIRST index of the max, so ties still
+    # resolve to the earlier entry in LANG_MARKERS — matching the
+    # docstring and the oracle's CASE order.
+    scores = F.array(
+        *[
+            F.size(F.filter(toks, _contains(F.array(*map(F.lit, markers)))))
+            for markers in LANG_MARKERS.values()
+        ]
+    )
+    names = F.array(*[F.lit(lang) for lang in LANG_MARKERS])
+    mx = F.array_max(scores)
+    return F.when(
+        mx > 0,
+        F.element_at(names, F.array_position(scores, mx).cast("int")),
+    ).otherwise(F.lit("und"))
 
 
 def fingerprint(col: Column | str) -> Column:
