@@ -815,8 +815,14 @@ def containment_pairs(
     sh = docsets.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     # A-side prefix: the doc's (n_a - ceil(t*n_a) + 1) rarest shingles
-    # in the global (df, shingle) total order.
-    alpha = F.ceil(F.lit(threshold) * F.col("n_sh")).cast("long")
+    # in the global (df, shingle) total order. alpha in INTEGER
+    # arithmetic — float ceil(threshold * n) rounds above the exact
+    # product for some (threshold, n) (0.55*100 -> 55.000...01 ->
+    # ceil 56), shortening the prefix by one and silently dropping
+    # qualifying pairs the verify filter (also integer) would admit.
+    alpha = F.floor(
+        (F.col("n_sh") * thr_num + 9999) / 10000
+    ).cast("long")
     pref_len = F.col("n_sh") - alpha + 1
     w = Window.partitionBy("id").orderBy("df", "shingle")
     pref = (

@@ -130,14 +130,16 @@ def exact_ntile(
     nondeterministic) with no NULLs (boundary literals can't encode
     SQL null ordering; raises if a boundary lands on one).
     """
+    if buckets <= 1:
+        # constant bucket — no ranking pass needed (on an empty input
+        # the lit(1) vs lit(None) distinction is unobservable)
+        return df.withColumn(bucket_col, F.lit(1).cast("int"))
     narrow = df.select(*order_cols)
     ranked, n = global_row_number(
         narrow, order_cols, rn_col="__grn", num_partitions=num_partitions
     )
-    if n == 0 or buckets <= 1:
-        return df.withColumn(
-            bucket_col, (F.lit(None) if n == 0 else F.lit(1)).cast("int")
-        )
+    if n == 0:
+        return df.withColumn(bucket_col, F.lit(None).cast("int"))
     q, r = divmod(n, buckets)
     big = r * (q + 1)  # rows living in the q+1-sized buckets
     ends = []

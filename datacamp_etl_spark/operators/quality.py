@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datacamp_etl_spark.operators.dedup import shingles
-from datacamp_etl_spark.operators.spread import ensure_parallelism, evaluate_once
+from datacamp_etl_spark.operators.spread import (
+    ensure_parallelism,
+    evaluate_once,
+    scoped_cache,
+)
 from datacamp_etl_spark.operators.text import tokens
 
 __all__ = [
@@ -226,9 +230,11 @@ def boilerplate_ratio(
     the final fold is doc-keyed. No windows, no UDFs, no driver
     materialization.
     """
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, k)).alias("shingle"),
+    sh = scoped_cache(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(text_col, k)).alias("shingle"),
+        )
     )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     boiler = dfreq.where(F.col("df") >= min_docs).select(

@@ -187,6 +187,13 @@ def hybrid_search_rrf(
     # in the bench tail. (A literal partition key doesn't work:
     # Catalyst folds it away and the warning returns.)
     def _rank_pool(pool_df, key: str, score: str, rank_name: str):
+        # NULL scores (zero-norm vectors under cosine) get no rank at
+        # all: every comparison against NULL is false, so they'd
+        # otherwise count zero predecessors and tie the true best at
+        # rank 1 — the window form put them last; dropping them is the
+        # correct fusion semantics (a degenerate vector earns no RRF
+        # credit).
+        pool_df = pool_df.where(F.col(score).isNotNull())
         a = pool_df.select(F.col(key).alias("id"), F.col(score).alias("s"))
         b = pool_df.select(
             F.col(key).alias("id2"), F.col(score).alias("s2")

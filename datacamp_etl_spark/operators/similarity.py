@@ -488,7 +488,12 @@ def semantic_dedup(
     # one dot-product fold per pair instead of three folds — float
     # semantics identical (den = sqrt(ssa) * sqrt(ssb), left-to-right,
     # exactly cosine_similarity's operation order)
-    emb = (
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
+    # emb feeds three consumers (both pair-join sides + the output
+    # projection) — cache it so the assignment join and norm fold run
+    # once per action
+    emb = scoped_cache(
         df.select(
             F.col(id_col),
             dvec.alias("__v"),

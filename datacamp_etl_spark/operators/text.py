@@ -322,8 +322,15 @@ def oov_rate(
     doc-keyed aggregation. Returns ``(id, n_tokens, n_oov,
     oov_rate)``; rate = n_oov / n_tokens rounded to ``decimals``.
     """
-    posting = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
+    # the posting relation feeds both the vocab aggregation and the
+    # marked join — cache it so the tokenizer runs once per action
+    posting = scoped_cache(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
     )
     vocab = (
         posting.groupBy("term")

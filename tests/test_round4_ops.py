@@ -114,3 +114,31 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     assert leaks == 0
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_containment_prefix_alpha_integer_boundary(spark):
+    # Float alpha = ceil(0.55 * 100) = ceil(55.000000000000007) = 56
+    # shortens the prefix to 45 = |A-only shingles|; since A-only
+    # shingles are globally RAREST (df=1 vs df=2 for shared), the
+    # buggy prefix contains no shared shingle, the candidate is never
+    # generated, and a pair with EXACTLY threshold overlap is silently
+    # dropped. Integer alpha = ceil(100*5500/10000) = 55 keeps one
+    # shared shingle in the prefix. Both strategies must agree.
+    from datacamp_etl_spark.operators.dedup import containment_pairs
+
+    # A: 100 distinct word 3-shingles (102 words); B shares A's first
+    # 57 words -> exactly 55 shingles -> overlap ratio exactly 0.55
+    words_a = [f"w{i:03d}" for i in range(102)]
+    words_b = words_a[:57] + [f"z{i:03d}" for i in range(60)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b))],
+        "doc_id long, text string",
+    )
+    for strategy in ("expand", "prefix"):
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"])
+            for r in containment_pairs(
+                docs, threshold=0.55, strategy=strategy
+            ).collect()
+        }
+        assert got.get((1, 2)) == (55, 100), (strategy, got)
