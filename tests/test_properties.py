@@ -125,3 +125,37 @@ def test_exact_ntile_matches_spec_for_any_size(spark, keys, buckets):
         want[k] = bucket
         rank += 1
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from([f"t{i}" for i in range(12)]),
+            min_size=3, max_size=14,
+        ),
+        min_size=2, max_size=6,
+    ),
+    thr=st.sampled_from([0.07, 0.3, 0.5, 0.55, 0.8]),
+)
+@settings(**SETTINGS)
+def test_containment_prefix_prune_is_lossless(spark, docs, thr):
+    """The asymmetric-PPJoin prefix filter must be a pure PRUNE: for
+    ANY corpus and threshold, strategy='prefix' returns exactly the
+    pairs strategy='expand' does — including thresholds whose float
+    product rounds above the exact integer (0.55*100) and dense
+    corpora where every shingle is hot."""
+    from datacamp_etl_spark.operators.dedup import containment_pairs
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {}
+    for strategy in ("expand", "prefix"):
+        out[strategy] = {
+            (r["id_a"], r["id_b"], r["n_common"], r["n_a"])
+            for r in containment_pairs(
+                frame, threshold=thr, strategy=strategy
+            ).collect()
+        }
+    assert out["prefix"] == out["expand"]
