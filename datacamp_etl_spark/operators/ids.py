@@ -127,10 +127,14 @@ def exact_ntile(
     and leaving any filter on the bucket scan-pushable.
 
     ``order_cols`` must be a unique key (ties would make the order
-    nondeterministic) with no NULLs (boundary literals can't encode
-    SQL null ordering; raises if a boundary lands on one).
+    nondeterministic). NULL order keys sort first (Spark's ASC
+    default) and land deterministically in the earliest bucket; a
+    NULL landing exactly ON a boundary still raises (a boundary
+    literal can't encode SQL null ordering).
     """
-    if buckets <= 1:
+    if buckets < 1:
+        raise ValueError(f"exact_ntile: buckets must be >= 1, got {buckets}")
+    if buckets == 1:
         # constant bucket — no ranking pass needed (on an empty input
         # the lit(1) vs lit(None) distinction is unobservable)
         return df.withColumn(bucket_col, F.lit(1).cast("int"))
@@ -161,10 +165,17 @@ def exact_ntile(
                 f"order keys must be NULL-free for the literal-boundary "
                 f"plan"
             )
-        # lexicographic "row tuple > boundary tuple", innermost-first
+        # lexicographic "row tuple > boundary tuple", innermost-first.
+        # Each comparison is coalesced to False so a NULL order key
+        # (which global_row_number ranked FIRST under Spark's ASC
+        # nulls-first default) compares as "below every boundary" —
+        # deterministic bucket 1-ish placement instead of a silent
+        # NULL bucket from SQL three-valued logic.
         gt = F.lit(False)
         for c, v in reversed(list(zip(order_cols, vals))):
-            gt = (F.col(c) > F.lit(v)) | ((F.col(c) == F.lit(v)) & gt)
+            gt = F.coalesce(F.col(c) > F.lit(v), F.lit(False)) | (
+                F.coalesce(F.col(c) == F.lit(v), F.lit(False)) & gt
+            )
         bucket = bucket + gt.cast("int")
     return df.withColumn(bucket_col, bucket.cast("int"))
 

@@ -74,8 +74,13 @@ def brute_force_topk(
     """
     q = _query_lit(query)
     cos = cosine_similarity(F.col(vec_col), q)
+    # NULL cosines (zero-norm vectors) are excluded BEFORE the top-k
+    # truncation: they can never rank, and dropping them up front
+    # keeps the pool full of scoreable rows (a NULL surviving into a
+    # downstream rank/fusion stage would earn undeserved credit)
     return (
         df.select(F.col(id_col), F.round(cos, decimals).alias("cosine"))
+        .where(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
@@ -453,9 +458,11 @@ def semantic_dedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = None,
     n_iter: int = 2,
     threshold: float = 0.45,
+    k_min: int = 8,
+    target_cluster_rows: int = 250,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster the embedding corpus with k-means, then
@@ -474,12 +481,22 @@ def semantic_dedup(
     Scale contract: k-means is the bounded-driver loop of
     :func:`kmeans_train` (k x dim doubles to the driver, map-side
     combinable shuffles). The within-cluster pair join is quadratic
-    in CLUSTER size, not corpus size — choose ``k`` proportional to
-    corpus size (n / target_cluster_rows) so each cluster stays
-    bounded; SemDeDup uses tens of thousands of clusters at
-    billion-document scale. Skewed (mega-) clusters are AQE
-    skew-join territory; shrink them by raising ``k``.
+    in CLUSTER size, not corpus size — so ``k`` MUST grow with the
+    corpus. With ``k=None`` (the default) it is derived from a cheap
+    count: ``k = max(k_min, ceil(n / target_cluster_rows))``, keeping
+    expected cluster size bounded at ``target_cluster_rows`` no matter
+    the corpus scale (SemDeDup uses tens of thousands of clusters at
+    billion-document scale). Pass a literal ``k`` only for pinned
+    replays. Skewed (mega-) clusters are AQE skew-join territory;
+    shrink them by lowering ``target_cluster_rows``.
     """
+    if k is None:
+        import math
+
+        # narrow count (parquet footer / map-side) — the only driver
+        # value needed is one long
+        n = df.select(id_col).count()
+        k = max(k_min, math.ceil(n / target_cluster_rows))
     assign = kmeans_train(
         df, id_col=id_col, vec_col=vec_col, k=k, n_iter=n_iter
     ).drop("dist")

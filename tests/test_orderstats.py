@@ -66,6 +66,36 @@ def test_exact_ntile_fewer_rows_than_buckets(spark):
     assert sorted(r["bucket"] for r in out) == [1, 2, 3, 4]
 
 
+def test_exact_ntile_rejects_nonpositive_buckets(spark):
+    df = spark.range(4).select(F.col("id"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="buckets must be >= 1"):
+        exact_ntile(df, ["v", "id"], 0)
+    with pytest.raises(ValueError, match="buckets must be >= 1"):
+        exact_ntile(df, ["v", "id"], -3)
+
+
+def test_exact_ntile_null_keys_land_in_first_bucket(spark):
+    # a NULL order key sorts first (Spark ASC nulls-first); when it is
+    # OFF the bucket boundaries it must get the DEFINED bucket its rank
+    # implies (1), not a silent SQL-NULL bucket. n=6, buckets=3 puts
+    # boundaries at ranks 2 and 4 — both non-NULL rows here.
+    rows = [(0, None), (1, 10), (2, 20), (3, 30), (4, 40), (5, 50)]
+    df = spark.createDataFrame(rows, "id long, v int")
+    got = {
+        r["id"]: r["bucket"]
+        for r in exact_ntile(df, ["v", "id"], 3, bucket_col="bucket").collect()
+    }
+    assert None not in got.values()
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
+
+
+def test_exact_ntile_null_on_boundary_still_raises(spark):
+    rows = [(0, None), (1, None), (2, 10), (3, 20), (4, 30), (5, 40)]
+    df = spark.createDataFrame(rows, "id long, v int")
+    with pytest.raises(ValueError, match="NULL in order_cols"):
+        exact_ntile(df, ["v", "id"], 3)
+
+
 def test_exact_quantile_values(spark):
     df = _shuffled(spark, n=200)
     vals = sorted((r["v"], r["id"]) for r in df.collect())

@@ -131,3 +131,40 @@ def test_semantic_dedup_within_cluster_keep_contract(spark):
     # by a same-cluster vector with cosine >= 0.9, and no such vector
     # exists in the fixture
     assert out[4][1]
+
+
+def test_semantic_dedup_zero_norm_vectors_never_drop(spark):
+    # degenerate (all-zero) embeddings have NULL cosine under the
+    # den != 0 guard: they must neither be dropped nor drop anyone,
+    # whatever cluster they land in — pins the contract the oracle
+    # mirrors with its a.ss * b.ss <> 0 predicate
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero-norm twin
+        (5, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_dedup(df, k=2, n_iter=1, threshold=0.1).collect()
+    }
+    # both zero vectors survive even though their mutual cosine is
+    # undefined (a NaN-above-threshold engine would drop vec 4)
+    assert out[3] and out[4]
+    # non-degenerate near-dups still dedup as usual
+    if 2 in out:
+        assert not out[2] or out[1]
+
+
+def test_semantic_dedup_derived_k_grows_with_corpus(spark):
+    # k=None derives max(k_min, ceil(n / target_cluster_rows)): with
+    # 40 rows and target 10 the corpus must land in >= 4 clusters
+    rows = [(i, [float(i % 7), float(i % 5), 1.0, 0.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semantic_dedup(
+        df, n_iter=1, threshold=0.99, k_min=4, target_cluster_rows=10
+    )
+    n_clusters = out.select("cluster").distinct().count()
+    assert n_clusters >= 2  # k-means may merge, but k was 4, not k_min=8
