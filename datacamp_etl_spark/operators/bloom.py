@@ -13,11 +13,17 @@ Design constraints honored:
   its size is fixed by ``num_bits``, independent of data volume, so
   the driver collect is bounded (num_bits/64 longs, e.g. 16 KiB for
   2^17 bits), like the IVF centroid collect.
-- Hashes are md5-derived (first 15 hex digits), so the DuckDB oracle
-  can replicate them exactly; no xxhash divergence.
+- Two hash paths sharing the same bitset logic:
+  ``hash_fn="xxhash64"`` (the default) stays entirely inside
+  whole-stage codegen — one 64-bit mix per probe, the production
+  cost model for a 100 TB scan side; ``hash_fn="md5"`` (first 15 hex
+  digits via conv) is bit-for-bit replayable in DuckDB for oracle
+  runs. The COMPOSED result is identical either way (see below), so
+  which hash runs is purely a cost choice.
 - NO false negatives by construction — the paired exact semi-join
-  makes the composed result EXACTLY the plain semi-join, which is
-  what the oracle gate checks.
+  makes the composed result EXACTLY the plain semi-join, whatever
+  ``hash_fn`` (only the transient false-positive set differs), which
+  is what the oracle gate checks.
 """
 
 from __future__ import annotations
@@ -28,15 +34,28 @@ from pyspark.sql import functions as F
 __all__ = ["bloom_build", "bloom_prefilter", "bloom_semi_join"]
 
 
-def _hash(col: Column, seed: int, num_bits: int) -> Column:
-    """Seeded bit position in [0, num_bits): integer value of the
-    first 15 md5 hex digits of ``seed || value`` (fits a long), then
-    pmod. Cross-engine reproducible."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(str(seed)), col.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+def _hash(col: Column, seed: int, num_bits: int, hash_fn: str) -> Column:
+    """Seeded bit position in [0, num_bits).
+
+    ``xxhash64``: JVM-native 64-bit mix with the seed folded in as an
+    extra hashed value — no string materialization, no expression-tree
+    blowup, whole-stage-codegen friendly (the production path).
+    ``md5``: integer value of the first 15 md5 hex digits of
+    ``seed || value`` (fits a long) — cross-engine reproducible for
+    DuckDB oracle replays.
+    """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(seed), col)
+    elif hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(seed)), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     return F.pmod(h, F.lit(num_bits))
 
 
@@ -46,24 +65,26 @@ def bloom_build(
     *,
     num_bits: int = 1 << 17,
     num_hashes: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> list[int]:
     """Aggregate the key set into a bitset (list of num_bits/64 signed
     words). Distributed: one map-side-combined groupBy on the word
-    index; only the fixed-size bitset reaches the driver."""
+    index; only the fixed-size bitset reaches the driver. Build and
+    probe must agree on ``hash_fn`` (and the hash params)."""
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
     c = F.col(key_col)
     positions = keys.select(
         F.explode(
-            F.array(*[_hash(c, s, num_bits) for s in range(num_hashes)])
+            F.array(*[_hash(c, s, num_bits, hash_fn) for s in range(num_hashes)])
         ).alias("bit")
     )
     words = (
         positions.select(
             (F.col("bit") / 64).cast("int").alias("w"),
-            F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("bit") % 64).cast("int")).alias(
-                "mask"
-            ),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("bit") % 64).cast("int")
+            ).alias("mask"),
         )
         .groupBy("w")
         .agg(F.bit_or("mask").alias("word"))
@@ -81,6 +102,7 @@ def bloom_prefilter(
     bitset: list[int],
     *,
     num_hashes: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Keep rows whose key MIGHT be in the set (no false negatives):
     all ``num_hashes`` bits set. A narrow projection predicate over a
@@ -93,9 +115,11 @@ def bloom_prefilter(
     c = F.col(key_col)
     conds = []
     for s in range(num_hashes):
-        bit = _hash(c, s, num_bits)
+        bit = _hash(c, s, num_bits, hash_fn)
         word = F.element_at(arr, (bit / 64).cast("int") + 1)
-        mask = F.call_function("shiftleft", F.lit(1).cast("long"), (bit % 64).cast("int"))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (bit % 64).cast("int")
+        )
         conds.append(word.bitwiseAND(mask) != 0)
     pred = conds[0]
     for x in conds[1:]:
@@ -110,12 +134,20 @@ def bloom_semi_join(
     *,
     num_bits: int = 1 << 17,
     num_hashes: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """EXACT semi-join with Bloom pre-pruning: the filter removes
     ~all non-matching ``big`` rows before the shuffle, the left-semi
-    equi-join removes the false positives. Result == plain semi-join,
-    shuffle == survivors only."""
-    bitset = bloom_build(small.select(key_col).distinct(), key_col,
-                         num_bits=num_bits, num_hashes=num_hashes)
-    pruned = bloom_prefilter(big, key_col, bitset, num_hashes=num_hashes)
+    equi-join removes the false positives. Result == plain semi-join
+    for ANY ``hash_fn``, shuffle == survivors only."""
+    bitset = bloom_build(
+        small.select(key_col).distinct(),
+        key_col,
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+        hash_fn=hash_fn,
+    )
+    pruned = bloom_prefilter(
+        big, key_col, bitset, num_hashes=num_hashes, hash_fn=hash_fn
+    )
     return pruned.join(small.select(key_col).distinct(), key_col, "left_semi")

@@ -4497,7 +4497,10 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2^17 bits — bounded driver collect like the IVF centroids), the
     fact scan drops non-candidates in a narrow predicate BEFORE any
     shuffle, and the exact left-semi join removes false positives —
-    so the result equals the plain semi-join the oracle runs."""
+    so the result equals the plain semi-join the oracle runs. Probes
+    hash with the production xxhash64 path (codegen-native, one
+    64-bit mix per probe); the result is hash-invariant, which
+    test_bloom pins by comparing against the md5 oracle path."""
     from datacamp_etl_spark.operators.bloom import bloom_semi_join
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")

@@ -30,6 +30,14 @@ def test_no_false_negatives_and_exact_composition(spark, sf_dir):
         for r in bloom_semi_join(li, keys, "l_orderkey").collect()
     }
     assert got == exact and exact  # identical, and non-trivial
+    # hash-path equivalence: the production xxhash64 default and the
+    # oracle-replayable md5 path compose to the SAME exact result
+    # (only the transient false-positive set may differ)
+    got_md5 = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in bloom_semi_join(li, keys, "l_orderkey", hash_fn="md5").collect()
+    }
+    assert got_md5 == exact
 
 
 def test_prefilter_prunes_most_rows(spark, sf_dir):
