@@ -2,12 +2,20 @@
 
 Media are **opaque binary columns with typed metadata structs**; all
 Spark-side plumbing — schemas, partitioning, Pandas-UDF signatures,
-Arrow batch shapes — is real and tested. The actual codec work
-(image decode, audio resample, frame extraction) needs libraries not
-present in this container, so the codec kernels are STUBBED: clearly
-marked deterministic fakes behind ``_decode_stub``; swapping in
-Pillow/librosa/pyav is a one-function change that does not alter any
-plan shape.
+Arrow batch shapes — is real and tested. Codec dispatch is by magic
+bytes, real decoders first:
+
+1. pure-numpy BMP (uncompressed 24/32bpp) — no dependencies;
+2. pure-numpy netpbm P5/P6 (binary PGM/PPM) — no dependencies;
+3. Pillow, import-gated — JPEG/PNG/anything PIL reads, when the
+   library is present (this container ships without it);
+4. ``_decode_stub`` fallback for unrecognized bytes: a clearly-marked
+   deterministic fake so the Arrow plumbing stays exercisable with
+   synthetic fixtures.
+
+Audio resample / video frame extraction (librosa/pyav) remain stubbed
+— those libraries are absent here; the kernels document the swap-in
+point and the plan shape does not change.
 
 Design for 100 TB of media:
 
@@ -71,14 +79,118 @@ def media_table(spark, rows) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_stub(content: bytes, mime: str | None) -> tuple[int, int, bytes]:
-    """STUB codec: deterministic fake decode.
+def _decode_bmp(content: bytes) -> tuple[int, int, bytes] | None:
+    """Pure-numpy decode of uncompressed 24/32bpp BMP (BITMAPINFOHEADER
+    or later). Returns (width, height, grayscale-pixel bytes, row-major
+    top-down) or None if the bytes aren't a BMP this decoder handles."""
+    import struct
 
-    Real implementation would be ``PIL.Image.open(BytesIO(content))``;
-    this container has no imaging libraries, so the stub derives a
-    deterministic (width, height, pixels) from the content hash. The
-    Spark-side contract (bytes in -> fixed tuple out) is the real one.
-    """
+    if len(content) < 54 or content[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER not supported
+        return None
+    width, height = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if planes != 1 or bpp not in (24, 32) or compression not in (0, 3):
+        return None
+    import numpy as np
+
+    flipped = height > 0  # positive height = bottom-up rows
+    height = abs(height)
+    row_stride = ((width * bpp // 8) + 3) & ~3
+    need = data_off + row_stride * height
+    if width <= 0 or height <= 0 or len(content) < need:
+        return None
+    raw = np.frombuffer(content, dtype=np.uint8, offset=data_off,
+                        count=row_stride * height)
+    rows = raw.reshape(height, row_stride)[:, : width * (bpp // 8)]
+    px = rows.reshape(height, width, bpp // 8)[:, :, :3]  # BGR(A)->BGR
+    if flipped:
+        px = px[::-1]
+    # ITU-R 601 luma from BGR, integer arithmetic for determinism
+    gray = (
+        (px[:, :, 2].astype(np.uint32) * 299
+         + px[:, :, 1].astype(np.uint32) * 587
+         + px[:, :, 0].astype(np.uint32) * 114) // 1000
+    ).astype(np.uint8)
+    return width, height, gray.tobytes()
+
+
+def _decode_netpbm(content: bytes) -> tuple[int, int, bytes] | None:
+    """Pure-numpy decode of binary netpbm: P5 (PGM) / P6 (PPM),
+    maxval <= 255. Returns (width, height, grayscale bytes) or None."""
+    if len(content) < 10 or content[:2] not in (b"P5", b"P6"):
+        return None
+    # header: magic, width, height, maxval — whitespace separated,
+    # '#' comments allowed
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(content):
+        c = content[i : i + 1]
+        if c == b"#":
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(content) and not content[j : j + 1].isspace():
+                j += 1
+            tokens.append(content[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if width <= 0 or height <= 0 or not (0 < maxval < 256):
+        return None
+    i += 1  # single whitespace after maxval
+    import numpy as np
+
+    channels = 1 if content[:2] == b"P5" else 3
+    need = width * height * channels
+    if len(content) < i + need:
+        return None
+    raw = np.frombuffer(content, dtype=np.uint8, offset=i, count=need)
+    if channels == 1:
+        gray = raw.reshape(height, width)
+    else:
+        rgb = raw.reshape(height, width, 3).astype(np.uint32)
+        gray = (
+            (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114)
+            // 1000
+        ).astype(np.uint8)
+    return width, height, gray.tobytes()
+
+
+def _decode_pil(content: bytes) -> tuple[int, int, bytes] | None:
+    """Pillow decode (JPEG/PNG/...), import-gated: returns None when
+    PIL is absent (this container) or can't parse the bytes. When
+    present, a real user's JPEG bytes get REAL dimensions/pixels."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        with Image.open(BytesIO(content)) as im:
+            gray = im.convert("L")
+            return gray.width, gray.height, gray.tobytes()
+    except Exception:  # noqa: BLE001 — undecodable bytes fall through
+        return None
+
+
+def _decode_stub(content: bytes, mime: str | None) -> tuple[int, int, bytes]:
+    """STUB fallback for unrecognized bytes: derives a deterministic
+    (width, height, pixels) from the content hash so synthetic
+    fixtures exercise the full Arrow pipeline. Clearly fake — real
+    formats never reach this (see _decode dispatch)."""
     if content is None:
         raise ValueError("no content to decode")
     h = hashlib.md5(content).digest()
@@ -87,6 +199,17 @@ def _decode_stub(content: bytes, mime: str | None) -> tuple[int, int, bytes]:
     # fake "pixel" payload: content hash repeated — deterministic
     pixels = (h * ((width * height) // len(h) + 1))[: width * height]
     return width, height, pixels
+
+
+def _decode(content: bytes, mime: str | None) -> tuple[int, int, bytes]:
+    """Codec dispatch: real decoders by magic bytes (BMP, netpbm,
+    then PIL for JPEG/PNG when importable), stub fake for anything
+    unrecognized. Deterministic for a given byte string either way."""
+    for dec in (_decode_bmp, _decode_netpbm, _decode_pil):
+        out = dec(content)
+        if out is not None:
+            return out
+    return _decode_stub(content, mime)
 
 
 DECODED_SCHEMA = (
@@ -99,8 +222,10 @@ def decode_images(df: DataFrame) -> DataFrame:
     """Decode image bytes -> dimensions + content digest via
     ``mapInPandas`` (Arrow batches; bytes stay columnar end-to-end).
 
-    Only the codec call is a stub; batching, schema, and the
-    partition-preserving plan shape are production-real.
+    Real codecs (BMP/netpbm always; JPEG/PNG when Pillow is present)
+    handle recognized formats; unrecognized bytes use the stub fake.
+    Batching, schema, and the partition-preserving plan shape are
+    production-real either way.
     """
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -111,7 +236,7 @@ def decode_images(df: DataFrame) -> DataFrame:
                 if row.kind != "image" or row.content is None:
                     continue
                 content = bytes(row.content)
-                w, h, _ = _decode_stub(content, row.mime)
+                w, h, _ = _decode(content, row.mime)
                 out.append(
                     {
                         "media_id": row.media_id,
@@ -138,9 +263,14 @@ FEATURES_SCHEMA = "media_id long, embedding array<float>"
 def extract_features(df: DataFrame, *, dim: int = 16) -> DataFrame:
     """Feature extraction: bytes -> fixed-width float vector.
 
-    STUB kernel (deterministic hash-derived vector); real models slot
-    into the same mapInPandas signature (e.g. ONNX batch inference per
-    Arrow batch). Output feeds the similarity/dedup operators directly.
+    Decodable images (BMP/netpbm; JPEG/PNG under Pillow) get a REAL
+    feature: the normalized ``dim``-bin grayscale intensity histogram
+    — deterministic, comparable under cosine, and a genuine perceptual
+    signal (near-identical images land near-identical vectors).
+    Unrecognized bytes fall back to the hash-derived stub vector so
+    synthetic fixtures keep exercising the pipeline. Heavier models
+    (ONNX batch inference) slot into the same mapInPandas signature.
+    Output feeds the similarity/dedup operators directly.
     """
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -152,12 +282,23 @@ def extract_features(df: DataFrame, *, dim: int = 16) -> DataFrame:
                 if row.content is None:
                     continue
                 content = bytes(row.content)
-                h = hashlib.sha256(content).digest()
-                raw = (h * (dim * 4 // len(h) + 1))[: dim * 4]
-                vec = (
-                    np.frombuffer(raw, dtype=np.uint32, count=dim).astype(np.float64)
-                    / np.iinfo(np.uint32).max
-                ).astype(np.float32)
+                decoded = None
+                for dec in (_decode_bmp, _decode_netpbm, _decode_pil):
+                    decoded = dec(content)
+                    if decoded is not None:
+                        break
+                if decoded is not None:
+                    gray = np.frombuffer(decoded[2], dtype=np.uint8)
+                    hist, _ = np.histogram(gray, bins=dim, range=(0, 256))
+                    vec = (hist / max(1, gray.size)).astype(np.float32)
+                else:
+                    h = hashlib.sha256(content).digest()
+                    raw = (h * (dim * 4 // len(h) + 1))[: dim * 4]
+                    vec = (
+                        np.frombuffer(raw, dtype=np.uint32, count=dim)
+                        .astype(np.float64)
+                        / np.iinfo(np.uint32).max
+                    ).astype(np.float32)
                 ids.append(row.media_id)
                 vecs.append(vec.tolist())
             yield pd.DataFrame({"media_id": ids, "embedding": vecs})

@@ -1,8 +1,36 @@
-"""Multimodal binary-column plumbing (codec kernels stubbed)."""
+"""Multimodal binary-column plumbing: real BMP/netpbm codecs (pure
+numpy), Pillow-gated JPEG/PNG, hash-stub fallback for synthetic
+bytes."""
 
 from __future__ import annotations
 
+import struct
+
+import pytest
+
 from datacamp_etl_spark.operators import multimodal as M
+
+
+def _bmp_bytes(width: int, height: int, rgb=(200, 100, 50)) -> bytes:
+    """Minimal uncompressed 24bpp bottom-up BMP."""
+    row = (bytes(reversed(rgb)) * width)  # BGR triples
+    pad = (-len(row)) % 4
+    pixel_data = (row + b"\x00" * pad) * height
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixel_data), 0, 0, 14 + 40)
+    return hdr + info + pixel_data
+
+
+def _ppm_bytes(width: int, height: int, rgb=(10, 20, 30)) -> bytes:
+    return (
+        f"P6\n# comment\n{width} {height}\n255\n".encode()
+        + bytes(rgb) * (width * height)
+    )
+
+
+def _pgm_bytes(width: int, height: int, v: int = 77) -> bytes:
+    return f"P5\n{width} {height}\n255\n".encode() + bytes([v]) * width * height
 
 
 def _media(spark):
@@ -43,6 +71,63 @@ def test_extract_features_feeds_similarity(spark):
         feats, q, id_col="media_id", vec_col="embedding", k=2
     ).collect()
     assert top[0]["media_id"] == rows[0]["media_id"]
+
+
+def test_decode_real_bmp_and_netpbm(spark):
+    rows = [
+        (10, "image", "image/bmp", _bmp_bytes(5, 3), (None,) * 4),
+        (11, "image", "image/x-portable-pixmap", _ppm_bytes(7, 2), (None,) * 4),
+        (12, "image", "image/x-portable-graymap", _pgm_bytes(4, 6), (None,) * 4),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in M.decode_images(M.media_table(spark, rows)).collect()
+    }
+    # REAL dimensions, not the hash fake
+    assert (out[10]["width"], out[10]["height"]) == (5, 3)
+    assert (out[11]["width"], out[11]["height"]) == (7, 2)
+    assert (out[12]["width"], out[12]["height"]) == (4, 6)
+
+
+def test_decode_bmp_kernel_pixel_values():
+    # decoder unit contract: luma of a solid (200,100,50) RGB image
+    w, h, gray = M._decode_bmp(_bmp_bytes(3, 2))
+    expected = (200 * 299 + 100 * 587 + 50 * 114) // 1000
+    assert (w, h) == (3, 2)
+    assert set(gray) == {expected}
+    w, h, gray = M._decode_netpbm(_pgm_bytes(2, 2, v=77))
+    assert (w, h, set(gray)) == (2, 2, {77})
+
+
+def test_extract_features_real_histogram(spark):
+    # a solid-color real image must put ~all histogram mass in ONE bin
+    rows = [(20, "image", "image/bmp", _bmp_bytes(8, 8), (None,) * 4)]
+    feats = M.extract_features(M.media_table(spark, rows), dim=16).collect()
+    vec = feats[0]["embedding"]
+    assert len(vec) == 16
+    assert max(vec) == pytest.approx(1.0)
+    assert sum(vec) == pytest.approx(1.0)
+
+
+def test_decode_pil_path_when_available(spark):
+    PIL = pytest.importorskip("PIL")  # noqa: F841 — absent in container
+    from io import BytesIO
+
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("RGB", (9, 4), (1, 2, 3)).save(buf, format="PNG")
+    rows = [(30, "image", "image/png", buf.getvalue(), (None,) * 4)]
+    out = M.decode_images(M.media_table(spark, rows)).collect()[0]
+    assert (out["width"], out["height"]) == (9, 4)
+
+
+def test_undecodable_bytes_fall_back_to_stub(spark):
+    # truncated BMP header: magic matches but the decoder must refuse
+    # and fall through to the deterministic stub, not crash
+    rows = [(40, "image", "image/bmp", b"BM\x00\x01", (None,) * 4)]
+    out = M.decode_images(M.media_table(spark, rows)).collect()[0]
+    assert 1 <= out["width"] <= 64 and 1 <= out["height"] <= 64
 
 
 def test_sample_frames(spark):
