@@ -54,9 +54,19 @@ def _events_ts_is_long(sf_dir: str) -> bool:
     if sf_dir not in _EVENTS_TS_KIND:
         import pyarrow.parquet as pq
 
-        tp = str(
-            pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-        )
+        path = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(path):
+            # Spark-written dataset directory (e.g. the scale-up
+            # fixtures from scripts/make_scaledata.py): any part file
+            # carries the schema
+            part = next(
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            )
+        else:
+            part = path
+        tp = str(pq.read_schema(part).field("ts").type)
         _EVENTS_TS_KIND[sf_dir] = tp in ("int64", "timestamp[ns]")
     return _EVENTS_TS_KIND[sf_dir]
 

@@ -67,6 +67,140 @@ def value_hash(mat) -> str:
     return h.hexdigest()
 
 
+def _pq_file_col_spans(path: str, cols: list[str]) -> dict[str, float]:
+    """Per-parquet-file min/max spans from the footers, averaged over
+    files and normalized by the global span: ~1.0 means every file
+    covers the whole value range (no clustering), ~1/n_files means
+    perfect disjoint clustering. Zero data read — footers only."""
+    import pyarrow.parquet as pq
+
+    per_file: dict[str, list[tuple[float, float]]] = {c: [] for c in cols}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in cols:
+                mns, mxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    mns.append(float(st.min))
+                    mxs.append(float(st.max))
+                per_file[c].append((min(mns), max(mxs)))
+    out = {}
+    for c, spans in per_file.items():
+        glo = max(x for _, x in spans) - min(n for n, _ in spans)
+        avg = sum(x - n for n, x in spans) / len(spans)
+        out[c] = avg / glo if glo else 1.0
+    return out
+
+
+def run_layout_checks(spark, sf_dir: str) -> list[dict]:
+    """Oracle-style gates for the physical-layout operators
+    (sources/layout.py): assertions on FILE STATISTICS as data, not
+    just pytest invariants. Emitted as selfcheck records so layout
+    regressions fail the same gate queries do."""
+    import math
+    import shutil
+
+    from datacamp_etl_spark.sources.evolution import read_evolved
+    from datacamp_etl_spark.sources.layout import (
+        compact,
+        file_stats,
+        write_zordered,
+    )
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".localdata", "layout-selfcheck",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    records = []
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n_orders = orders.count()
+    try:
+        # --- compact: 64 fragmented files -> ceil(bytes/target) files,
+        # rows preserved, per-file size within 2x of target
+        frag = os.path.join(scratch, "frag")
+        orders.repartition(64).write.mode("overwrite").parquet(frag)
+        before = file_stats(frag)
+        target = max(1, before["total_bytes"] // 4)
+        res = compact(spark, frag, target_bytes=target, sort_by=["o_orderkey"])
+        want_files = max(1, math.ceil(before["total_bytes"] / target))
+        got_rows = spark.read.parquet(frag).count()
+        rec = {
+            "name": "layout_compact",
+            "before_files": before["n_files"],
+            "after_files": res["after"]["n_files"],
+            "want_files": want_files,
+            "rows_before": n_orders,
+            "rows_after": got_rows,
+        }
+        rec["pass"] = (
+            before["n_files"] == 64
+            and res["after"]["n_files"] == want_files
+            and got_rows == n_orders
+        )
+        records.append(rec)
+
+        # --- write_zordered: per-file footer spans on BOTH curve
+        # columns must shrink materially vs an unclustered write
+        plain = os.path.join(scratch, "plain")
+        orders.repartition(8).write.mode("overwrite").parquet(plain)
+        zord = os.path.join(scratch, "zord")
+        write_zordered(
+            orders, zord, ["o_custkey", "o_totalprice"], num_files=8
+        )
+        plain_spans = _pq_file_col_spans(plain, ["o_custkey", "o_totalprice"])
+        z_spans = _pq_file_col_spans(zord, ["o_custkey", "o_totalprice"])
+        z_rows = spark.read.parquet(zord).count()
+        rec = {
+            "name": "layout_zorder_span",
+            "plain_span_frac": {k: round(v, 4) for k, v in plain_spans.items()},
+            "zorder_span_frac": {k: round(v, 4) for k, v in z_spans.items()},
+            "rows": z_rows,
+        }
+        rec["pass"] = (
+            z_rows == n_orders
+            # every curve dimension clusters: file boxes cover < 60%
+            # of the global span on average, and beat the plain write
+            and all(v < 0.6 for v in z_spans.values())
+            and all(z_spans[c] < plain_spans[c] for c in z_spans)
+        )
+        records.append(rec)
+
+        # --- read_evolved: three generations with drifted schemas
+        # conform to the target and union without mis-binding
+        g1 = os.path.join(scratch, "gen1")
+        g2 = os.path.join(scratch, "gen2")
+        orders.select("o_orderkey", "o_custkey").limit(100).write.mode(
+            "overwrite"
+        ).parquet(g1)
+        orders.selectExpr(
+            "o_custkey", "o_orderkey", "CAST(o_totalprice AS FLOAT) AS o_totalprice"
+        ).limit(50).write.mode("overwrite").parquet(g2)
+        target_ddl = "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+        ev = read_evolved(spark, [g1, g2], target_ddl)
+        rec = {
+            "name": "layout_read_evolved",
+            "rows": ev.count(),
+            "schema": ev.schema.simpleString(),
+            "gen1_nulls": ev.where("o_totalprice IS NULL").count(),
+        }
+        rec["pass"] = (
+            rec["rows"] == 150
+            and rec["gen1_nulls"] == 100
+            and rec["schema"]
+            == "struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"
+        )
+        records.append(rec)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return records
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -125,6 +259,17 @@ def main() -> int:
             failures.append(name)
         release_engine_caches()
         print(json.dumps(rec), flush=True)
+
+    # layout gates run with the full registry or on request
+    if not only or only & {"layout", "layout_compact", "layout_zorder_span",
+                           "layout_read_evolved"}:
+        for rec in run_layout_checks(spark, sf_dir):
+            if rec["pass"]:
+                n_pass += 1
+            else:
+                n_fail += 1
+                failures.append(rec["name"])
+            print(json.dumps(rec), flush=True)
 
     print(
         json.dumps(
