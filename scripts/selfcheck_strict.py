@@ -201,6 +201,65 @@ def run_layout_checks(spark, sf_dir: str) -> list[dict]:
     return records
 
 
+def run_skew_checks(spark, sf_dir: str) -> list[dict]:
+    """Skewed-key gate (FIXTURES.md 'skewed orders'): one customer is
+    deterministically assigned ~20% of all orders, then the salted
+    join must (a) produce EXACTLY the plain join's aggregate result
+    and (b) not run slower than 2x the plain join — evidence that the
+    skew machinery is correct and non-pathological, beyond AQE config
+    flags."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datacamp_etl_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    hot = customer.agg(F.min("c_custkey")).collect()[0][0]
+    skewed = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(hot)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    right = customer.select("c_custkey", "c_mktsegment").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+
+    def agg(df):
+        return sorted(
+            map(
+                tuple,
+                df.groupBy("c_mktsegment")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+                )
+                .collect(),
+            )
+        )
+
+    t0 = time.perf_counter()
+    plain = agg(skewed.join(right, "o_custkey"))
+    t_plain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    salted = agg(salted_join(skewed, right, ["o_custkey"], salt=16))
+    t_salted = time.perf_counter() - t0
+    hot_share = (
+        skewed.where(F.col("o_custkey") == hot).count() / max(1, skewed.count())
+    )
+    rec = {
+        "name": "skew_salted_join_parity",
+        "hot_key_share": round(hot_share, 3),
+        "plain_sec": round(t_plain, 3),
+        "salted_sec": round(t_salted, 3),
+        "groups": len(plain),
+        "pass": bool(plain == salted and plain and t_salted < 2 * t_plain + 1.0),
+    }
+    return [rec]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -260,16 +319,20 @@ def main() -> int:
         release_engine_caches()
         print(json.dumps(rec), flush=True)
 
-    # layout gates run with the full registry or on request
+    # layout + skew gates run with the full registry or on request
+    extra: list[dict] = []
     if not only or only & {"layout", "layout_compact", "layout_zorder_span",
                            "layout_read_evolved"}:
-        for rec in run_layout_checks(spark, sf_dir):
-            if rec["pass"]:
-                n_pass += 1
-            else:
-                n_fail += 1
-                failures.append(rec["name"])
-            print(json.dumps(rec), flush=True)
+        extra += run_layout_checks(spark, sf_dir)
+    if not only or "skew" in only:
+        extra += run_skew_checks(spark, sf_dir)
+    for rec in extra:
+        if rec["pass"]:
+            n_pass += 1
+        else:
+            n_fail += 1
+            failures.append(rec["name"])
+        print(json.dumps(rec), flush=True)
 
     print(
         json.dumps(
