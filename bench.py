@@ -103,6 +103,9 @@ HEADLINE = [
     "pack_concat",
     "ann_recall_eval",
     "semantic_dedup",
+    # round-5 additions: rule-based curation + PII kernels
+    "gopher_quality",
+    "pii_redact",
 ]
 
 

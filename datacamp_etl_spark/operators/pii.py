@@ -1,0 +1,85 @@
+"""PII detection and redaction for training-data pipelines [EXT].
+
+Before text lands in a pretraining corpus, pipelines scan for (and
+usually redact) personally identifying strings: email addresses, IP
+addresses, phone-like digit runs. Both operators here are pure
+per-row column kernels — ``regexp_extract_all`` / ``regexp_replace``
+on the JVM, zero shuffles, zero UDFs — so at 100 TB they run inside
+the scan stage and compose freely with the quality/dedup passes.
+
+The patterns deliberately stick to ASCII character classes and
+constructs with identical semantics in Java regex (Spark) and RE2
+(DuckDB oracle): no lookaround, no backreferences, word boundaries
+only next to ASCII. Counting uses non-overlapping leftmost matches in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["PII_PATTERNS", "PII_TOKENS", "pii_scan", "pii_redact"]
+
+#: kind -> regex. Order matters for redaction (emails first so their
+#: digit runs can't later match the phone pattern).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d() -]{6,}\d",
+}
+
+#: kind -> replacement token used by :func:`pii_redact`.
+PII_TOKENS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "ipv4": "<IP>",
+    "phone": "<PHONE>",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-document PII hit counts: one ``n_<kind>`` column per
+    pattern plus the total. Counts are non-overlapping leftmost
+    matches on the RAW text (each pattern scans independently).
+    """
+    pats = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(p), 0))
+        .cast("bigint")
+        .alias(f"n_{kind}")
+        for kind, p in pats.items()
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = None
+    for kind in pats:
+        col = F.col(f"n_{kind}")
+        total = col if total is None else total + col
+    return out.withColumn("n_pii", total.cast("bigint"))
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    patterns: dict[str, str] | None = None,
+    tokens: dict[str, str] | None = None,
+) -> DataFrame:
+    """Replace every PII match with its kind token, in ``patterns``
+    order (emails first — replacement tokens contain no digits, so a
+    redacted email can never re-match the phone pattern). All other
+    columns pass through unchanged; the text column is replaced in
+    place.
+    """
+    pats = patterns or PII_PATTERNS
+    toks = tokens or PII_TOKENS
+    c = F.col(text_col)
+    for kind, p in pats.items():
+        c = F.regexp_replace(c, p, toks[kind])
+    return df.withColumn(text_col, c)

@@ -27,13 +27,14 @@ from datacamp_etl_spark.operators.spread import (
     evaluate_once,
     scoped_cache,
 )
-from datacamp_etl_spark.operators.text import tokens
+from datacamp_etl_spark.operators.text import STOPWORDS, tokens
 
 __all__ = [
     "contamination_check",
     "contamination_apply",
     "repetition_profile",
     "boilerplate_ratio",
+    "gopher_rules",
 ]
 
 
@@ -256,3 +257,93 @@ def boilerplate_ratio(
             ),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_milli: int = 3_000,
+    max_mean_word_len_milli: int = 10_000,
+    max_symbol_milli: int = 100,
+    max_bullet_milli: int = 900,
+    max_ellipsis_milli: int = 300,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-battery document filter: the published
+    heuristics a pretraining curation pass applies before any model-
+    based scoring — word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, bullet-line and ellipsis-line fractions, and
+    a minimum number of distinct stopwords present.
+
+    All signals are EXACT integer arithmetic (ratios are reported in
+    thousandths via integer division) so the result is bit-identical
+    across engines — no float division anywhere. Per-row column
+    kernels only: zero shuffles, zero UDFs; at 100 TB the whole
+    battery runs inside the scan stage and the ``keep`` predicate can
+    be pushed into a downstream filter.
+
+    Returns ``(id, n_words, mean_word_len_milli, symbol_milli,
+    bullet_milli, ellipsis_milli, n_stop_distinct, keep)`` with
+    ``keep`` as int 0/1.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    lines = F.split(c, "\n")
+    is_bullet = lambda l: (  # noqa: E731
+        F.ltrim(l).startswith("-")
+        | F.ltrim(l).startswith("*")
+        | F.ltrim(l).startswith("•")
+    )
+    is_ellipsis = lambda l: F.rtrim(l).endswith("...") | F.rtrim(  # noqa: E731
+        l
+    ).endswith("…")
+    n_sym = F.size(
+        F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0)
+    )
+    stop_hits = None
+    for w in STOPWORDS:
+        hit = F.array_contains(toks, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.length(F.concat_ws("", toks)).cast("bigint").alias("__tot_len"),
+        F.size(lines).cast("bigint").alias("__n_lines"),
+        F.size(F.filter(lines, is_bullet)).cast("bigint").alias("__n_bullet"),
+        F.size(F.filter(lines, is_ellipsis))
+        .cast("bigint")
+        .alias("__n_ellipsis"),
+        n_sym.cast("bigint").alias("__n_sym"),
+        stop_hits.cast("bigint").alias("n_stop_distinct"),
+    )
+    # exact thousandths via integer `div` in BOTH engines (`//` in the
+    # DuckDB oracle) — no float division to diverge on
+    sig = base.select(
+        id_col,
+        "n_words",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (1000 * __tot_len) div n_words END"
+        ).alias("mean_word_len_milli"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (1000 * __n_sym) div n_words "
+            "ELSE 1000 END"
+        ).alias("symbol_milli"),
+        F.expr("(1000 * __n_bullet) div __n_lines").alias("bullet_milli"),
+        F.expr("(1000 * __n_ellipsis) div __n_lines").alias("ellipsis_milli"),
+        "n_stop_distinct",
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len_milli").between(
+            min_mean_word_len_milli, max_mean_word_len_milli
+        )
+        & (F.col("symbol_milli") < max_symbol_milli)
+        & (F.col("bullet_milli") < max_bullet_milli)
+        & (F.col("ellipsis_milli") < max_ellipsis_milli)
+        & (F.col("n_stop_distinct") >= min_stopword_hits)
+    )
+    return sig.withColumn("keep", keep.cast("int"))

@@ -5697,3 +5697,154 @@ def q_median_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_chars",
         )
     )
+
+
+# =====================================================================
+# [EXT] Round 5: rule-based curation + PII (operators/quality.py, pii.py)
+# =====================================================================
+
+_GOPHER_STOP_SQL = " + ".join(
+    "CAST(list_contains(toks, '%s') AS INT)" % w
+    for w in (
+        "the a an and or of to in is are was were be been on at by for "
+        "with as"
+    ).split()
+)
+
+@register(
+    "gopher_quality",
+    """
+    WITH n AS (SELECT doc_id, text, """ + _NORM_SQL + """ AS norm FROM documents),
+    tk AS (SELECT doc_id, text,
+                  CASE WHEN norm = '' THEN []::VARCHAR[]
+                       ELSE string_split(norm, ' ') END AS toks
+           FROM n),
+    b AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(length(array_to_string(toks, '')) AS BIGINT) AS tot_len,
+                 CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT)
+                   AS n_sym,
+                 CAST(""" + _GOPHER_STOP_SQL + """ AS BIGINT) AS n_stop,
+                 string_split(text, chr(10)) AS lines
+          FROM tk),
+    l AS (SELECT doc_id, n_words, tot_len, n_sym, n_stop,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(lines, x ->
+                      starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*')
+                      OR starts_with(ltrim(x), '•'))) AS BIGINT) AS n_bullet,
+                 CAST(len(list_filter(lines, x ->
+                      ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')))
+                   AS BIGINT) AS n_ell
+          FROM b),
+    s AS (SELECT doc_id, n_words,
+                 CASE WHEN n_words > 0 THEN (1000 * tot_len) // n_words END
+                   AS mean_word_len_milli,
+                 CASE WHEN n_words > 0 THEN (1000 * n_sym) // n_words
+                      ELSE 1000 END AS symbol_milli,
+                 (1000 * n_bullet) // n_lines AS bullet_milli,
+                 (1000 * n_ell) // n_lines AS ellipsis_milli,
+                 n_stop AS n_stop_distinct
+          FROM l)
+    SELECT *,
+           CAST((n_words BETWEEN 50 AND 100000
+                 AND mean_word_len_milli BETWEEN 3000 AND 10000
+                 AND symbol_milli < 100 AND bullet_milli < 900
+                 AND ellipsis_milli < 300 AND n_stop_distinct >= 2) AS INT)
+             AS keep
+    FROM s
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gopher-style rule battery (quality.gopher_rules): word
+    count / mean word length / symbol ratio / bullet & ellipsis line
+    fractions / distinct-stopword floor, all in exact integer-milli
+    arithmetic — a pure scan-stage kernel with a pushable keep flag."""
+    from datacamp_etl_spark.operators.quality import gopher_rules
+
+    return gopher_rules(t(spark, sf_dir, "documents"))
+
+
+# Deterministic PII injection: the documents fixture is sanitized word
+# salad, so every third doc gets a synthetic email + IPv4 + phone
+# appended (derived from doc_id) in BOTH engines; the scan/redact
+# kernels then exercise real pattern matching with a varied oracle.
+def _pii_inject(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        (d % 1000).cast("string"),
+        F.lit("@example.com from 10.0."),
+        (d % 200).cast("string"),
+        F.lit(".7 call 555-01"),
+        F.lpad((d % 100).cast("string"), 2, "0"),
+    )
+    return docs.withColumn(
+        "text", F.when(d % 3 == 0, inj).otherwise(F.col("text"))
+    )
+
+
+_PII_INJ_SQL = """
+    inj AS (SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                        text || ' contact user'
+                             || CAST(doc_id % 1000 AS VARCHAR)
+                             || '@example.com from 10.0.'
+                             || CAST(doc_id % 200 AS VARCHAR)
+                             || '.7 call 555-01'
+                             || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                        ELSE text END AS text
+            FROM documents)
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d() -]{6,}\d"
+
+
+@register(
+    "pii_scan",
+    "WITH " + _PII_INJ_SQL + """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '""" + _PII_EMAIL + """')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text, '""" + _PII_IPV4 + """')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '""" + _PII_PHONE + """')) AS BIGINT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(text, '""" + _PII_EMAIL + """'))
+              + len(regexp_extract_all(text, '""" + _PII_IPV4 + """'))
+              + len(regexp_extract_all(text, '""" + _PII_PHONE + """'))
+              AS BIGINT) AS n_pii
+    FROM inj
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-document PII hit counts (pii.pii_scan) over the
+    PII-injected documents fixture — non-overlapping leftmost regex
+    counts, identical Java/RE2 semantics by construction."""
+    from datacamp_etl_spark.operators.pii import pii_scan
+
+    return pii_scan(_pii_inject(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "pii_redact",
+    "WITH " + _PII_INJ_SQL + """
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '""" + _PII_EMAIL + """', '<EMAIL>', 'g'),
+               '""" + _PII_IPV4 + """', '<IP>', 'g'),
+               '""" + _PII_PHONE + """', '<PHONE>', 'g') AS text
+    FROM inj
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] in-place PII redaction (pii.pii_redact): email -> ipv4 ->
+    phone replacement order, tokens digit-free so passes can't cascade;
+    the full redacted text is value-hashed against the oracle."""
+    from datacamp_etl_spark.operators.pii import pii_redact
+
+    return pii_redact(_pii_inject(t(spark, sf_dir, "documents"))).select(
+        "doc_id", "text"
+    )
