@@ -377,13 +377,16 @@ def kmeans_train(
 
     Execution model (the canonical Spark k-means shape, same as
     MLlib's): centroids live on the driver (k x dim doubles — bounded
-    and tiny), each iteration broadcasts them as literals, the
-    executors compute per-row argmin assignment (an ``aggregate``
-    fold over ``zip_with`` — JVM codegen, no UDF) and the new means
-    via ``posexplode`` + ``groupBy(cluster, pos)`` — one
-    map-side-combinable shuffle of (cluster, pos, sum, count) per
-    iteration, never the raw vectors. Only k x dim aggregated means
-    are collected between iterations, independent of corpus size.
+    and tiny), each iteration ships them to tasks as closure
+    literals, the executors compute per-row argmin assignment as one
+    Arrow-batched numpy pass (:func:`~.vector_kernel.
+    assign_nearest_centroid` — Spark's ``aggregate``/``zip_with``
+    fold is CodegenFallback, i.e. interpreted per row x per centroid,
+    and was the sf1 bottleneck) and the new means via ``posexplode``
+    + ``groupBy(cluster, pos)`` — one map-side-combinable shuffle of
+    (cluster, pos, sum, count) per iteration, never the raw vectors.
+    Only k x dim aggregated means are collected between iterations,
+    independent of corpus size.
 
     Determinism (the oracle replays this in SQL): init = vectors of
     the ``k`` smallest-``md5(id)`` rows; every centroid component is
@@ -404,23 +407,10 @@ def kmeans_train(
         [round(float(x), decimals) for x in r[vec_col]] for r in init_rows
     ]
 
-    def sqdist(vc: Column, cen: list[float]) -> Column:
-        clit = F.array(*[F.lit(float(x)) for x in cen])
-        return F.aggregate(
-            F.zip_with(vc, clit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    from .vector_kernel import assign_nearest_centroid
 
     def assign(frame: DataFrame) -> DataFrame:
-        dists = F.array(*[sqdist(dvec, cen) for cen in centroids])
-        return frame.withColumn(
-            "__dist_arr", dists
-        ).withColumn(
-            "cluster",
-            (F.array_position("__dist_arr", F.array_min("__dist_arr")) - 1)
-            .cast("int"),
-        )
+        return assign_nearest_centroid(frame, centroids, vec_col=vec_col)
 
     for _ in range(n_iter):
         assigned = assign(df.select(id_col, vec_col))
@@ -449,7 +439,7 @@ def kmeans_train(
     return final.select(
         F.col(id_col),
         "cluster",
-        F.round(F.array_min("__dist_arr"), 4).alias("dist"),
+        F.round(F.col("__dist"), 4).alias("dist"),
     )
 
 
@@ -501,52 +491,18 @@ def semantic_dedup(
         df, id_col=id_col, vec_col=vec_col, k=k, n_iter=n_iter
     ).drop("dist")
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # hoist the per-vector L2 norm out of the pair join: cosine is then
-    # one dot-product fold per pair instead of three folds — float
-    # semantics identical (den = sqrt(ssa) * sqrt(ssb), left-to-right,
-    # exactly cosine_similarity's operation order)
-    from datacamp_etl_spark.operators.spread import scoped_cache
+    # Within-cluster pair scoring runs as a blocked unit-vector
+    # matmul per cluster group (vector_kernel.semantic_keep_by_
+    # cluster), NOT a cluster self-join: the join form evaluates an
+    # interpreted array fold per candidate pair (CodegenFallback) —
+    # at sf1 that was 38+ min on one core; the matmul kernel does the
+    # same pairs in seconds, and the applyInPandas shuffle by
+    # `cluster` spreads clusters across the executors. Zero-norm
+    # vectors keep the NULL-cosine contract (never drop, never
+    # dropped) via the kernel's validity mask.
+    from .vector_kernel import semantic_keep_by_cluster
 
-    # emb feeds three consumers (both pair-join sides + the output
-    # projection) — cache it so the assignment join and norm fold run
-    # once per action
-    emb = scoped_cache(
-        df.select(
-            F.col(id_col),
-            dvec.alias("__v"),
-            l2_norm(dvec).alias("__n"),
-        )
-        .join(assign, id_col)
-    )
-    a = emb.select(
-        F.col(id_col).alias("id_a"),
-        "cluster",
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-    )
-    b = emb.select(
-        F.col(id_col).alias("id_b"),
-        "cluster",
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    den = F.col("__na") * F.col("__nb")
-    cos = F.round(
-        F.when(den != 0, dot_product(F.col("__va"), F.col("__vb")) / den),
-        6,
-    )
-    dropped = (
-        a.join(b, "cluster")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cos >= F.lit(threshold))
-        .select(F.col("id_b").alias("__dropped"))
-        .distinct()
-    )
-    return (
-        emb.join(dropped, emb[id_col] == F.col("__dropped"), "left")
-        .select(
-            F.col(id_col),
-            "cluster",
-            F.col("__dropped").isNull().alias("keep"),
-        )
+    emb = df.select(F.col(id_col), dvec.alias("__v")).join(assign, id_col)
+    return semantic_keep_by_cluster(
+        emb, id_col=id_col, vec_col="__v", threshold=threshold
     )
