@@ -614,7 +614,22 @@ def simhash_near_pairs(
     op per candidate, no per-bit join.
     """
     seg_bits = SIMHASH_BITS // bands
-    sig = scoped_cache(simhash(df, id_col, text_col))
+    # Hash-spread the signature table BEFORE caching: the signature
+    # aggregate's output is tiny in BYTES (50k rows of two longs at
+    # sf1), so AQE's byte-based coalescing folds it to ONE partition —
+    # and every downstream stage (segment explode, candidate join,
+    # verify) inherits that layout because the small side broadcasts.
+    # Bytes-based coalescing is blind to JOIN-OUTPUT cost: a hot
+    # segment bucket (11.6k docs sharing one 15-bit segment at sf1)
+    # makes the probe side emit ~df^2 rows, and that CPU burned on a
+    # single core (measured 331 s in one task; ~10 s spread). The
+    # explicit partition count pins the layout against AQE.
+    sc = df.sparkSession.sparkContext
+    sig = scoped_cache(
+        simhash(df, id_col, text_col).repartition(
+            sc.defaultParallelism, F.col(id_col)
+        )
+    )
 
     segs = sig.select(
         F.col(id_col),
@@ -629,8 +644,14 @@ def simhash_near_pairs(
     )
     # No merge hint here (unlike lsh_candidate_pairs): segs comes off
     # the CACHED signature table (bands rows/doc of 3 ints), so the
-    # local broadcast build is cheap, and at scale the size stats rule
-    # out broadcast on their own — no forced strategy needed.
+    # local broadcast build is cheap — and broadcast is the SKEW-SAFE
+    # shape for this join: a hot segment's df^2 probe output is
+    # emitted across all a-side partitions instead of landing on the
+    # single reducer that owns the hot key (AQE skew-join can't help:
+    # it splits by shuffle BYTES, and a 15-bit segment bucket is
+    # kilobytes in, quadratic out). At cluster scale, where segs
+    # outgrows broadcast, salt the hot segments (operators/skew.py)
+    # before the equi-join.
     a = segs.select(F.col(id_col).alias("id_a"), "band", "seg")
     b = segs.select(F.col(id_col).alias("id_b"), "band", "seg")
     cand = (

@@ -17,8 +17,15 @@ __all__ = ["get_spark", "stop_spark"]
 
 
 def _cpus() -> int:
+    """$SPARK_GRAFT_CPUS as an int, or 0 when unset/invalid — 0 is
+    the sentinel for "use local[*] / os.cpu_count()". (A previous
+    revision clamped the unset case to 1, silently running every
+    un-harnessed invocation single-threaded on local[1] with
+    shuffle.partitions=1 — the sf1 probe measured 341 s for a query
+    that takes ~11 s on the machine's actual cores.)"""
     try:
-        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
+        v = int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
+        return v if v > 0 else 0
     except ValueError:
         return 0
 
