@@ -612,6 +612,18 @@ def simhash_near_pairs(
     one exact segment -> per-segment equi-join. Verification is
     ``bit_count(xor)`` on the packed BIGINT signatures — one integer
     op per candidate, no per-bit join.
+
+    Exact-signature collapse: the banded join runs over DISTINCT
+    signatures, not documents — hamming distance is a function of the
+    signatures alone, so documents sharing a signature are
+    interchangeable in candidate generation. On template-heavy
+    corpora that is the difference between quadratic-in-documents and
+    quadratic-in-distinct-signatures candidate work (sf1: sum(df^2)
+    363M over documents vs 81M over the 37,364 distinct signatures —
+    the hot segment bucket holds 11,643 docs but only 4,498 sigs).
+    Verified signature pairs then expand back through the members
+    relation (that expansion IS the output), and same-signature
+    documents pair up directly at hamming 0.
     """
     seg_bits = SIMHASH_BITS // bands
     # Hash-spread the signature table BEFORE caching: the signature
@@ -631,46 +643,65 @@ def simhash_near_pairs(
         )
     )
 
-    segs = sig.select(
-        F.col(id_col),
+    dsig = sig.select("simhash").distinct().repartition(
+        sc.defaultParallelism, F.col("simhash")
+    )
+    segs = dsig.select(
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
         "simhash",
     ).select(
-        id_col,
+        "simhash",
         "band",
         F.expr(f"shiftrightunsigned(simhash, band * {seg_bits}) % {1 << seg_bits}").alias(
             "seg"
         ),
     )
     # No merge hint here (unlike lsh_candidate_pairs): segs comes off
-    # the CACHED signature table (bands rows/doc of 3 ints), so the
-    # local broadcast build is cheap — and broadcast is the SKEW-SAFE
-    # shape for this join: a hot segment's df^2 probe output is
-    # emitted across all a-side partitions instead of landing on the
-    # single reducer that owns the hot key (AQE skew-join can't help:
-    # it splits by shuffle BYTES, and a 15-bit segment bucket is
-    # kilobytes in, quadratic out). At cluster scale, where segs
-    # outgrows broadcast, salt the hot segments (operators/skew.py)
-    # before the equi-join.
-    a = segs.select(F.col(id_col).alias("id_a"), "band", "seg")
-    b = segs.select(F.col(id_col).alias("id_b"), "band", "seg")
-    cand = (
+    # the small distinct-signature relation (bands rows/sig of 3
+    # ints), so the local broadcast build is cheap — and broadcast is
+    # the SKEW-SAFE shape for this join: a hot segment's df^2 probe
+    # output is emitted across all a-side partitions instead of
+    # landing on the single reducer that owns the hot key (AQE
+    # skew-join can't help: it splits by shuffle BYTES, and a 15-bit
+    # segment bucket is kilobytes in, quadratic out). At cluster
+    # scale, where segs outgrows broadcast, salt the hot segments
+    # (operators/skew.py) before the equi-join.
+    a = segs.select(F.col("simhash").alias("sim_a"), "band", "seg")
+    b = segs.select(F.col("simhash").alias("sim_b"), "band", "seg")
+    sig_pairs = (
         a.join(b, on=["band", "seg"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .where(F.col("sim_a") < F.col("sim_b"))
+        .select("sim_a", "sim_b")
         .distinct()
-    )
-
-    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
-    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
-    return (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
         .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+    m_a = sig.select(F.col(id_col).alias("ida"), F.col("simhash").alias("sim_a"))
+    m_b = sig.select(F.col(id_col).alias("idb"), F.col("simhash").alias("sim_b"))
+    cross = (
+        sig_pairs.join(m_a, "sim_a")
+        .join(m_b, "sim_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        m_a.join(
+            m_b, (F.col("sim_a") == F.col("sim_b")) & (F.col("ida") < F.col("idb"))
+        )
+        .select(
+            F.col("ida").alias("id_a"),
+            F.col("idb").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 
 
@@ -705,12 +736,21 @@ def span_dedup(
     once more on id. Three narrow shuffles total, all on hashes/ids.
     """
     toks = tokens(text_col)
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), toks.alias("__toks")
-    ).where(F.size("__toks") > 0)
+    # One tokenizer evaluation for the whole operator: `base` feeds
+    # both the span expansion and the per-doc span counts (previously
+    # `counts` re-ran the regex tokenizer over the corpus), and `inst`
+    # feeds both the keep-first aggregate and the join back — without
+    # materialization each consumer re-runs the slice/concat/md5
+    # kernel (2x the operator's CPU at sf1).
+    base = scoped_cache(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("id"), toks.alias("__toks")
+        )
+    )
+    nonempty = base.where(F.size("__toks") > 0)
     n_spans = F.ceil(F.size("__toks") / F.lit(span)).cast("int")
-    inst = (
-        base.withColumn("idx", F.explode(F.sequence(F.lit(0), n_spans - 1)))
+    inst = scoped_cache(
+        nonempty.withColumn("idx", F.explode(F.sequence(F.lit(0), n_spans - 1)))
         .select(
             "id",
             "idx",
@@ -741,9 +781,9 @@ def span_dedup(
             " ",
         ).alias("dedup_text"),
     )
-    counts = df.select(
-        F.col(id_col).alias("id"),
-        F.ceil(F.size(tokens(text_col)) / F.lit(span)).cast("long").alias("n_spans"),
+    counts = base.select(
+        "id",
+        F.ceil(F.size("__toks") / F.lit(span)).cast("long").alias("n_spans"),
     )
     return (
         counts.join(reassembled, "id", "left")
@@ -767,7 +807,7 @@ def containment_pairs(
     *,
     k: int = 3,
     threshold: float = 0.8,
-    strategy: str = "expand",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Directed near-CONTAINMENT pairs: ``(id_a, id_b, n_common, n_a)``
     where at least ``threshold`` of A's distinct ``k``-shingles also
@@ -793,8 +833,19 @@ def containment_pairs(
       survivors verify with one ``array_intersect``. Wins on
       realistic text whose document-frequency distribution has a long
       rare tail — the 100 TB shape when the corpus isn't degenerate.
+
+    ``'auto'`` (default) picks ``'prefix'`` for threshold >= 0.5 else
+    ``'expand'`` — the same rule as :func:`ngram_jaccard_pairs`. The
+    crossover is empirical: at sf0.1 expand won narrowly (5.5 s vs
+    7.7 s — small corpus, dense co-occurrence), but at sf1 the expand
+    self-join emits sum(df^2) = 262M candidate rows for 501k outputs
+    while the t=0.8 prefix posts only ~0.2n+1 rare shingles per doc
+    (32.6 s vs 78.1 s measured) — and that gap widens with corpus
+    scale, so the high-threshold default must be the prefix plan.
     """
     thr_num = int(round(threshold * 10000))
+    if strategy == "auto":
+        strategy = "prefix" if threshold >= 0.5 else "expand"
     if strategy not in ("expand", "prefix"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "expand":
@@ -846,25 +897,80 @@ def containment_pairs(
     ).cast("long")
     pref_len = F.col("n_sh") - alpha + 1
     w = Window.partitionBy("id").orderBy("df", "shingle")
+    # Every doc's shingles positioned in the global df order ONCE:
+    # the A prefix is a filter of this relation, and the B side keeps
+    # its position so the join can apply PPJoin+'s POSITIONAL filter.
+    # For a shared shingle at positions (i, j) of the two df-sorted
+    # sets, every further shared shingle sits after BOTH — so overlap
+    # <= 1 + min(n_a - i, n_b - j), and a qualifying pair's FIRST
+    # shared shingle (which the prefix theorem guarantees is posted)
+    # must pass `1 + min(...) >= alpha`. Exact — no qualifying pair
+    # is lost — and it prunes pairs meeting through a shingle too
+    # deep in B's order for n_b - j to reach alpha (sf1: 28.2M raw
+    # candidates -> 16.2M for 501k qualifying pairs).
+    shpos = scoped_cache(
+        sh.join(dfreq, "shingle").withColumn("__rn", F.row_number().over(w))
+    )
     pref = (
-        sh.join(dfreq, "shingle")
-        .withColumn("__rn", F.row_number().over(w))
+        shpos.withColumn("__alpha", alpha)
         .where(F.col("__rn") <= pref_len)
-        .select(F.col("id").alias("id_a"), "shingle")
+        .select(
+            F.col("id").alias("id_a"),
+            "shingle",
+            F.col("n_sh").alias("__na"),
+            F.col("__rn").alias("__ra"),
+            "__alpha",
+        )
+    )
+    posted = shpos.select(
+        F.col("id").alias("id_b"),
+        "shingle",
+        F.col("n_sh").alias("__nb"),
+        F.col("__rn").alias("__rb"),
     )
     cand = (
-        pref.join(sh.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        pref.join(posted, "shingle")
         .where(F.col("id_a") != F.col("id_b"))
+        .where(
+            F.least(
+                F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb")
+            )
+            + 1
+            >= F.col("__alpha")
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = docsets.select(
+    # Verify on INTEGER arrays, not the shingle strings: the
+    # candidate:output ratio is ~32:1 here, so the per-pair
+    # array_intersect dominates the operator, and hashing/comparing
+    # 25-byte strings costs a multiple of longs. The dictionary is
+    # EXACT (a unique id per distinct shingle — not a hash that could
+    # collide and inflate n_common past the threshold);
+    # monotonically_increasing_id is nondeterministic across
+    # re-evaluations, so the dict is localCheckpoint-pinned before
+    # both verify sides consume it (same hazard as ids.py).
+    sdict = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    doc_ints = scoped_cache(
+        sh.join(sdict, "shingle")
+        .groupBy("id")
+        .agg(
+            F.collect_list("__mid").alias("__ints"),
+            F.first("n_sh").alias("n_sh"),
+        )
+    )
+    sa = doc_ints.select(
         F.col("id").alias("id_a"),
-        F.col("sh_arr").alias("__sa"),
+        F.col("__ints").alias("__sa"),
         F.col("n_sh").alias("n_a"),
     )
-    sb = docsets.select(
-        F.col("id").alias("id_b"), F.col("sh_arr").alias("__sb")
+    sb = doc_ints.select(
+        F.col("id").alias("id_b"), F.col("__ints").alias("__sb")
     )
     return (
         cand.join(sa, "id_a")
