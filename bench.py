@@ -103,9 +103,10 @@ HEADLINE = [
     "pack_concat",
     "ann_recall_eval",
     "semantic_dedup",
-    # round-5 additions: rule-based curation + PII kernels
+    # round-5 additions: rule-based curation + PII kernels + LM filter
     "gopher_quality",
     "pii_redact",
+    "lm_perplexity_scores",
 ]
 
 

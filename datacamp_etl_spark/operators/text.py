@@ -357,3 +357,73 @@ def oov_rate(
             ),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """[EXT] Per-document bigram language-model score — the standard
+    perplexity-style quality-filter signal (CCNet/KenLM recipe shape):
+    a corpus-trained add-one-smoothed bigram model scores each
+    document by its mean negative log-likelihood; template/boilerplate
+    text (predictable continuations) scores LOW, token salad scores
+    HIGH. Self-trained on the scored corpus itself, so no external
+    model artifact is needed. Returns ``(id, n_bigrams, lm_score)``
+    for documents with at least one bigram, where
+    ``lm_score = avg(ln(c(w1) + V) - ln(c(w1,w2) + 1))`` over the
+    document's bigram instances (V = corpus distinct-token count).
+
+    Scale shape: one explode into (doc, w1, w2) rows cached for its
+    three consumers (context counts, bigram counts, the scoring join),
+    two map-side-combinable count aggregations, equi-joins back on
+    the count keys (build sides are count tables — one row per
+    distinct context/bigram, so a hot word meets a 1-row build and
+    hash-join output stays bounded by the instance table), and a
+    broadcast scalar for V. No window, no UDF; only integer counts
+    cross the shuffles, the float fold happens once per document and
+    is rounded (the repo's cross-engine ulp contract — ln of the same
+    integers in both engines).
+    """
+    from datacamp_etl_spark.operators.spread import ensure_parallelism, scoped_cache
+
+    toks = tokens(text_col)
+    arr = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), toks.alias("__t"))
+        .where(F.size("__t") >= 2)
+    )
+    n = F.size("__t")
+    bg = scoped_cache(
+        arr.select(
+            "id",
+            F.explode(
+                F.zip_with(
+                    F.slice("__t", 1, n - 1),
+                    F.slice("__t", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("z"),
+        ).select("id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("__c1"))
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .agg(F.count_distinct("term").alias("__v"))
+    )
+    cost = F.log(F.col("__c1") + F.col("__v")) - F.log(F.col("__c2") + F.lit(1))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(cost), decimals).alias("lm_score"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "lm_score")
+    )

@@ -5848,3 +5848,34 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(_pii_inject(t(spark, sf_dir, "documents"))).select(
         "doc_id", "text"
     )
+
+
+@register(
+    "lm_perplexity_scores",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    t AS (SELECT doc_id, string_split(norm, ' ') AS l
+          FROM n WHERE norm <> ''),
+    z AS (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS zz
+          FROM t WHERE len(l) >= 2),
+    b AS (SELECT doc_id, zz[1] AS w1, zz[2] AS w2 FROM z),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+    v AS (SELECT count(DISTINCT term) AS v FROM (
+          SELECT unnest(string_split(norm, ' ')) AS term
+          FROM n WHERE norm <> '')),
+    s AS (SELECT b.doc_id, ln(c1.c1 + v.v) - ln(c2.c2 + 1) AS cost
+          FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(cost), 6) AS lm_score
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] corpus-self-trained bigram LM quality scores
+    (text.bigram_lm_scores) — the CCNet/KenLM-style perplexity filter
+    signal: mean negative log-likelihood under an add-one-smoothed
+    bigram model trained on the corpus being scored."""
+    from datacamp_etl_spark.operators.text import bigram_lm_scores
+
+    return bigram_lm_scores(t(spark, sf_dir, "documents"))

@@ -93,3 +93,42 @@ def test_chunk_text_short_doc_single_chunk(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     rows = chunk_text(df, chunk_tokens=4, overlap=2).collect()
     assert len(rows) == 1 and rows[0]["chunk"] == "a b" and rows[0]["n_tokens"] == 2
+
+
+def test_bigram_lm_scores_exact_micro(spark):
+    """Hand-computed add-one bigram LM on a 2-doc corpus."""
+    import math
+
+    from datacamp_etl_spark.operators.text import bigram_lm_scores
+
+    # corpus: doc1 = "a b a b" (bigrams ab, ba, ab); doc2 = "a c"
+    # (bigram ac); doc3 = "solo" (no bigram, but its token counts
+    # toward the vocabulary). vocab = {a, b, c, solo} -> V = 4.
+    # contexts: c1(a) = 3 (ab, ab, ac), c1(b) = 1 (ba)
+    # bigrams:  c2(a,b) = 2, c2(b,a) = 1, c2(a,c) = 1
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert 3 not in out  # single-token doc has no bigram
+    ab = math.log(3 + 4) - math.log(2 + 1)
+    ba = math.log(1 + 4) - math.log(1 + 1)
+    ac = math.log(3 + 4) - math.log(1 + 1)
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["lm_score"] - round((ab + ba + ab) / 3, 6)) < 1e-9
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["lm_score"] - round(ac, 6)) < 1e-9
+
+
+def test_bigram_lm_scores_orders_boilerplate_below_salad(spark):
+    """Predictable repeated text scores lower than unique token salad."""
+    from datacamp_etl_spark.operators.text import bigram_lm_scores
+
+    rep = " ".join(["the quick brown fox"] * 10)
+    salad = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, rep), (2, salad)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(df).collect()}
+    assert out[1] < out[2]
