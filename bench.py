@@ -107,6 +107,7 @@ HEADLINE = [
     "gopher_quality",
     "pii_redact",
     "lm_perplexity_scores",
+    "dedup_recall_eval",
 ]
 
 

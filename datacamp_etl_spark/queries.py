@@ -5879,3 +5879,57 @@ def q_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datacamp_etl_spark.operators.text import bigram_lm_scores
 
     return bigram_lm_scores(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_recall_eval",
+    """
+    WITH ex AS ({NGRAM_PAIRS}),
+    cand AS ({LSH_PAIRS}),
+    h AS (SELECT count(*) AS n_hits
+          FROM ex JOIN cand ON ex.id_a = cand.id_a AND ex.id_b = cand.id_b)
+    SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits * 1.0 / (SELECT count(*) FROM ex), 6) AS recall
+    FROM h
+    """,
+)
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] dedup-candidate recall harness — ann_recall_eval's twin
+    for the TEXT near-dup path: what fraction of the exact Jaccard
+    pairs (ngram_jaccard_pairs at its registered t=0.2 contract) does
+    the MinHash-LSH banding (lsh_candidate_pairs, 4 bands x 4 rows)
+    actually surface as candidates? The measure-don't-guess knob for
+    tuning bands/rows before a corpus-scale rollout: LSH's s-curve is
+    centered near 0.5, so low-threshold recall quantifies exactly
+    what a candidates-first pipeline trades away. Both branches are
+    the registered operators; the comparison is one semi-join over
+    two bounded pair sets and a 1-row output."""
+    from datacamp_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(docs)
+    hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_true"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            F.col("n_true").cast("long"),
+            F.col("n_candidates").cast("long"),
+            F.col("n_hits").cast("long"),
+            F.round(F.col("n_hits") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
+ORACLE["dedup_recall_eval"] = (
+    ORACLE["dedup_recall_eval"]
+    .replace("{NGRAM_PAIRS}", "SELECT id_a, id_b FROM (" + ORACLE["ngram_jaccard_pairs"] + ")")
+    .replace("{LSH_PAIRS}", ORACLE["lsh_candidate_pairs"])
+)
