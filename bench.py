@@ -169,6 +169,17 @@ def main() -> None:
     if not smoke:
         payload["value_cold"] = round(sum(cold.values()), 3)
         payload["queries_cold"] = cold
+        # Methodology stamp so round-over-round comparisons never need
+        # archaeology: the headline series is WARM pass 2 — JIT and OS
+        # page cache retained, operator-scoped caches RELEASED and
+        # rebuilt inside the measured pass (steady-state compute, not
+        # cached-read time). "queries_cold" is first-execution pass 1.
+        payload["series"] = "warm"
+        payload["methodology"] = (
+            "value/queries = pass 2 after release_engine_caches() "
+            "(JIT+page-cache warm, operator caches rebuilt in-pass); "
+            "value_cold/queries_cold = pass 1 first-execution"
+        )
     print(json.dumps(payload))
     spark.stop()
 

@@ -312,6 +312,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     strategy: str = "auto",
+    max_expand_rows: int = 100_000,
 ) -> DataFrame:
     """Pairs with shingle-set Jaccard >= threshold:
     ``(id_a, id_b, n_common, n_union, jaccard)``.
@@ -343,12 +344,34 @@ def ngram_jaccard_pairs(
     pair-generating strategies. The threshold compare is integer
     arithmetic (``n_common * D >= threshold*D * n_union``) so boundary
     cases are exact — no float/decimal rounding drift.
+
+    The no-candidates ``'expand'`` path is **size-guarded** (same
+    contract as ``cosine_near_dup_pairs(exact=True)``): its cost is
+    sum(df²) over per-shingle document frequencies — exact but
+    potentially quadratic at low thresholds — so it counts the input
+    first and raises above ``max_expand_rows``. The corpus-scale
+    recipe below t=0.5 is candidates-first: generate pairs with
+    ``lsh_candidate_pairs`` (tune bands/rows with the
+    ``dedup_recall_eval`` harness), then pass them via ``candidates=``
+    for verify-only cost proportional to the candidate count. Raise
+    ``max_expand_rows`` explicitly to force the exact plan anyway.
     """
     thr_num = int(round(threshold * 10000))
     if strategy == "auto":
         strategy = "prefix" if threshold >= 0.5 else "expand"
     if strategy not in ("expand", "prefix"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if candidates is None and strategy == "expand":
+        n = df.count()
+        if n > max_expand_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs(strategy='expand') on {n} rows: "
+                f"the inverted-index self-join costs sum(df²) and can "
+                f"go quadratic at low thresholds; pass candidates= "
+                f"(generate with lsh_candidate_pairs, tune recall with "
+                f"dedup_recall_eval) or raise max_expand_rows "
+                f"(currently {max_expand_rows}) to force the exact plan"
+            )
 
     def _score_counts(inter: DataFrame) -> DataFrame:
         """Attach sizes to (id_a, id_b, n_common) and finish."""

@@ -398,13 +398,25 @@ def kmeans_train(
 
     init_rows = (
         df.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
         .withColumn("__h", F.md5(F.col(id_col).cast("string")))
         .orderBy("__h")
         .limit(k)
         .collect()
     )
+    if not init_rows:
+        raise ValueError("kmeans_train: no non-null embeddings to seed from")
+    # ragged rows (malformed data) can't seed centroids: keep only the
+    # modal dimension among the k seeds (ties -> larger dim) — zero
+    # extra jobs, and the assign kernel masks mismatched rows anyway
+    from collections import Counter
+
+    lens = Counter(len(r[vec_col]) for r in init_rows)
+    dim0 = max(lens, key=lambda d: (lens[d], d))
     centroids = [
-        [round(float(x), decimals) for x in r[vec_col]] for r in init_rows
+        [round(float(x), decimals) for x in r[vec_col]]
+        for r in init_rows
+        if len(r[vec_col]) == dim0
     ]
 
     from .vector_kernel import assign_nearest_centroid

@@ -23,6 +23,22 @@ decimals, distances to 4) before any comparison or emission, so the
 oracles hash-match either path (verified by selfcheck at sf0.01).
 Ties in argmin break to the FIRST (lowest) index in both paths
 (``array_position(arr, array_min(arr))`` and ``np.argmin``).
+
+Accepted-risk bounds of that contract (documented, not hidden):
+
+- Rounding absorbs drift except when a true value lies within
+  ~1e-15 relative of a 6-decimal rounding boundary, where half-even
+  (numpy) vs half-away (Spark/DuckDB) can emit adjacent values. Per
+  pair that probability is ~2e-9 (boundary width / decimal step);
+  cross-engine hash checks at corpus scale should therefore compare
+  cosines with a 1-ulp-at-``decimals`` tolerance rather than assume
+  exactness forever (at sf<=1, zero mismatches observed).
+- ``assign_nearest_centroid`` takes argmin over UNROUNDED distances
+  (rounding before argmin would merge genuinely distinct centroids
+  at coarse ``decimals``); an ulp-level near-TIE between two
+  centroids can flip cross-engine. With deterministically generated
+  centroids this has never occurred in selfcheck; it is the standard
+  k-means reproducibility caveat, accepted rather than papered over.
 """
 
 from __future__ import annotations
@@ -52,9 +68,32 @@ __all__ = [
 _PAIR_BLOCK_ROWS = 512
 
 
-def _stack(col: pd.Series) -> np.ndarray:
-    """Column of array cells -> (m, dim) float64 matrix."""
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+def _stack(col: pd.Series, dim: int | None = None):
+    """Column of array cells -> ``((m, dim) float64 matrix, valid)``.
+
+    NULL cells and ragged rows (length != the expected ``dim``, taken
+    from the first non-null cell when not given) become ZERO rows with
+    ``valid=False`` instead of crashing the task — preserving the SQL
+    expression paths' soft-NULL contract (NULL cosine/distance; the
+    row never drops another and is never dropped) for malformed
+    embedding data.
+    """
+    cells = []
+    for v in col:
+        if v is None:
+            cells.append(None)
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        cells.append(a if a.ndim == 1 else None)
+    if dim is None:
+        dim = next((len(a) for a in cells if a is not None), 0)
+    out = np.zeros((len(cells), dim), dtype=np.float64)
+    valid = np.zeros(len(cells), dtype=bool)
+    for i, a in enumerate(cells):
+        if a is not None and len(a) == dim:
+            out[i] = a
+            valid[i] = True
+    return out, valid
 
 
 def assign_nearest_centroid(
@@ -91,7 +130,7 @@ def assign_nearest_centroid(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            v = _stack(pdf[vec_col])
+            v, ok = _stack(pdf[vec_col], dim=cen.shape[1])
             d2 = np.empty((len(pdf), len(cen)), dtype=np.float64)
             # per-centroid loop keeps the temp at m x dim (not
             # m x k x dim) and the float semantics a plain
@@ -100,8 +139,12 @@ def assign_nearest_centroid(
                 diff = v - cen[j]
                 d2[:, j] = np.einsum("ij,ij->i", diff, diff)
             pdf = pdf.copy()
-            pdf[cluster_col] = d2.argmin(axis=1).astype("int32")
-            pdf[dist_col] = d2.min(axis=1)
+            cl = pd.array(d2.argmin(axis=1), dtype="Int32")
+            di = pd.array(d2.min(axis=1), dtype="Float64")
+            cl[~ok] = pd.NA  # null/ragged vector -> NULL cluster/dist
+            di[~ok] = pd.NA
+            pdf[cluster_col] = cl
+            pdf[dist_col] = di
             yield pdf[in_cols + [cluster_col, dist_col]]
 
     return df.mapInPandas(kernel, schema=out_schema)
@@ -143,9 +186,11 @@ def semantic_keep_by_cluster(
     def kernel(_key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         m = len(pdf)
-        v = _stack(pdf[vec_col])
+        v, ok = _stack(pdf[vec_col])
         norms = np.sqrt(np.einsum("ij,ij->i", v, v))
-        valid = norms != 0.0
+        # null/ragged cells behave exactly like zero-norm rows:
+        # NULL cosine -> never drop another row, never be dropped
+        valid = ok & (norms != 0.0)
         unit = np.zeros_like(v)
         unit[valid] = v[valid] / norms[valid, None]
         dropped = np.zeros(m, dtype=bool)
@@ -163,7 +208,7 @@ def semantic_keep_by_cluster(
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],
-                cluster_col: pdf[cluster_col].astype("int32"),
+                cluster_col: pdf[cluster_col].astype("Int32"),
                 "keep": ~dropped,
             }
         )

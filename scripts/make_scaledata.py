@@ -26,7 +26,18 @@ is a subset/projection of its scaled behavior. Pure Spark DataFrame
 ops, no Python row loops; output is written with a partition count
 scaled to the factor.
 
-Usage: python scripts/make_scaledata.py [factor] [out_dir]
+``--organic`` (VERDICT r5 #5) swaps the documents table's replica
+tokens for ORGANIC near-duplicate structure: each source document
+seeds a cluster whose copy count is drawn from a power law (Zipf
+tail, deterministic from ``xxhash64(doc_id)``, capped, then rescaled
+so the corpus still totals ~factor x n), and each copy applies
+CONTROLLED token-level edits — a per-copy edit rate of 2-10% drives
+deterministic token drops and substitutions, so intra-cluster
+Jaccard spans a realistic band instead of the replica tokens' single
+near-1.0 point. Copy 0 is always the unmodified original. Every
+other table scales exactly as in replica mode.
+
+Usage: python scripts/make_scaledata.py [factor] [out_dir] [--organic]
        (defaults: 10, /root/repo/.localdata/sf1)
 """
 
@@ -56,9 +67,71 @@ def _replicate(df: DataFrame, factor: int) -> DataFrame:
     )
 
 
+def _organic_documents(docs: DataFrame, factor: int, stride: int) -> DataFrame:
+    """Documents scaled with planted near-dup clusters: power-law copy
+    counts (deterministic Zipf tail, rescaled to ~factor x n total) and
+    controlled per-copy token edits (2-10% drop + substitute rates)."""
+    # copy count = 1 + rescaled Zipf tail min(200, u^(-1/1.1)) - 1:
+    # the "+1 then rescale the EXCESS" form keeps a large singleton
+    # mass (u near 1 -> exactly 1 copy) while the heavy tail carries
+    # the volume — matching observed web-dup cluster-size power laws
+    u = (F.pmod(F.xxhash64("doc_id"), F.lit(10000)) + 1) / 10000.0
+    seeded = docs.withColumn(
+        "__raw", F.least(F.lit(200.0), F.pow(u, F.lit(-1.0 / 1.1)))
+    )
+    total_raw, n = seeded.agg(F.sum("__raw"), F.count("*")).first()
+    scale = (factor - 1) * n / max(float(total_raw) - n, 1.0)
+    seeded = seeded.withColumn(
+        "__cnt",
+        1 + F.round((F.col("__raw") - 1) * scale).cast("int"),
+    )
+    copies = seeded.select(
+        "doc_id", "text", "lang", "source",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__cnt") - 1)
+        ).alias("__copy"),
+    )
+    # controlled edits: per-copy rate 2-10%; token i drops when
+    # h(i) < rate, survivors substitute (suffix mutation) when
+    # h(i + 1000) < rate; copy 0 is the unmodified original
+    ed = (F.pmod(F.xxhash64("doc_id", "__copy"), F.lit(9)) + 2).alias("__ed")
+    copies = copies.withColumn("__ed", ed)
+
+    def h(i):
+        return F.pmod(F.xxhash64(F.col("doc_id"), F.col("__copy"), i), F.lit(100))
+
+    toks = F.split(F.col("text"), " ")
+    kept = F.filter(
+        toks, lambda x, i: (F.col("__copy") == 0) | (h(i) >= F.col("__ed"))
+    )
+    mutated = F.transform(
+        kept,
+        lambda x, i: F.when(
+            (F.col("__copy") != 0) & (h(i + 1000) < F.col("__ed")),
+            F.concat(x, F.lit("q")),
+        ).otherwise(x),
+    )
+    text = F.array_join(mutated, " ")
+    return copies.select(
+        (F.col("doc_id") + F.col("__copy") * stride).alias("doc_id"),
+        text.alias("text"),
+        "lang", "source",
+        F.length(text).alias("n_chars"),
+    )
+
+
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.localdata/sf1"
+    organic = "--organic" in sys.argv[1:]
+    # --only-documents: write just the documents table (the organic
+    # fixture shares every other table with the replica sf1 — the
+    # caller links them in rather than regenerating ~2 GB twice)
+    only_docs = "--only-documents" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    factor = int(args[0]) if args else 10
+    out = args[1] if len(args) > 1 else (
+        "/root/repo/.localdata/sf1organic" if organic
+        else "/root/repo/.localdata/sf1"
+    )
     os.makedirs(out, exist_ok=True)
 
     from datacamp_etl_spark.session import get_spark
@@ -137,19 +210,24 @@ def main() -> None:
 
     docs = rd("documents")
     dk = _pow10_stride(docs, "doc_id")
-    rep_suffix = F.when(F.col("__rep") == 0, F.lit("")).otherwise(
-        F.concat(F.lit(" rep"), F.col("__rep").cast("string"))
-    )
-    writes.append((
-        "documents",
-        _replicate(docs, factor).select(
-            shift("doc_id", dk),
-            F.concat(F.col("text"), rep_suffix).alias("text"),
-            "lang", "source",
-            (F.col("n_chars") + F.length(rep_suffix)).alias("n_chars"),
-        ),
-        2 * factor,
-    ))
+    if organic:
+        writes.append((
+            "documents", _organic_documents(docs, factor, dk), 2 * factor,
+        ))
+    else:
+        rep_suffix = F.when(F.col("__rep") == 0, F.lit("")).otherwise(
+            F.concat(F.lit(" rep"), F.col("__rep").cast("string"))
+        )
+        writes.append((
+            "documents",
+            _replicate(docs, factor).select(
+                shift("doc_id", dk),
+                F.concat(F.col("text"), rep_suffix).alias("text"),
+                "lang", "source",
+                (F.col("n_chars") + F.length(rep_suffix)).alias("n_chars"),
+            ),
+            2 * factor,
+        ))
 
     emb = rd("embeddings")
     vk = _pow10_stride(emb, "vec_id")
@@ -177,13 +255,20 @@ def main() -> None:
     for tb in ("region", "nation"):
         writes.append((tb, rd(tb), 1))
 
+    if only_docs:
+        writes = [w for w in writes if w[0] == "documents"]
+
     for tb, df, nparts in writes:
         df.repartition(nparts).write.mode("overwrite").parquet(
             f"{out}/{tb}.parquet"
         )
         print(f"wrote {tb}")
 
-    for tb in ("lineitem", "orders", "documents", "embeddings", "events"):
+    count_tables = (
+        ("documents",) if only_docs
+        else ("lineitem", "orders", "documents", "embeddings", "events")
+    )
+    for tb in count_tables:
         n = spark.read.parquet(f"{out}/{tb}.parquet").count()
         print(f"{tb}: {n} rows")
     spark.stop()

@@ -1,63 +1,202 @@
 #!/usr/bin/env python3
-"""Output/candidate cardinality evidence for the sf1 scale-up run.
+"""One-command sf1 scale gate (VERDICT r5 #7).
 
-The sf1 fixture (scripts/make_scaledata.py) replicates every document
-10x as NEAR-duplicates, so the TRUE pair output of the dedup family
-grows ~quadratically in the duplication factor BY CONSTRUCTION — a
-dedup workload at 10x corpus with 10x near-dup density. A wall-time
-ratio alone can't distinguish "operator went superlinear" from
-"output went superlinear"; this script records the denominators:
-per-query OUTPUT row counts at sf0.1 and sf1, so COVERAGE.md can
-report seconds-per-output-row alongside seconds.
+From a clean checkout, this single command:
 
-Prints one JSONL row per (query, sf): {"q", "sf", "rows", "sec"}.
+1. **Regenerates** the sf1 fixture (``scripts/make_scaledata.py``, 10x
+   replica scaling of the driver's sf0.1) if it is missing or
+   ``--regen`` is given, then **validates** it: every scaled table
+   must hold exactly/approximately ``factor`` x its sf0.1 row count.
+2. Regenerates the **organic-duplicate** fixture the same way
+   (``--organic --only-documents``: power-law near-dup clusters with
+   controlled edit rates; the non-document tables are hard-linked
+   from the replica fixture).
+3. Runs ``bench.py`` (the exact per-round harness, subprocess) at
+   sf0.1 and sf1 and **diffs the per-query warm scaling factors
+   against a pinned budget**: any query whose sf1 warm time exceeds
+   ``--budget`` (default 8.0) x its sf0.1 warm time fails the gate.
+   The denominator is floored at 0.3 s so sub-second timer noise
+   cannot manufacture a ratio; the numerator must also exceed 1 s —
+   a query that is still sub-second at sf1 cannot be a scale problem.
+4. Runs the dedup-structure queries (``dedup_recall_eval``,
+   ``dedup_clusters``, ``dedup_exact``) on the ORGANIC fixture and
+   reports rows + seconds — recall/cluster evidence on data whose
+   near-dup distribution is not an artifact of replica tokens.
 
-Usage: python scripts/scale_evidence.py [query ...]
+Prints one JSON line ``{"gate": "scale_evidence", "pass": bool,
+"breaches": [...], "ratios": {...}, "organic": {...}}`` and exits
+non-zero on breach — CI-style.
+
+Usage: python scripts/scale_evidence.py [--budget 8.0] [--regen]
+           [--skip-organic] [--queries q1 q2 ...]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-from datacamp_etl_spark.queries import QUERIES  # noqa: E402
-from datacamp_etl_spark.session import get_spark  # noqa: E402
-from datacamp_etl_spark.operators.spread import release_engine_caches  # noqa: E402
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".localdata/sf1")
+SF1_ORGANIC = os.path.join(REPO, ".localdata/sf1organic")
+FACTOR = 10
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+DIMS = ("region", "nation")
+ORGANIC_QUERIES = ("dedup_exact", "dedup_clusters", "dedup_recall_eval")
+#: ratio floor/ceiling knobs — see module docstring
+DENOM_FLOOR_SEC = 0.3
+NUMERATOR_FLOOR_SEC = 1.0
 
-DEFAULT = [
-    "ngram_jaccard_pairs",
-    "containment_pairs",
-    "simhash_near_pairs",
-    "lsh_candidate_pairs",
-    "near_dup_verified",
-    "dedup_clusters",
-    "span_dedup",
-]
 
-SFS = {
-    "0.1": "/root/testdata/sf0.1",
-    "1": "/root/repo/.localdata/sf1",
-}
+def _run(cmd: list[str], env: dict | None = None) -> str:
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=e, capture_output=True, text=True
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
+        raise SystemExit(f"command failed: {' '.join(cmd)}")
+    return proc.stdout
+
+
+def _ensure_fixture(regen: bool) -> None:
+    if regen or not os.path.isdir(os.path.join(SF1, "documents.parquet")):
+        print("generating sf1 (replica mode)...", file=sys.stderr)
+        _run([sys.executable, "scripts/make_scaledata.py", str(FACTOR), SF1])
+
+
+def _ensure_organic(regen: bool) -> None:
+    if not regen and os.path.isdir(
+        os.path.join(SF1_ORGANIC, "documents.parquet")
+    ):
+        return
+    print("generating sf1organic (documents)...", file=sys.stderr)
+    _run([
+        sys.executable, "scripts/make_scaledata.py", str(FACTOR),
+        SF1_ORGANIC, "--organic", "--only-documents",
+    ])
+    # non-document tables are shared byte-for-byte with the replica
+    # fixture: hard-link the parquet files (no copy, no symlink
+    # surprises for parquet directory listings)
+    for tb in TABLES:
+        if tb == "documents":
+            continue
+        src = os.path.join(SF1, f"{tb}.parquet")
+        dst = os.path.join(SF1_ORGANIC, f"{tb}.parquet")
+        if os.path.isdir(dst):
+            continue
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            if f.startswith("."):
+                continue
+            os.link(os.path.join(src, f), os.path.join(dst, f))
+
+
+def _validate(spark) -> list[str]:
+    """Scaled row counts must be factor x sf0.1 (dims unchanged,
+    organic documents within 5% of factor x)."""
+    problems = []
+    for tb in TABLES:
+        n0 = spark.read.parquet(f"{SF01}/{tb}.parquet").count()
+        n1 = spark.read.parquet(f"{SF1}/{tb}.parquet").count()
+        want = n0 if tb in DIMS else n0 * FACTOR
+        if n1 != want:
+            problems.append(f"sf1/{tb}: {n1} rows, want {want}")
+    if os.path.isdir(os.path.join(SF1_ORGANIC, "documents.parquet")):
+        n0 = spark.read.parquet(f"{SF01}/documents.parquet").count()
+        n1 = spark.read.parquet(f"{SF1_ORGANIC}/documents.parquet").count()
+        if not (0.95 * FACTOR * n0 <= n1 <= 1.05 * FACTOR * n0):
+            problems.append(
+                f"sf1organic/documents: {n1} rows, want ~{FACTOR * n0}"
+            )
+    return problems
+
+
+def _bench(sf_dir: str) -> dict:
+    out = _run(
+        [sys.executable, "bench.py"], env={"SPARK_GRAFT_SF_DIR": sf_dir}
+    )
+    return json.loads(out.strip().splitlines()[-1])
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    argv = sys.argv[1:]
+    budget = 8.0
+    if "--budget" in argv:
+        budget = float(argv[argv.index("--budget") + 1])
+    regen = "--regen" in argv
+    skip_organic = "--skip-organic" in argv
+    only = None
+    if "--queries" in argv:
+        only = argv[argv.index("--queries") + 1 :]
+
+    _ensure_fixture(regen)
+    if not skip_organic:
+        _ensure_organic(regen)
+
+    from datacamp_etl_spark.session import get_spark
+    from datacamp_etl_spark.queries import QUERIES
+    from datacamp_etl_spark.operators.spread import release_engine_caches
+
     spark = get_spark("scale-evidence")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for sf, sf_dir in SFS.items():
-        if not os.path.isdir(sf_dir):
-            continue
-        for name in names:
+    problems = _validate(spark)
+    if problems:
+        print(json.dumps({
+            "gate": "scale_evidence", "pass": False,
+            "breaches": problems, "stage": "fixture-validation",
+        }))
+        raise SystemExit(1)
+
+    organic: dict[str, dict] = {}
+    if not skip_organic:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        for name in ORGANIC_QUERIES:
             start = time.perf_counter()
-            rows = QUERIES[name](spark, sf_dir).count()
-            dt = round(time.perf_counter() - start, 2)
-            print(json.dumps({"q": name, "sf": sf, "rows": rows, "sec": dt}), flush=True)
+            rows = QUERIES[name](spark, SF1_ORGANIC).count()
+            organic[name] = {
+                "rows": rows,
+                "sec": round(time.perf_counter() - start, 2),
+            }
             release_engine_caches()
     spark.stop()
+
+    b01 = _bench(SF01)
+    b1 = _bench(SF1)
+    ratios: dict[str, float] = {}
+    breaches: list[str] = []
+    names = only or sorted(set(b01["queries"]) & set(b1["queries"]))
+    for q in names:
+        t0, t1 = b01["queries"][q], b1["queries"][q]
+        r = round(t1 / max(t0, DENOM_FLOOR_SEC), 2)
+        ratios[q] = r
+        if r > budget and t1 > NUMERATOR_FLOOR_SEC:
+            breaches.append(
+                f"{q}: {t0}s -> {t1}s at {FACTOR}x data = {r}x > {budget}x"
+            )
+    payload = {
+        "gate": "scale_evidence",
+        "pass": not breaches,
+        "budget": budget,
+        "breaches": breaches,
+        "warm_total_sf01": b01["value"],
+        "warm_total_sf1": b1["value"],
+        "ratios": ratios,
+        "organic": organic,
+    }
+    print(json.dumps(payload))
+    if breaches:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

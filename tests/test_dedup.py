@@ -151,6 +151,33 @@ def test_ngram_prefix_strategy_lossless(spark):
         D.ngram_jaccard_pairs(docs, strategy="teleport")
 
 
+def test_ngram_expand_size_guard(spark):
+    """The no-candidates expand path must refuse sum(df²) work above
+    max_expand_rows and point at the candidates-first scale recipe;
+    passing candidates= (the 100 TB path) bypasses the guard, and the
+    guarded/unguarded paths stay result-identical."""
+    import pytest as _pytest
+
+    docs = _docs(spark)
+    with _pytest.raises(ValueError, match="lsh_candidate_pairs"):
+        D.ngram_jaccard_pairs(
+            docs, threshold=0.2, strategy="expand", max_expand_rows=2
+        )
+    # candidates= never counts the input: the tiny cap must not trip.
+    cand = D.lsh_candidate_pairs(docs)
+    verified = D.ngram_jaccard_pairs(
+        docs, threshold=0.2, candidates=cand, max_expand_rows=2
+    )
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.2, strategy="expand"
+        ).collect()
+    }
+    assert got <= full
+
+
 def test_span_dedup_keeps_first_occurrence(spark):
     docs = spark.createDataFrame(
         [

@@ -32,6 +32,12 @@ ALLOWED_BNLJ = {
     "gapfill_hourly_events": "hour spine bounded by the queried range",
     "ann_recall_eval": "1-row x 1-row scalar-aggregate cross join "
     "(hit count x pool count) plus a 10-row exact-top-k broadcast",
+    "dedup_recall_eval": "three 1-row scalar aggregates crossJoined "
+    "(n_true x n_candidates x n_hits) — each side is a global count, "
+    "bounded to one row regardless of corpus size",
+    "lm_perplexity_scores": "1-row vocabulary-size broadcast (the "
+    "add-one-smoothing denominator |V| is a global countDistinct, "
+    "crossJoined onto the bigram stream as a single-row literal)",
 }
 
 #: Partitionless-Window allowlist: query -> why the window's input is

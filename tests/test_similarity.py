@@ -168,3 +168,38 @@ def test_semantic_dedup_derived_k_grows_with_corpus(spark):
     )
     n_clusters = out.select("cluster").distinct().count()
     assert n_clusters >= 2  # k-means may merge, but k was 4, not k_min=8
+
+
+def test_vector_kernels_soft_null_on_malformed_embeddings(spark):
+    """NULL and ragged embedding cells must NOT crash the Arrow
+    kernels (ADVICE r5): they follow the zero-norm soft-NULL contract
+    — NULL cluster/dist in the assign step, keep=True and
+    never-drops-others in the dedup verdicts."""
+    from datacamp_etl_spark.operators.vector_kernel import (
+        assign_nearest_centroid,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, None),                      # NULL cell
+        (4, [1.0, 0.0]),                # ragged (wrong dim)
+        (5, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    assigned = assign_nearest_centroid(
+        df, [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    )
+    got = {r["vec_id"]: (r["cluster"], r["__dist"]) for r in assigned.collect()}
+    assert got[1][0] == 0 and got[5][0] == 1
+    assert got[3] == (None, None) and got[4] == (None, None)
+
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in S.semantic_dedup(df, k=2, n_iter=1, threshold=0.9).collect()
+    }
+    # malformed rows always survive; the well-formed near-dup pair
+    # still dedups to its lowest id
+    assert out[3] and out[4]
+    assert out[1] and not out[2]
