@@ -35,6 +35,8 @@ from datacamp_etl_spark.operators.text import fingerprint, normalize_text, token
 __all__ = [
     "exact_duplicates",
     "dedup_exact",
+    "lsh_candidate_probability",
+    "lsh_band_plan",
     "shingles",
     "minhash_signature",
     "band_signatures",
@@ -164,6 +166,78 @@ def minhash_signature(
         id_col,
         F.expr(f"stack({num_hashes}, {stack}) AS (seed, minhash)"),
     ).select(id_col, "seed", "minhash")
+
+
+def lsh_candidate_probability(s: float, bands: int, rows: int) -> float:
+    """P(a pair with Jaccard ``s`` becomes an LSH candidate) under
+    banded MinHash: ``1 - (1 - s^rows)^bands`` — the classic s-curve
+    (Broder's minwise hashing + the banding analysis popularized by
+    Mining of Massive Datasets ch. 3)."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_band_plan(
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+    *,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+    steps: int = 1000,
+) -> dict:
+    """Choose ``(bands, rows)`` for a MinHash-LSH banding at a target
+    Jaccard ``threshold``: enumerates every ``rows`` with
+    ``bands = num_hashes // rows`` and minimizes the weighted
+    integrated s-curve error — ``fn = ∫_t^1 (1 - P(s)) ds`` (true
+    pairs the banding misses) plus ``fp = ∫_0^t P(s) ds`` (junk pairs
+    it surfaces). Driver-side closed-form math, no data touched: this
+    is the a-priori half of tuning; ``dedup_recall_eval`` (the
+    registered harness) is the measured half — plan here, verify
+    there, then roll out.
+
+    Weights encode the 100 TB trade: false positives cost verify-join
+    work (raise ``fp_weight`` when the verifier is the bottleneck),
+    false negatives cost recall (raise ``fn_weight`` for
+    contamination/dedup-completeness work).
+
+    Returns ``{"bands", "rows", "expected_fn", "expected_fp",
+    "s50"}`` where ``s50 = (1/bands)^(1/rows)`` is the curve's
+    midpoint similarity.
+    """
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best: dict | None = None
+    for rows in range(1, num_hashes + 1):
+        bands = num_hashes // rows
+        if bands < 1:
+            continue
+        fn = sum(
+            1.0
+            - lsh_candidate_probability(
+                threshold + (1 - threshold) * (i + 0.5) / steps, bands, rows
+            )
+            for i in range(steps)
+        ) * (1 - threshold) / steps
+        fp = sum(
+            lsh_candidate_probability(
+                threshold * (i + 0.5) / steps, bands, rows
+            )
+            for i in range(steps)
+        ) * threshold / steps
+        cost = fn_weight * fn + fp_weight * fp
+        if best is None or cost < best["_cost"]:
+            best = {
+                "_cost": cost,
+                "bands": bands,
+                "rows": rows,
+                "expected_fn": round(fn, 6),
+                "expected_fp": round(fp, 6),
+                "s50": round((1.0 / bands) ** (1.0 / rows), 6),
+            }
+    assert best is not None
+    best.pop("_cost")
+    return best
 
 
 def band_signatures(

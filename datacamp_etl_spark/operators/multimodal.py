@@ -7,9 +7,12 @@ bytes, real decoders first:
 
 1. pure-numpy BMP (uncompressed 24/32bpp) — no dependencies;
 2. pure-numpy netpbm P5/P6 (binary PGM/PPM) — no dependencies;
-3. Pillow, import-gated — JPEG/PNG/anything PIL reads, when the
+3. Pillow, import-gated — JPEG/anything PIL reads, when the
    library is present (this container ships without it);
-4. ``_decode_stub`` fallback for unrecognized bytes: a clearly-marked
+4. pure stdlib+numpy PNG (zlib inflate + scanline unfilter, 8-bit
+   gray/RGB/palette/alpha, non-interlaced) — no dependencies, so PNG
+   stays a REAL format even without Pillow;
+5. ``_decode_stub`` fallback for unrecognized bytes: a clearly-marked
    deterministic fake so the Arrow plumbing stays exercisable with
    synthetic fixtures.
 
@@ -168,6 +171,118 @@ def _decode_netpbm(content: bytes) -> tuple[int, int, bytes] | None:
     return width, height, gray.tobytes()
 
 
+def _decode_png(content: bytes) -> tuple[int, int, bytes] | None:
+    """Pure stdlib+numpy PNG decode: chunk walk, zlib inflate, and
+    per-scanline unfiltering (all five PNG filter types). Supports
+    8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA), non-interlaced. Returns (width, height,
+    grayscale bytes) or None for anything else (16-bit, Adam7) —
+    those fall through to Pillow when present, stub otherwise.
+
+    Scanline unfiltering is inherently row-serial (each row's Paeth/
+    Average predictors read the reconstructed row above), so rows run
+    in a Python loop with numpy per-row math; the Sub filter's prefix
+    dependency vectorizes as a per-channel cumsum mod 256. Dispatch
+    prefers Pillow's C codec when importable — this decoder is the
+    no-dependency fallback that keeps PNG a REAL format in this
+    container, not a stub."""
+    if len(content) < 33 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(content):
+            length, ctype = struct.unpack(">I4s", content[pos : pos + 8])
+            data = content[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None
+            if ctype == b"IHDR":
+                (width, height, bit_depth, color_type,
+                 _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                palette = np.frombuffer(data, dtype=np.uint8)
+                if palette.size % 3:
+                    return None
+                palette = palette.reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc32
+        if width is None or not idat or interlace != 0 or bit_depth != 8:
+            return None
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if nch is None or (color_type == 3 and palette is None):
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except Exception:  # noqa: BLE001 — malformed bytes are not ours
+        return None
+    stride = width * nch
+    if len(raw) < height * (stride + 1):
+        return None
+    arr = np.frombuffer(
+        raw, dtype=np.uint8, count=height * (stride + 1)
+    ).reshape(height, stride + 1)
+    filters = arr[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = int(filters[y])
+        line = arr[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y > 0 else zero_row
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            rec = np.cumsum(
+                line.reshape(width, nch), axis=0, dtype=np.int64
+            ) % 256
+            rec = rec.reshape(stride)
+        elif f == 2:  # Up
+            rec = (line + prior) % 256
+        elif f == 3:  # Average (left-dependence -> serial in x)
+            rec = line
+            for x in range(stride):
+                left = rec[x - nch] if x >= nch else 0
+                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) % 256
+        elif f == 4:  # Paeth (left-dependence -> serial in x)
+            rec = line
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                b = prior[x]
+                c = prior[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(height, width, nch)
+    if color_type == 3:
+        px = palette[px[:, :, 0]].astype(np.uint32)
+        gray = (
+            (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114)
+            // 1000
+        ).astype(np.uint8)
+    elif nch >= 3:  # RGB / RGBA: same luma weights as the BMP path
+        rgb = px[:, :, :3].astype(np.uint32)
+        gray = (
+            (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114)
+            // 1000
+        ).astype(np.uint8)
+    else:  # gray / gray+alpha
+        gray = px[:, :, 0]
+    return width, height, gray.tobytes()
+
+
 def _decode_pil(content: bytes) -> tuple[int, int, bytes] | None:
     """Pillow decode (JPEG/PNG/...), import-gated: returns None when
     PIL is absent (this container) or can't parse the bytes. When
@@ -205,7 +320,7 @@ def _decode(content: bytes, mime: str | None) -> tuple[int, int, bytes]:
     """Codec dispatch: real decoders by magic bytes (BMP, netpbm,
     then PIL for JPEG/PNG when importable), stub fake for anything
     unrecognized. Deterministic for a given byte string either way."""
-    for dec in (_decode_bmp, _decode_netpbm, _decode_pil):
+    for dec in (_decode_bmp, _decode_netpbm, _decode_pil, _decode_png):
         out = dec(content)
         if out is not None:
             return out
@@ -283,7 +398,7 @@ def extract_features(df: DataFrame, *, dim: int = 16) -> DataFrame:
                     continue
                 content = bytes(row.content)
                 decoded = None
-                for dec in (_decode_bmp, _decode_netpbm, _decode_pil):
+                for dec in (_decode_bmp, _decode_netpbm, _decode_pil, _decode_png):
                     decoded = dec(content)
                     if decoded is not None:
                         break

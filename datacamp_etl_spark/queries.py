@@ -5933,3 +5933,77 @@ ORACLE["dedup_recall_eval"] = (
     .replace("{NGRAM_PAIRS}", "SELECT id_a, id_b FROM (" + ORACLE["ngram_jaccard_pairs"] + ")")
     .replace("{LSH_PAIRS}", ORACLE["lsh_candidate_pairs"])
 )
+
+
+def _zorder_interleave_sql(cells: list[str], bits: int) -> str:
+    """DuckDB replay of layout.zorder_key's bit interleave: output bit
+    ``i*len(cells)+j`` takes bit ``i`` of cell ``j`` — generated as a
+    flat OR chain of shift/mask terms, the same expression shape the
+    Spark side builds with shiftleft/shiftright/bitwiseOR."""
+    n = len(cells)
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j, c in enumerate(cells)
+    ]
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_layout",
+    f"""
+    WITH st AS (SELECT CAST(min(l_partkey) AS DOUBLE) AS lo_p,
+                       CAST(max(l_partkey) AS DOUBLE) AS hi_p,
+                       CAST(min(l_suppkey) AS DOUBLE) AS lo_s,
+                       CAST(max(l_suppkey) AS DOUBLE) AS hi_s
+                FROM lineitem),
+    cells AS (SELECT l_partkey, l_suppkey,
+        least(65535, CAST(floor((CAST(l_partkey AS DOUBLE) - lo_p)
+              / (CASE WHEN hi_p - lo_p = 0 THEN 1.0 ELSE hi_p - lo_p END)
+              * 65536) AS BIGINT)) AS cell_p,
+        least(65535, CAST(floor((CAST(l_suppkey AS DOUBLE) - lo_s)
+              / (CASE WHEN hi_s - lo_s = 0 THEN 1.0 ELSE hi_s - lo_s END)
+              * 65536) AS BIGINT)) AS cell_s
+      FROM lineitem CROSS JOIN st),
+    keyed AS (SELECT l_partkey, l_suppkey,
+              {_zorder_interleave_sql(['cell_p', 'cell_s'], 16)} AS zkey
+              FROM cells)
+    SELECT CAST(zkey >> 26 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_partkey) AS BIGINT) AS min_partkey,
+           CAST(max(l_partkey) AS BIGINT) AS max_partkey,
+           CAST(min(l_suppkey) AS BIGINT) AS min_suppkey,
+           CAST(max(l_suppkey) AS BIGINT) AS max_suppkey
+    FROM keyed GROUP BY 1
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Z-order (Morton-curve) clustering keys
+    (layout.zorder_key): per curve-bucket row counts and min/max
+    boxes over (l_partkey, l_suppkey). The write-side layout lever
+    for multi-dimensional data skipping at 100 TB — sorting files by
+    this ONE key keeps every file's min/max box tight in BOTH key
+    dimensions, so parquet row-group stats prune scans for predicates
+    on either column (a plain sort only prunes its leading column;
+    write_zordered is the file-writing form of this query). The
+    min/max grid stats are a bounded driver collect (4 scalars); the
+    key itself is a pure JVM shift/or expression chain — no UDF, no
+    extra shuffle beyond the bucket aggregate."""
+    from datacamp_etl_spark.sources.layout import zorder_key
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    keyed = li.withColumn(
+        "zkey", zorder_key(li, ["l_partkey", "l_suppkey"], bits=16)
+    )
+    return (
+        keyed.groupBy(
+            F.shiftright(F.col("zkey"), 26).cast("long").alias("zbucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("min_partkey"),
+            F.max("l_partkey").cast("long").alias("max_partkey"),
+            F.min("l_suppkey").cast("long").alias("min_suppkey"),
+            F.max("l_suppkey").cast("long").alias("max_suppkey"),
+        )
+    )

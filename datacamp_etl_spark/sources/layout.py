@@ -202,7 +202,10 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16):
                 (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_cells
             ).cast("long"),
         )
-        coords.append(cell)
+        # NULL coordinate -> cell 0 (sorts first). Without this,
+        # least(n-1, NULL) silently returns n-1 (Spark's least SKIPS
+        # nulls) and NULL rows would cluster at the key-space MAX.
+        coords.append(F.when(F.col(c).isNull(), F.lit(0)).otherwise(cell))
     # interleave: output bit (i*len(cols)+j) takes bit i of coord j
     key = F.lit(0).cast("long")
     for i in range(bits):

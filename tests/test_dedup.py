@@ -219,3 +219,30 @@ def test_span_dedup_no_window_on_fingerprint(spark):
     )
     plan = D.span_dedup(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_lsh_band_plan_tracks_threshold():
+    """The a-priori banding planner must steepen with the threshold:
+    low-t plans favor many bands (recall), high-t plans favor long
+    rows (precision), and the s-curve midpoint tracks the target."""
+    lo = D.lsh_band_plan(16, 0.2)
+    mid = D.lsh_band_plan(16, 0.5)
+    hi = D.lsh_band_plan(16, 0.8)
+    assert lo["rows"] < hi["rows"]
+    assert lo["bands"] > hi["bands"]
+    assert lo["s50"] < mid["s50"] < hi["s50"]
+    for plan in (lo, mid, hi):
+        assert plan["bands"] * plan["rows"] <= 16
+    # probability curve is monotone in s and hits the extremes
+    ps = [D.lsh_candidate_probability(s / 10, 4, 4) for s in range(11)]
+    assert ps == sorted(ps)
+    assert ps[0] == 0.0 and abs(ps[-1] - 1.0) < 1e-12
+    # fp_weight pressure pushes the plan toward precision
+    fp_heavy = D.lsh_band_plan(16, 0.5, fp_weight=10.0)
+    assert fp_heavy["rows"] >= mid["rows"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.lsh_band_plan(0, 0.5)
+    with _pytest.raises(ValueError):
+        D.lsh_band_plan(16, 1.0)
