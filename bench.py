@@ -108,6 +108,10 @@ HEADLINE = [
     "pii_redact",
     "lm_perplexity_scores",
     "dedup_recall_eval",
+    # round-6 additions: layout + sentence/sampling primitives
+    "zorder_layout",
+    "sentence_stats",
+    "stratified_sample_docs",
 ]
 
 
@@ -123,6 +127,16 @@ def main() -> None:
     smoke = "--smoke" in sys.argv[1:]
     default_sf = "/root/testdata/sf0.001" if smoke else "/root/testdata/sf0.1"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", default_sf)
+    # SPARK_GRAFT_ONLY="a,b,c": restrict to a HEADLINE subset — used by
+    # scripts/scale_evidence.py to CONFIRM a budget breach with an
+    # isolated re-measurement (single-query times late in an 80-query
+    # sequence carry up to ~3x ambient noise; a breach must reproduce
+    # standalone before the gate fails on it).
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))] if only
+        else HEADLINE
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("datacamp-etl-spark-bench")
 
@@ -148,7 +162,7 @@ def main() -> None:
             # drop materialized intermediates so pass 2 re-runs the
             # operators' compute (JIT/page-cache warmth is retained)
             release_engine_caches()
-        for name in HEADLINE:
+        for name in headline:
             fn = QUERIES.get(name)
             if fn is None:
                 continue

@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sample_bucket", "mixture_sample", "sqrt_temperature_mix"]
+__all__ = [
+    "sample_bucket",
+    "mixture_sample",
+    "sqrt_temperature_mix",
+    "stratified_sample_exact_k",
+]
 
 #: Rate denominator: rates are expressed in millionths.
 MILLION = 1_000_000
@@ -103,4 +108,40 @@ def sqrt_temperature_mix(
     )
     return df.join(F.broadcast(rates), source_col).where(
         sample_bucket(id_col) % MILLION < F.col("rate_millionths")
+    )
+
+
+def stratified_sample_exact_k(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACT-k sample per stratum: the ``k``
+    smallest-``md5(id)`` rows of each ``strata_col`` group (all rows
+    when the stratum is smaller). The eval-holdout / labeling-batch
+    carving primitive: rate-based sampling (:func:`mixture_sample`)
+    cannot promise per-group counts, this does — and the md5 order
+    makes the SAME rows come out on any engine, any run, any
+    partitioning.
+
+    One partitioned window (row_number over the stratum — never
+    global), shuffle keyed on the stratum. Strata skew is window
+    skew: a mega-stratum serializes its own partition but k stays
+    exact; for heavily skewed strata pre-aggregate with a
+    (stratum, salt) two-stage top-k if profile shows it.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
     )

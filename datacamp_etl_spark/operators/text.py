@@ -31,6 +31,7 @@ __all__ = [
     "fingerprint",
     "rolling_hash",
     "text_profile",
+    "sentence_stats",
     "token_entropy",
     "oov_rate",
     "STOPWORDS",
@@ -426,4 +427,42 @@ def bigram_lm_scores(
             F.round(F.avg(cost), decimals).alias("lm_score"),
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "lm_score")
+    )
+
+
+def sentence_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document sentence statistics: ``(id, n_sentences,
+    avg_sentence_tokens, max_sentence_tokens)`` — the sentence-shape
+    quality signal (wall-of-text vs fragment spam) that complements
+    the Gopher rule battery's word-level checks.
+
+    Sentences split on terminal punctuation runs followed by
+    whitespace (``[.!?]+\\s+`` — no lookbehind, so the regex means
+    the same thing under Java regex and RE2/DuckDB; same
+    cross-engine discipline as operators.pii). A trailing segment
+    without terminal punctuation still counts as a sentence; empty
+    documents report 0 sentences with NULL token stats. Explode +
+    groupBy — one narrow shuffle of (id, token_count), no UDF, no
+    per-row Python.
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.split(F.col(text_col), r"[.!?]+\s+")
+        ).alias("__seg"),
+    )
+    n_tok = F.when(
+        F.trim(F.col("__seg")) != "",
+        F.size(F.split(F.trim(F.col("__seg")), r"\s+")),
+    )
+    return (
+        segs.select(F.col(id_col), n_tok.alias("__n"))
+        .groupBy(id_col)
+        .agg(
+            F.count("__n").cast("long").alias("n_sentences"),
+            F.round(F.avg("__n"), 6).alias("avg_sentence_tokens"),
+            F.max("__n").cast("long").alias("max_sentence_tokens"),
+        )
     )

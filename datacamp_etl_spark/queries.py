@@ -6007,3 +6007,166 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("long").alias("max_suppkey"),
         )
     )
+
+
+@register(
+    "sentence_stats",
+    r"""
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '[.!?]+\s+')) AS seg
+      FROM documents),
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(seg) <> ''
+                  THEN len(string_split_regex(trim(seg), '\s+')) END AS n
+      FROM segs)
+    SELECT doc_id,
+           CAST(count(n) AS BIGINT) AS n_sentences,
+           round(avg(n), 6) AS avg_sentence_tokens,
+           CAST(max(n) AS BIGINT) AS max_sentence_tokens
+    FROM tok GROUP BY doc_id
+    """,
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-document sentence-shape stats (text.sentence_stats):
+    sentence counts and token-per-sentence distribution — the
+    fragment-spam / wall-of-text quality dimension the word-level
+    Gopher battery doesn't see."""
+    from datacamp_etl_spark.operators.text import sentence_stats
+
+    return sentence_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "stratified_sample_docs",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang, source FROM ranked WHERE rn <= 20
+    """,
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic exact-k stratified sample
+    (mixture.stratified_sample_exact_k): the 20 smallest-md5(doc_id)
+    documents per language — the eval-holdout carving primitive with
+    engine-portable row selection (rate-based mixture_sample cannot
+    promise per-group counts)."""
+    from datacamp_etl_spark.operators.mixture import (
+        stratified_sample_exact_k,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample_exact_k(docs, "lang", 20)
+
+
+@register(
+    "dedup_recall_planned",
+    f"""
+    WITH ex AS (SELECT id_a, id_b FROM ({{NGRAM_PAIRS}})),
+    cand AS ({{LSH8_PAIRS}}),
+    h AS (SELECT count(*) AS n_hits
+          FROM ex JOIN cand ON ex.id_a = cand.id_a AND ex.id_b = cand.id_b)
+    SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits * 1.0 / (SELECT count(*) FROM ex), 6) AS recall
+    FROM h
+    """,
+)
+def q_dedup_recall_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] recall harness under the PLANNED banding:
+    ``lsh_band_plan(16, 0.2)`` recommends 8 bands x 2 rows for the
+    registered t=0.2 contract (s-curve midpoint 0.354 vs the default
+    4x4's 0.59), and this entry measures that recommendation the same
+    way ``dedup_recall_eval`` measures the default. Organic-fixture
+    evidence at sf1: recall 0.155 (4x4) -> 0.686 (8x2) at 4.6x the
+    candidate count — the planner's predicted fn/fp trade, observed.
+    Same bounded plan shape as dedup_recall_eval (three 1-row scalar
+    aggregates crossJoined)."""
+    from datacamp_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(docs, bands=8)
+    hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_true"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            F.col("n_true").cast("long"),
+            F.col("n_candidates").cast("long"),
+            F.col("n_hits").cast("long"),
+            F.round(F.col("n_hits") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
+
+
+ORACLE["dedup_recall_planned"] = (
+    ORACLE["dedup_recall_planned"]
+    .replace("{NGRAM_PAIRS}", ORACLE["ngram_jaccard_pairs"])
+    .replace(
+        "{LSH8_PAIRS}",
+        ORACLE["lsh_candidate_pairs"].replace("seed // 4", "seed // 2"),
+    )
+)
+
+
+@register(
+    "audio_features",
+    """
+    WITH ids AS (SELECT doc_id, 800 + doc_id % 800 AS n FROM documents),
+    seq AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM ids),
+    v AS (SELECT doc_id, n, i,
+            ((doc_id * 31 + i * 7) * 2654435761) % 65536 - 32768 AS s
+          FROM seq),
+    z AS (SELECT doc_id, n, s,
+            CASE WHEN (s >= 0) <> lag(s >= 0) OVER (
+                   PARTITION BY doc_id ORDER BY i)
+                 THEN 1 ELSE 0 END AS flip
+          FROM v)
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate, 1 AS n_channels,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           CAST((any_value(n) * 1000) // 8000 AS BIGINT) AS duration_ms,
+           round(sqrt(sum(s * s) * 1.0 / any_value(n)) / 32768.0, 6) AS rms,
+           round(sum(flip) * 1.0 / (any_value(n) - 1), 6) AS zcr,
+           round(max(abs(s)) / 32768.0, 6) AS peak
+    FROM z GROUP BY doc_id
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] real audio DSP through real WAV bytes
+    (multimodal.audio_features): each document seeds a deterministic
+    PCM16 RIFF/WAVE blob (synthetic_wav_media — closed-form integer
+    samples, so the input is synthetic but the BYTES are real), which
+    the production chunk-walk/PCM decoder turns back into samples for
+    duration/RMS/zero-crossing/peak. The oracle regenerates the same
+    integer samples in SQL and pins every feature: encoder, decoder,
+    and DSP are all correctness-gated. Exactness argument: the PCM16
+    samples are multiples of 2^-15, so every partial sum in the RMS
+    is exact in float64 (≤2^41 of 2^-30-granular values) and both
+    engines' sqrt/divides are correctly-rounded identical ops;
+    rounding happens query-side with F.round (half-away, matching
+    DuckDB) — the kernel emits unrounded doubles."""
+    from datacamp_etl_spark.operators.multimodal import (
+        audio_features,
+        synthetic_wav_media,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    feats = audio_features(synthetic_wav_media(docs))
+    return feats.select(
+        "media_id", "sample_rate", "n_channels", "n_samples", "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("peak", 6).alias("peak"),
+    )

@@ -77,18 +77,18 @@ def _ensure_fixture(regen: bool) -> None:
 
 
 def _ensure_organic(regen: bool) -> None:
-    if not regen and os.path.isdir(
+    if regen or not os.path.isdir(
         os.path.join(SF1_ORGANIC, "documents.parquet")
     ):
-        return
-    print("generating sf1organic (documents)...", file=sys.stderr)
-    _run([
-        sys.executable, "scripts/make_scaledata.py", str(FACTOR),
-        SF1_ORGANIC, "--organic", "--only-documents",
-    ])
+        print("generating sf1organic (documents)...", file=sys.stderr)
+        _run([
+            sys.executable, "scripts/make_scaledata.py", str(FACTOR),
+            SF1_ORGANIC, "--organic", "--only-documents",
+        ])
     # non-document tables are shared byte-for-byte with the replica
     # fixture: hard-link the parquet files (no copy, no symlink
-    # surprises for parquet directory listings)
+    # surprises for parquet directory listings); links are (re)checked
+    # even when the documents table already exists
     for tb in TABLES:
         if tb == "documents":
             continue
@@ -123,10 +123,30 @@ def _validate(spark) -> list[str]:
     return problems
 
 
-def _bench(sf_dir: str) -> dict:
-    out = _run(
-        [sys.executable, "bench.py"], env={"SPARK_GRAFT_SF_DIR": sf_dir}
-    )
+def ratio_suspects(
+    q01: dict, q1: dict, budget: float, names: list[str] | None = None
+) -> tuple[dict, list[str]]:
+    """Per-query sf1/sf0.1 warm ratios and the list breaching the
+    budget. The denominator is floored at DENOM_FLOOR_SEC so timer
+    noise can't manufacture a ratio; the numerator must also exceed
+    NUMERATOR_FLOOR_SEC — a query still sub-second at sf1 cannot be a
+    scale problem. Pure function (unit-tested without Spark)."""
+    ratios: dict[str, float] = {}
+    bad: list[str] = []
+    for q in names or sorted(set(q01) & set(q1)):
+        t0, t1 = q01[q], q1[q]
+        r = round(t1 / max(t0, DENOM_FLOOR_SEC), 2)
+        ratios[q] = r
+        if r > budget and t1 > NUMERATOR_FLOOR_SEC:
+            bad.append(q)
+    return ratios, bad
+
+
+def _bench(sf_dir: str, only: list[str] | None = None) -> dict:
+    env = {"SPARK_GRAFT_SF_DIR": sf_dir}
+    if only:
+        env["SPARK_GRAFT_ONLY"] = ",".join(only)
+    out = _run([sys.executable, "bench.py"], env=env)
     return json.loads(out.strip().splitlines()[-1])
 
 
@@ -173,16 +193,29 @@ def main() -> None:
 
     b01 = _bench(SF01)
     b1 = _bench(SF1)
-    ratios: dict[str, float] = {}
+    ratios, suspects = ratio_suspects(
+        b01["queries"], b1["queries"], budget, names=only
+    )
+    # Confirmation pass: a single query's slot inside an 80-query
+    # sequence carries up to ~3x ambient noise (GC, page cache,
+    # machine load), so a first-pass breach must REPRODUCE in an
+    # isolated re-measurement of just the suspect queries (fresh JVM,
+    # same two-pass method) before the gate fails on it. Confirmed
+    # ratios replace the sequence ratios in the payload.
     breaches: list[str] = []
-    names = only or sorted(set(b01["queries"]) & set(b1["queries"]))
-    for q in names:
-        t0, t1 = b01["queries"][q], b1["queries"][q]
-        r = round(t1 / max(t0, DENOM_FLOOR_SEC), 2)
-        ratios[q] = r
-        if r > budget and t1 > NUMERATOR_FLOOR_SEC:
+    confirmed: dict[str, float] = {}
+    if suspects:
+        c01 = _bench(SF01, only=suspects)
+        c1 = _bench(SF1, only=suspects)
+        confirmed, still_bad = ratio_suspects(
+            c01["queries"], c1["queries"], budget, names=suspects
+        )
+        ratios.update(confirmed)
+        for q in still_bad:
             breaches.append(
-                f"{q}: {t0}s -> {t1}s at {FACTOR}x data = {r}x > {budget}x"
+                f"{q}: {c01['queries'][q]}s -> {c1['queries'][q]}s at "
+                f"{FACTOR}x data = {confirmed[q]}x > {budget}x "
+                f"(confirmed standalone)"
             )
     payload = {
         "gate": "scale_evidence",
@@ -192,6 +225,7 @@ def main() -> None:
         "warm_total_sf01": b01["value"],
         "warm_total_sf1": b1["value"],
         "ratios": ratios,
+        "confirmed_ratios": confirmed,
         "organic": organic,
     }
     print(json.dumps(payload))

@@ -86,3 +86,28 @@ def test_temperature_mix_broadcasts_rate_table(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_exact_k(spark):
+    from datacamp_etl_spark.operators.mixture import (
+        stratified_sample_exact_k,
+    )
+
+    rows = [(i, "big" if i < 90 else "tiny") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample_exact_k(df, "lang", 25).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by["big"]) == 25          # exact k
+    assert len(by["tiny"]) == 10         # stratum smaller than k: all
+    # deterministic: same rows on a re-run
+    again = {
+        (r["lang"], r["doc_id"])
+        for r in stratified_sample_exact_k(df, "lang", 25).collect()
+    }
+    assert again == {(l, d) for l, ds in by.items() for d in ds}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_sample_exact_k(df, "lang", 0)

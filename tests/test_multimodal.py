@@ -258,3 +258,84 @@ def test_png_decode_through_spark_pipeline(spark):
     rows = [(31, "image", "image/png", raw, (None,) * 4)]
     out = M.decode_images(M.media_table(spark, rows)).collect()[0]
     assert (out["width"], out["height"]) == (9, 4)
+
+
+def test_wav_decode_all_depths():
+    """The pure WAV decoder must invert the PCM16 writer and handle
+    8/24/32-bit int, float32, and stereo-to-mono averaging."""
+    import struct
+
+    import numpy as np
+
+    from datacamp_etl_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav,
+    )
+
+    s = (np.sin(np.arange(400) * 0.1) * 30000).astype(np.int16)
+    rate, nch, mono = _decode_wav(_encode_wav(s, 8000))
+    assert (rate, nch) == (8000, 1)
+    assert np.allclose(mono, s / 32768.0)
+
+    def wav(fmt_code, bits, data, nch=1, rate=16000):
+        ba = nch * bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_code, nch, rate,
+                                    rate * ba, ba, bits)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    # 8-bit unsigned: 128 is zero
+    r, c, m = _decode_wav(wav(1, 8, bytes([128, 255, 0])))
+    assert np.allclose(m, [0.0, 127 / 128, -1.0])
+    # 24-bit signed little-endian
+    r, c, m = _decode_wav(wav(1, 24, b"\x00\x00\x40" + b"\x00\x00\xc0"))
+    assert np.allclose(m, [0.5, -0.5])
+    # 32-bit float
+    r, c, m = _decode_wav(wav(3, 32, struct.pack("<2f", 0.25, -1.0)))
+    assert np.allclose(m, [0.25, -1.0])
+    # stereo averages to mono
+    st = np.array([10000, -10000, 20000, 0], dtype="<i2").tobytes()
+    r, c, m = _decode_wav(wav(1, 16, st, nch=2))
+    assert c == 2 and np.allclose(m, [0.0, 10000 / 32768])
+    # refusals: not RIFF, unsupported codec id
+    assert _decode_wav(b"OggS" + b"\x00" * 60) is None
+    assert _decode_wav(wav(85, 16, b"\x00\x00")) is None  # mp3-in-wav
+
+
+def test_audio_features_and_resample(spark):
+    import numpy as np
+
+    from datacamp_etl_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav,
+        audio_features,
+        resample_audio,
+    )
+
+    # 440 Hz sine at 16 kHz: zcr ~ 2*440/16000, rms ~ amp/sqrt(2)
+    t = np.arange(16000)
+    sine = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    rows = [
+        (1, "audio", "audio/wav", _encode_wav(sine, 16000), (None,) * 4),
+        (2, "audio", "audio/mpeg", b"\xff\xfb junk", (None,) * 4),
+    ]
+    feats = {
+        r["media_id"]: r
+        for r in audio_features(M.media_table(spark, rows)).collect()
+    }
+    f1 = feats[1]
+    assert f1["duration_ms"] == 1000 and f1["sample_rate"] == 16000
+    assert abs(f1["rms"] - (20000 / 32768) / np.sqrt(2)) < 0.01
+    assert abs(f1["zcr"] - 2 * 440 / 16000) < 0.005
+    assert feats[2]["rms"] is None  # undecodable -> soft NULL row
+
+    # resample halves the rate; duration and pitch-relative zcr hold
+    out = resample_audio(M.media_table(spark, rows), 8000).collect()
+    assert len(out) == 1  # undecodable row dropped
+    rate, _, mono = _decode_wav(bytes(out[0]["content"]))
+    assert rate == 8000
+    assert abs(len(mono) - 8000) <= 1
+    zc = np.count_nonzero(np.diff(mono >= 0)) / (len(mono) - 1)
+    assert abs(zc - 2 * 440 / 8000) < 0.01

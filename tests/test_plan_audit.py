@@ -35,6 +35,8 @@ ALLOWED_BNLJ = {
     "dedup_recall_eval": "three 1-row scalar aggregates crossJoined "
     "(n_true x n_candidates x n_hits) — each side is a global count, "
     "bounded to one row regardless of corpus size",
+    "dedup_recall_planned": "same bounded shape as dedup_recall_eval: "
+    "three 1-row scalar-aggregate cross joins",
     "lm_perplexity_scores": "1-row vocabulary-size broadcast (the "
     "add-one-smoothing denominator |V| is a global countDistinct, "
     "crossJoined onto the bigram stream as a single-row literal)",

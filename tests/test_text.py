@@ -132,3 +132,27 @@ def test_bigram_lm_scores_orders_boilerplate_below_salad(spark):
     )
     out = {r["doc_id"]: r["lm_score"] for r in bigram_lm_scores(df).collect()}
     assert out[1] < out[2]
+
+
+def test_sentence_stats_shapes(spark):
+    from datacamp_etl_spark.operators.text import sentence_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two. Three four five! Six?"),
+            (2, ""),                      # 0 sentences, NULL stats
+            (3, "no terminal punct here"),  # trailing segment counts
+            (4, "Multi   space.  Next."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in sentence_stats(df).collect()}
+    assert out[1]["n_sentences"] == 3
+    assert out[1]["max_sentence_tokens"] == 3
+    assert abs(out[1]["avg_sentence_tokens"] - (2 + 3 + 1) / 3) < 1e-9
+    assert out[2]["n_sentences"] == 0
+    assert out[2]["avg_sentence_tokens"] is None
+    assert out[3]["n_sentences"] == 1
+    assert out[3]["max_sentence_tokens"] == 4
+    assert out[4]["n_sentences"] == 2
+    assert out[4]["max_sentence_tokens"] == 2
