@@ -468,11 +468,28 @@ def ngram_jaccard_pairs(
         # once is the standard trade at scale too — MEMORY_AND_DISK
         # spills, and a 100 TB pipeline would stage this very relation
         # to parquet before the join anyway.
+        # PIN the cached index's partitioning BY THE JOIN KEY: the
+        # cached hash partitioning on `shingle` is the self-join's
+        # required distribution on BOTH sides, so the join plans with
+        # ZERO exchanges and — the real point — AQE's byte-based
+        # coalescing never sees an exchange to shrink. Without the
+        # pin, a few-MB skinny index coalesces to a handful of tasks
+        # and one task inherits many hot shingles' df² join output
+        # (observed on the organic sf1 fixture: the same query swung
+        # 52 s ↔ 138 s run-to-run on a single straggler task — the
+        # simhash AQE-blindspot lesson from round 5, same fix).
+        spark = df.sparkSession
+        width = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        )
         sh = scoped_cache(
-            ensure_parallelism(df).select(
+            ensure_parallelism(df)
+            .select(
                 F.col(id_col),
                 F.explode(shingles(text_col, k)).alias("shingle"),
             )
+            .repartition(width, "shingle")
         )
         # merge hint: self-equi-join — parallel sort + reused exchange
         # beats a single-threaded broadcast build.
