@@ -6013,8 +6013,15 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sentence_stats",
     r"""
     WITH segs AS (
+      -- coalesce(text,'') matches Spark: explode_outer of split(NULL)
+      -- still emits one (doc_id, NULL) row, while DuckDB's unnest of a
+      -- NULL array emits zero rows and the document would vanish from
+      -- the oracle. split('') yields [''] in both engines, so the
+      -- empty-string stand-in produces the identical (doc_id,
+      -- n_sentences=0, NULL, NULL) aggregate row. Latent today (no
+      -- fixture has NULL text) but keeps the hash gate NULL-proof.
       SELECT doc_id,
-             unnest(regexp_split_to_array(text, '[.!?]+\s+')) AS seg
+             unnest(regexp_split_to_array(coalesce(text, ''), '[.!?]+\s+')) AS seg
       FROM documents),
     tok AS (
       SELECT doc_id,

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -87,15 +88,19 @@ def _ensure_organic(regen: bool) -> None:
         ])
     # non-document tables are shared byte-for-byte with the replica
     # fixture: hard-link the parquet files (no copy, no symlink
-    # surprises for parquet directory listings); links are (re)checked
-    # even when the documents table already exists
+    # surprises for parquet directory listings). Under --regen the
+    # replica sf1 was just rebuilt to NEW inodes, so existing link
+    # directories would still point at the old bytes — remove and
+    # relink; otherwise an existing directory is kept as-is.
     for tb in TABLES:
         if tb == "documents":
             continue
         src = os.path.join(SF1, f"{tb}.parquet")
         dst = os.path.join(SF1_ORGANIC, f"{tb}.parquet")
         if os.path.isdir(dst):
-            continue
+            if not regen:
+                continue
+            shutil.rmtree(dst)
         os.makedirs(dst, exist_ok=True)
         for f in os.listdir(src):
             if f.startswith("."):

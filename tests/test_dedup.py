@@ -246,3 +246,69 @@ def test_lsh_band_plan_tracks_threshold():
         D.lsh_band_plan(0, 0.5)
     with _pytest.raises(ValueError):
         D.lsh_band_plan(16, 1.0)
+
+
+def test_lsh_band_plan_only_exact_divisors():
+    """Planner candidates must execute as planned: band_signatures
+    derives rows_per_band = num_hashes // bands, so a non-divisor
+    rows value would leave a partial leftover band whose s-curve the
+    plan never modeled. Every recommended (bands, rows) must tile
+    num_hashes exactly."""
+    for nh in (12, 16, 20, 64):
+        for t in (0.1, 0.2, 0.5, 0.8):
+            plan = D.lsh_band_plan(nh, t)
+            assert plan["bands"] * plan["rows"] == nh, (nh, t, plan)
+
+
+def test_bands_auto_delegates_to_planner(spark):
+    """bands='auto' must pick the planner's banding for the given
+    threshold: 8x2 at t=0.2 (the organic-fixture finding), 4x4 near
+    t=0.5 — and produce the identical candidate set to passing that
+    banding explicitly."""
+    assert D.lsh_band_plan(16, 0.2)["bands"] == 8
+    assert D.lsh_band_plan(16, 0.5)["bands"] == 4
+    docs = _docs(spark)
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs, bands="auto", threshold=0.2).collect()
+    }
+    explicit = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs, bands=8).collect()
+    }
+    assert auto == explicit
+    # default threshold (0.5) reproduces the historical 4-band default
+    auto_default = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs, bands="auto").collect()
+    }
+    legacy = {
+        (r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(docs).collect()
+    }
+    assert auto_default == legacy
+
+
+def test_bands_auto_argument_validation(spark):
+    import pytest as _pytest
+
+    docs = _docs(spark)
+    with _pytest.raises(ValueError, match="auto"):
+        D.lsh_candidate_pairs(docs, bands="sixteen")
+    with _pytest.raises(ValueError, match="threshold"):
+        # threshold with explicit bands would silently not apply
+        D.lsh_candidate_pairs(docs, bands=8, threshold=0.2)
+
+
+def test_incremental_dedup_bands_auto(spark):
+    """incremental_dedup(bands='auto', threshold=) must agree with the
+    equivalent explicit banding when the corpus index was built with
+    the same plan."""
+    docs = _docs(spark)
+    corpus = docs.limit(2)
+    idx_auto = D.band_signatures(corpus, bands="auto", threshold=0.2)
+    surv_auto = D.incremental_dedup(docs, idx_auto, bands="auto", threshold=0.2)
+    idx_8 = D.band_signatures(corpus, bands=8)
+    surv_8 = D.incremental_dedup(docs, idx_8, bands=8)
+    assert sorted(r["doc_id"] for r in surv_auto.collect()) == sorted(
+        r["doc_id"] for r in surv_8.collect()
+    )
