@@ -6128,6 +6128,71 @@ ORACLE["dedup_recall_planned"] = (
 
 
 @register(
+    "dedup_recall_sampled",
+    """
+    WITH smp AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) WHERE rn <= 60),
+    ex AS (SELECT id_a, id_b FROM ({NGRAM_SMP})),
+    cand AS ({LSH8_SMP}),
+    h AS (SELECT count(*) AS n_hits
+          FROM ex JOIN cand ON ex.id_a = cand.id_a AND ex.id_b = cand.id_b)
+    SELECT CAST((SELECT count(*) FROM smp) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN (SELECT count(*) FROM ex) > 0 THEN round(
+             CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex), 6) END
+             AS recall,
+           CASE WHEN (SELECT count(*) FROM ex) > 0 THEN round(
+             1.96 * sqrt((CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM ex))
+                         * (1.0 - CAST(n_hits AS DOUBLE)
+                                  / (SELECT count(*) FROM ex))
+                         / (SELECT count(*) FROM ex)), 6) END
+             AS ci95_halfwidth
+    FROM h
+    """,
+)
+def q_dedup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SAMPLED-stratum recall harness (dedup.dedup_recall with
+    sample_per_stratum): recall of the planned 8x2 banding measured
+    inside a deterministic exact-60-per-lang stratified sample instead
+    of the full corpus. LSH banding is pairwise (a pair's hit/miss
+    depends only on the two texts), so in-sample recall estimates
+    full-corpus pair recall unbiasedly while the exact-truth branch's
+    sum(df²) cost shrinks ~p² with the doc sampling fraction — the
+    form of the harness that stays runnable at 100 TB, with a binomial
+    95 % half-width to say how much the shrinkage cost in certainty.
+    Organic sf1 evidence in COVERAGE.md. Same bounded plan shape as
+    dedup_recall_eval (1-row scalar aggregates crossJoined)."""
+    from datacamp_etl_spark.operators.dedup import dedup_recall
+
+    docs = t(spark, sf_dir, "documents")
+    return dedup_recall(
+        docs, threshold=0.2, bands=8, sample_per_stratum=60
+    )
+
+
+ORACLE["dedup_recall_sampled"] = (
+    ORACLE["dedup_recall_sampled"]
+    .replace(
+        "{NGRAM_SMP}",
+        ORACLE["ngram_jaccard_pairs"].replace("FROM documents", "FROM smp"),
+    )
+    .replace(
+        "{LSH8_SMP}",
+        ORACLE["lsh_candidate_pairs"]
+        .replace("seed // 4", "seed // 2")
+        .replace("FROM documents", "FROM smp"),
+    )
+)
+
+
+@register(
     "audio_features",
     """
     WITH ids AS (SELECT doc_id, 800 + doc_id % 800 AS n FROM documents),
@@ -6208,6 +6273,8 @@ _PROMOTE_TO_WINDOW: list[str] = [
     "stratified_sample_docs",
     "dedup_recall_planned",
     "audio_features",
+    # round-7 additions
+    "dedup_recall_sampled",
 ]
 
 

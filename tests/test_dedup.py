@@ -312,3 +312,66 @@ def test_incremental_dedup_bands_auto(spark):
     assert sorted(r["doc_id"] for r in surv_auto.collect()) == sorted(
         r["doc_id"] for r in surv_8.collect()
     )
+
+
+def _lang_docs(spark):
+    """Docs with a lang stratum: two near-dup clusters in 'en', one
+    unrelated 'fr' doc, enough rows that a k=2 sample is a strict
+    subset of the 'en' stratum."""
+    base = "spark filter join group agg window sort merge scan hash"
+    rows = [
+        (i, "en", base + f" tail{i % 2}") for i in range(1, 7)
+    ] + [(7, "fr", "unrelated words about cats dogs birds fish today now")]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_dedup_recall_full_corpus(spark):
+    """Unsampled mode: schema + the recall/CI math on a corpus where
+    the 8x2 banding surfaces every true pair (exact dups hash
+    identically in every band)."""
+    row = D.dedup_recall(_lang_docs(spark), bands=8).collect()[0]
+    assert row["n_docs"] == 7
+    assert row["n_true"] > 0
+    assert row["n_hits"] <= row["n_true"]
+    if row["n_hits"] == row["n_true"]:
+        assert row["recall"] == 1.0 and row["ci95_halfwidth"] == 0.0
+    else:
+        import math
+
+        r = row["n_hits"] / row["n_true"]
+        assert abs(row["recall"] - round(r, 6)) < 1e-12
+        assert abs(
+            row["ci95_halfwidth"]
+            - round(1.96 * math.sqrt(r * (1 - r) / row["n_true"]), 6)
+        ) < 1e-12
+
+
+def test_dedup_recall_sampled_is_strict_subset(spark):
+    """sample_per_stratum must measure INSIDE the deterministic
+    stratified sample: n_docs = min(k, stratum size) summed over
+    strata, and every reported pair count is bounded by the
+    unsampled run's."""
+    full = D.dedup_recall(_lang_docs(spark), bands=8).collect()[0]
+    samp = D.dedup_recall(
+        _lang_docs(spark), bands=8, sample_per_stratum=2
+    ).collect()[0]
+    assert samp["n_docs"] == 3  # 2 of 6 'en' + the single 'fr'
+    assert samp["n_true"] <= full["n_true"]
+    assert samp["n_candidates"] <= full["n_candidates"]
+    assert samp["n_hits"] <= samp["n_true"]
+
+
+def test_dedup_recall_zero_true_pairs_is_null(spark):
+    """A sample with no true pairs must report NULL recall and NULL
+    half-width, never a division error or a misleading 0.0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "unique first document words here nothing shared one"),
+            (2, "fr", "second entirely different content tokens apart two"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    row = D.dedup_recall(docs, bands=8).collect()[0]
+    assert row["n_true"] == 0
+    assert row["recall"] is None
+    assert row["ci95_halfwidth"] is None

@@ -37,6 +37,9 @@ ALLOWED_BNLJ = {
     "bounded to one row regardless of corpus size",
     "dedup_recall_planned": "same bounded shape as dedup_recall_eval: "
     "three 1-row scalar-aggregate cross joins",
+    "dedup_recall_sampled": "same bounded shape as dedup_recall_eval "
+    "with a fourth 1-row scalar (sampled doc count); every side a "
+    "global count over the stratified sample",
     "lm_perplexity_scores": "1-row vocabulary-size broadcast (the "
     "add-one-smoothing denominator |V| is a global countDistinct, "
     "crossJoined onto the bigram stream as a single-row literal)",
