@@ -115,6 +115,9 @@ HEADLINE = [
     "pii_scan",
     "dedup_recall_planned",
     "audio_features",
+    "dedup_recall_sampled",
+    "bpe_encode",
+    "pack_sequences_bpe",
 ]
 
 

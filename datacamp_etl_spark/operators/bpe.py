@@ -1,0 +1,226 @@
+"""Byte-pair-encoding tokenizer: train / encode, pure Python + Arrow.
+
+[EXT] — no counterpart in the reference (Stiivi/Datacamp-ETL pushes all
+text handling to SQL strings); the algorithm is the public BPE of
+Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+Subword Units") as popularized by GPT-2's encoder: a learned table of
+(left, right) subword merges applied greedily by rank. Training-data
+pipelines end in token IDS, not whitespace tokens — this module makes
+the chunk/pack/budget operators run on real tokenizer counts.
+
+Design for 100 TB:
+
+- **Training** operates on the word-frequency table, not the corpus:
+  one distributed ``groupBy(word).count()``, a bounded top-``max_words``
+  collect (zipfian corpora concentrate mass in the head; 50k words
+  cover it), then the classic merge loop driver-side over that dict.
+  The expensive part (the corpus scan) is one shuffle; the loop never
+  touches the data again.
+- **Encoding** is an Arrow ``mapInPandas`` kernel with the merge-rank
+  dict broadcast (small — ``num_merges`` entries) and a per-task word
+  memo: the same zipfian skew that bounds training makes the memo hit
+  rate approach 1, so the per-word merge loop runs ~once per DISTINCT
+  word per task, not once per occurrence. (The alternative — distinct
+  words, encode, join back — trades the memo for an extra shuffle;
+  the kernel form keeps encode a single narrow pass.)
+- Normalization happens JVM-side (``text.normalize_text``) BEFORE the
+  kernel, so the Python side never runs regexes and the oracle can
+  replay the exact same normalization SQL.
+
+Merge-application semantics (pinned, engine-portable): repeatedly find
+the adjacent pair with the LOWEST merge rank — leftmost occurrence on
+ties — merge that ONE occurrence, repeat until no adjacent pair is in
+the table. Single-occurrence stepping is deterministic, equals the
+usual merge-all-occurrences result wherever occurrences don't overlap,
+and keeps the DuckDB oracle replay a plain recursive CTE.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datacamp_etl_spark.operators.text import normalize_text
+
+__all__ = [
+    "FIXTURE_MERGES_V1",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_apply_word",
+]
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    num_merges: int = 64,
+    max_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a corpus; returns the
+    ranked merge list ``[(left, right), ...]``.
+
+    One distributed word-count shuffle, then a bounded driver-side
+    collect of the top-``max_words`` (count desc, word asc — the tie
+    order makes training deterministic across partitionings), then the
+    classic Sennrich merge loop over the word-frequency dict: each
+    round counts every adjacent symbol pair weighted by word frequency,
+    merges the most frequent (lexicographically smallest pair on ties)
+    in all words, and records it. Nothing after the collect touches
+    the cluster.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    norm = docs.select(normalize_text(F.col(text_col)).alias("__norm"))
+    counts = (
+        norm.where(F.col("__norm") != "")
+        .select(F.explode(F.split(F.col("__norm"), " ")).alias("word"))
+        .groupBy("word")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]): int(r["count"]) for r in counts
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + freq
+        if not pairs:
+            break
+        # max count, lexicographically smallest pair on ties
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def bpe_apply_word(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Apply ranked merges to one word under the pinned semantics:
+    merge the single LEFTMOST occurrence of the lowest-rank adjacent
+    pair, repeat to fixpoint."""
+    toks = list(word)
+    while len(toks) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        toks[best_i : best_i + 2] = [toks[best_i] + toks[best_i + 1]]
+    return toks
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode each document with a (pre-trained) merge table; returns
+    ``(id, *carry_cols, n_words, n_tokens, tokens_str)`` where
+    ``tokens_str`` is the space-joined subword sequence (subwords are
+    alphanumeric-only post-normalization, so space is an unambiguous
+    joiner). ``carry_cols`` pass through the kernel untouched —
+    cheaper than joining metadata back on afterwards.
+
+    Normalization runs JVM-side first (one narrow projection); the
+    Arrow kernel only splits on single spaces and runs the merge loop
+    through a per-task word memo. No shuffle — a 100 TB encode is one
+    embarrassingly parallel pass.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    if len(ranks) != len(merges):
+        raise ValueError("duplicate pair in merges")
+    prepared = docs.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in carry_cols],
+        normalize_text(F.col(text_col)).alias("__norm"),
+    )
+    dtypes = dict(docs.dtypes)
+    out_schema = ", ".join(
+        [f"{id_col} {dtypes[id_col]}"]
+        + [f"{c} {dtypes[c]}" for c in carry_cols]
+        + ["n_words bigint", "n_tokens bigint", "tokens_str string"]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            n_words, n_tokens, strs = [], [], []
+            for norm in pdf["__norm"]:
+                words = norm.split(" ") if norm else []
+                toks: list[str] = []
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = bpe_apply_word(w, ranks)
+                        memo[w] = enc
+                    toks.extend(enc)
+                n_words.append(len(words))
+                n_tokens.append(len(toks))
+                strs.append(" ".join(toks))
+            out = {id_col: pdf["__id"]}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            out["n_words"] = n_words
+            out["n_tokens"] = n_tokens
+            out["tokens_str"] = strs
+            yield pd.DataFrame(out)
+
+    return prepared.mapInPandas(kernel, out_schema)
+
+
+#: Merges learned once from the sf0.01 documents fixture via
+#: ``bpe_train(num_merges=64)`` — the shipped-tokenizer form real
+#: pipelines use (GPT-2's merges file is pretrained and fixed, not
+#: refit per corpus). Pinned as a constant so the registered query's
+#: oracle SQL can embed the identical table as literals;
+#: tests/test_bpe.py re-derives it from the fixture to guard rot.
+FIXTURE_MERGES_V1: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+    ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
+    ("e", "ctor"), ("or", "der"), ("v", "ector"), ("in", "e"),
+    ("l", "ine"), ("a", "b"), ("ab", "l"), ("abl", "e"), ("at", "a"),
+    ("d", "ata"), ("t", "able"), ("u", "p"), ("a", "g"), ("ag", "g"),
+    ("a", "lu"), ("alu", "e"), ("v", "alue"), ("e", "y"), ("k", "ey"),
+]

@@ -6245,6 +6245,145 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# [EXT] Round-7: BPE tokenizer (operators/bpe.py)
+# =====================================================================
+
+def _bpe_enc_cte() -> str:
+    """Shared DuckDB replay of bpe.bpe_encode under FIXTURE_MERGES_V1:
+    normalize (the exact `_NORM_SQL` the Spark side mirrors), take
+    DISTINCT words, then a recursive CTE applying the pinned merge
+    semantics — lowest-rank adjacent pair, leftmost occurrence, one
+    merge per iteration (each iteration shortens the token list by 1,
+    so the final state per word is simply its minimum-length row).
+    The merge table embeds as a literal list whose 1-based
+    list_position IS the rank+1, making rank lookup a pure list op —
+    no lateral join inside the recursion. Fragment ends with the
+    per-doc `enc` CTE (n_words, n_tokens, space-joined token string);
+    callers append their own final SELECT. Starts with WITH RECURSIVE,
+    so it must be the start of the statement."""
+    from datacamp_etl_spark.operators.bpe import FIXTURE_MERGES_V1
+
+    pairs = "[" + ", ".join(f"'{a} {b}'" for a, b in FIXTURE_MERGES_V1) + "]"
+    return f"""
+    WITH RECURSIVE
+    n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    w AS (SELECT doc_id, u.i AS wpos, u.w AS word
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(len(string_split(norm, ' '))),
+                    i -> {{'i': i, 'w': string_split(norm, ' ')[i + 1]}})) AS u
+                FROM n WHERE norm <> '')),
+    uw AS (SELECT DISTINCT word FROM w),
+    st AS (
+      SELECT word, string_split_regex(word, '') AS toks FROM uw
+      UNION ALL
+      SELECT word, toks[1:bi-1] || [toks[bi] || toks[bi+1]] || toks[bi+2:]
+      FROM (
+        SELECT word, toks,
+          CAST(list_min(list_filter(list_transform(range(1, len(toks)),
+            i -> CASE WHEN list_position({pairs},
+                          toks[i] || ' ' || toks[i+1]) > 0
+                 THEN list_position({pairs},
+                          toks[i] || ' ' || toks[i+1]) * 4096 + i END),
+            x -> x IS NOT NULL)) % 4096 AS INT) AS bi
+        FROM st) WHERE bi IS NOT NULL),
+    fin AS (SELECT word, toks FROM (
+              SELECT word, toks,
+                     row_number() OVER (PARTITION BY word
+                                        ORDER BY len(toks)) AS rn
+              FROM st) WHERE rn = 1),
+    enc AS (SELECT w.doc_id,
+                   count(*) AS n_words,
+                   sum(len(f.toks)) AS n_tokens,
+                   string_agg(array_to_string(f.toks, ' '), ' '
+                              ORDER BY w.wpos) AS tstr
+            FROM w JOIN fin f USING (word) GROUP BY w.doc_id)
+    """
+
+
+@register(
+    "bpe_encode",
+    f"""
+    {_bpe_enc_cte()}
+    SELECT d.doc_id,
+           CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+           md5(coalesce(e.tstr, '')) AS tokens_md5
+    FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BPE tokenization (bpe.bpe_encode) under the pinned
+    FIXTURE_MERGES_V1 table: per-document real-tokenizer counts plus
+    an md5 over the full space-joined subword sequence — the oracle
+    gate covers the exact token STREAM, not just its length, via a
+    DuckDB recursive-CTE replay of the merge loop over distinct
+    words. Normalization is JVM-side; the Arrow kernel is a single
+    narrow memoized pass (no shuffle at any scale)."""
+    from datacamp_etl_spark.operators.bpe import FIXTURE_MERGES_V1, bpe_encode
+
+    docs = t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, FIXTURE_MERGES_V1)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.md5(F.col("tokens_str")).alias("tokens_md5"),
+    )
+
+
+@register(
+    "pack_sequences_bpe",
+    f"""
+    {_bpe_enc_cte()},
+    tk AS (SELECT d.doc_id, d.source,
+                  CAST(greatest(1, coalesce(e.n_tokens, 0)) AS BIGINT)
+                    AS n_tokens
+           FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id),
+    c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM tk)
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 1024 AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sequence packing on REAL tokenizer counts: same
+    streaming-packer window as pack_sequences (bin = floor of the
+    preceding cumsum / budget, partitioned by source) but budgeted in
+    BPE tokens from bpe_encode, not whitespace words — the form a
+    training-data pipeline actually ships, since context windows are
+    measured in tokenizer tokens. 1024-token bins; the encode pass is
+    narrow, so the only shuffle is the window's source partition."""
+    from datacamp_etl_spark.operators.bpe import FIXTURE_MERGES_V1, bpe_encode
+
+    docs = t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, FIXTURE_MERGES_V1, carry_cols=("source",))
+    c = enc.select(
+        "doc_id",
+        "source",
+        F.greatest(F.lit(1), F.col("n_tokens")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "cum",
+        F.sum("n_tokens").over(
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 1024)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+# =====================================================================
 # Driver adjudication window ordering (round 7) — keep this LAST
 # =====================================================================
 # The round driver oracle-checks the FIRST-50 prefix of this registry
@@ -6275,6 +6414,8 @@ _PROMOTE_TO_WINDOW: list[str] = [
     "audio_features",
     # round-7 additions
     "dedup_recall_sampled",
+    "bpe_encode",
+    "pack_sequences_bpe",
 ]
 
 

@@ -1,0 +1,86 @@
+"""BPE tokenizer [EXT]: training determinism, pinned merge semantics,
+fixture-merges rot guard, encode kernel contracts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datacamp_etl_spark.operators import bpe as B
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_apply_word_leftmost_lowest_rank():
+    # rank 0 = (a,b), rank 1 = (ab,ab): 'abab' merges pairwise then whole
+    ranks = {("a", "b"): 0, ("ab", "ab"): 1}
+    assert B.bpe_apply_word("abab", ranks) == ["abab"]
+    # lowest rank wins over leftmost position: (b,c) rank 0 beats (a,b) rank 1
+    ranks = {("a", "b"): 1, ("b", "c"): 0}
+    assert B.bpe_apply_word("abc", ranks) == ["a", "bc"]
+    # leftmost occurrence on equal rank (same pair twice)
+    ranks = {("a", "a"): 0}
+    assert B.bpe_apply_word("aaa", ranks) == ["aa", "a"]
+    # no applicable merge -> chars
+    assert B.bpe_apply_word("xyz", {("a", "b"): 0}) == ["x", "y", "z"]
+
+
+def test_train_hand_checked_corpus(spark):
+    # 'aaab' x3 + 'ab' x1: pair counts (a,a)=6, (a,b)=4 -> first merge
+    # (a,a); then ('aa','a')=3, ('aa','b')=3? no: 'aaab' -> ['aa','a','b']
+    # pairs ('aa','a')=3, ('a','b')=3+1=4 -> second merge ('a','b').
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab")], "doc_id long, text string"
+    )
+    merges = B.bpe_train(docs, num_merges=2)
+    assert merges == [("a", "a"), ("a", "b")]
+
+
+def test_train_tiebreak_lexicographic(spark):
+    # 'xy' and 'ab' equally frequent -> (a,b) before (x,y)
+    docs = spark.createDataFrame(
+        [(1, "xy ab"), (2, "ab xy")], "doc_id long, text string"
+    )
+    merges = B.bpe_train(docs, num_merges=2)
+    assert merges == [("a", "b"), ("x", "y")]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF001), reason="fixture absent")
+def test_fixture_merges_match_training(spark):
+    """FIXTURE_MERGES_V1 is pinned so the registered oracle can embed
+    it as literals — it must stay exactly bpe_train's output on the
+    sf0.01 documents fixture."""
+    docs = spark.read.parquet(os.path.join(SF001, "documents.parquet"))
+    assert B.bpe_train(docs, num_merges=64) == B.FIXTURE_MERGES_V1
+
+
+def test_encode_contracts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "src_a", "abab xyz"),
+            (2, "src_b", ""),
+            (3, "src_a", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in B.bpe_encode(
+            docs, [("a", "b")], carry_cols=("source",)
+        ).collect()
+    }
+    assert out[1]["n_words"] == 2
+    assert out[1]["n_tokens"] == 5  # ab ab | x y z
+    assert out[1]["tokens_str"] == "ab ab x y z"
+    assert out[1]["source"] == "src_a"
+    for empty_id in (2, 3):
+        assert out[empty_id]["n_words"] == 0
+        assert out[empty_id]["n_tokens"] == 0
+        assert out[empty_id]["tokens_str"] == ""
+
+
+def test_encode_rejects_duplicate_merges(spark):
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="duplicate"):
+        B.bpe_encode(docs, [("a", "b"), ("a", "b")])

