@@ -339,3 +339,292 @@ def test_audio_features_and_resample(spark):
     assert abs(len(mono) - 8000) <= 1
     zc = np.count_nonzero(np.diff(mono >= 0)) / (len(mono) - 1)
     assert abs(zc - 2 * 440 / 8000) < 0.01
+
+
+# ---------------------------------------------------------------------
+# Baseline JPEG: pure-Python decoder (round 7 — the last decode path
+# that had never executed anywhere). The encoder below is an
+# INDEPENDENT minimal baseline-JPEG writer (forward DCT, flat
+# quantization, fixed-length canonical Huffman tables), so the
+# round-trip tests decoder-vs-spec, not decoder-vs-itself — the same
+# strategy as _png_bytes above.
+# ---------------------------------------------------------------------
+
+def _jpeg_tables():
+    """Fixed-length canonical Huffman tables: DC symbols 0..11 at code
+    length 4, AC symbols (EOB, ZRL, every run/size) at length 8. Both
+    leave the all-ones code unused as the spec requires."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_counts = [0] * 16
+    dc_counts[3] = len(dc_syms)  # length 4
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)  # length 8
+    dc_codes = {sym: (i, 4) for i, sym in enumerate(dc_syms)}
+    ac_codes = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
+    return dc_syms, dc_counts, dc_codes, ac_syms, ac_counts, ac_codes
+
+
+class _JpegWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.bits(1, 1)  # pad with 1s
+
+
+def _jpeg_bytes(px, *, subsampling="4:4:4", restart_interval=0):
+    """Minimal baseline JFIF encoder: `px` is (h, w) uint8 grayscale
+    or (h, w, 3) uint8 RGB. Flat all-ones quantization tables keep the
+    only loss at DCT rounding (and chroma subsampling when 4:2:0)."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    dc_syms, dc_counts, dc_codes, ac_syms, ac_counts, ac_codes = (
+        _jpeg_tables()
+    )
+    x = np.arange(8)
+    u = x[:, None]
+    A = np.cos((2 * x[None, :] + 1) * u * np.pi / 16) * np.where(
+        u == 0, np.sqrt(1 / 8), 0.5
+    )
+    zigzag = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    def pad_to(plane, mh, mw):
+        ph = -(-plane.shape[0] // mh) * mh
+        pw = -(-plane.shape[1] // mw) * mw
+        return np.pad(plane, ((0, ph - plane.shape[0]),
+                              (0, pw - plane.shape[1])), mode="edge")
+
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "plane": px}]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "4:2:0":
+            yp = pad_to(y, 2, 2)
+            cb = (cb[0::2, 0::2] + pad_to(cb, 2, 2)[0::2, 1::2]
+                  + pad_to(cb, 2, 2)[1::2, 0::2]
+                  + pad_to(cb, 2, 2)[1::2, 1::2]) / 4  # noqa: E501 — 2x2 mean
+            cr = (cr[0::2, 0::2] + pad_to(cr, 2, 2)[0::2, 1::2]
+                  + pad_to(cr, 2, 2)[1::2, 0::2]
+                  + pad_to(cr, 2, 2)[1::2, 1::2]) / 4
+            comps = [
+                {"id": 1, "h": 2, "v": 2, "plane": yp},
+                {"id": 2, "h": 1, "v": 1, "plane": cb},
+                {"id": 3, "h": 1, "v": 1, "plane": cr},
+            ]
+        else:
+            comps = [
+                {"id": 1, "h": 1, "v": 1, "plane": y},
+                {"id": 2, "h": 1, "v": 1, "plane": cb},
+                {"id": 3, "h": 1, "v": 1, "plane": cr},
+            ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["plane"] = pad_to(c["plane"], mcuy * c["v"] * 8, mcux * c["h"] * 8
+                            )[: mcuy * c["v"] * 8, : mcux * c["h"] * 8]
+        c["pred"] = 0
+
+    wr = _JpegWriter()
+
+    def put_magnitude(v, codes):
+        size = int(abs(v)).bit_length()
+        amp = v if v >= 0 else v + (1 << size) - 1
+        return size, amp
+
+    def encode_block(c, by, bx):
+        blk = c["plane"][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coef = np.round(A @ blk @ A.T).astype(np.int64)
+        zz = coef.flatten()[zigzag]
+        size, amp = put_magnitude(int(zz[0]) - c["pred"], dc_codes)
+        c["pred"] = int(zz[0])
+        code, ln = dc_codes[size]
+        wr.bits(code, ln)
+        if size:
+            wr.bits(int(amp), size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                wr.bits(code, ln)
+                run -= 16
+            size, amp = put_magnitude(v, ac_codes)
+            code, ln = ac_codes[(run << 4) | size]
+            wr.bits(code, ln)
+            wr.bits(int(amp), size)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]
+            wr.bits(code, ln)
+
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            wr.flush()
+            wr.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    encode_block(c, my * c["v"] + by, mx * c["h"] + bx)
+    wr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([len(comps)])
+    for c in comps:
+        sos += bytes([c["id"], 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_grayscale_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(24, 16)).astype(np.uint8)
+    w, h, gray = M._decode_jpeg(_jpeg_bytes(px))
+    assert (w, h) == (16, 24)
+    got = np.frombuffer(gray, dtype=np.uint8).reshape(24, 16).astype(int)
+    err = np.abs(got - px.astype(int))
+    # flat q=1: the only loss is forward-DCT rounding
+    assert err.max() <= 4 and err.mean() <= 1.5
+
+
+def test_jpeg_decode_non_multiple_of_8_dims():
+    import numpy as np
+
+    px = (np.add.outer(np.arange(9) * 7, np.arange(13) * 11) % 256
+          ).astype(np.uint8)
+    w, h, gray = M._decode_jpeg(_jpeg_bytes(px))
+    assert (w, h) == (13, 9)
+    got = np.frombuffer(gray, dtype=np.uint8).reshape(9, 13).astype(int)
+    assert np.abs(got - px.astype(int)).max() <= 4
+
+
+def test_jpeg_decode_color_444_matches_luma():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(16, 8, 3)).astype(np.uint8)
+    w, h, gray = M._decode_jpeg(_jpeg_bytes(rgb))
+    assert (w, h) == (8, 16)
+    want = (
+        rgb[:, :, 0].astype(np.uint32) * 299
+        + rgb[:, :, 1].astype(np.uint32) * 587
+        + rgb[:, :, 2].astype(np.uint32) * 114
+    ) // 1000
+    got = np.frombuffer(gray, dtype=np.uint8).reshape(16, 8).astype(int)
+    # DCT rounding on 3 planes + YCbCr<->RGB round trips
+    assert np.abs(got - want.astype(int)).max() <= 6
+
+
+def test_jpeg_decode_420_subsampling():
+    import numpy as np
+
+    # constant chroma everywhere -> 2x2 chroma averaging is lossless,
+    # isolating the 4:2:0 assembly/upsample path from subsample loss
+    luma = (np.add.outer(np.arange(20) * 5, np.arange(26) * 3) % 200 + 20
+            ).astype(np.float64)
+    r = np.clip(luma + 1.402 * 20, 0, 255)
+    g = np.clip(luma - 0.344136 * (-30) - 0.714136 * 20, 0, 255)
+    b = np.clip(luma + 1.772 * (-30), 0, 255)
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    w, h, gray = M._decode_jpeg(_jpeg_bytes(rgb, subsampling="4:2:0"))
+    assert (w, h) == (26, 20)
+    want = (
+        rgb[:, :, 0].astype(np.uint32) * 299
+        + rgb[:, :, 1].astype(np.uint32) * 587
+        + rgb[:, :, 2].astype(np.uint32) * 114
+    ) // 1000
+    got = np.frombuffer(gray, dtype=np.uint8).reshape(20, 26).astype(int)
+    assert np.abs(got - want.astype(int)).max() <= 6
+
+
+def test_jpeg_decode_restart_markers():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(16, 32)).astype(np.uint8)
+    plain = M._decode_jpeg(_jpeg_bytes(px))
+    rst = M._decode_jpeg(_jpeg_bytes(px, restart_interval=1))
+    assert plain is not None and rst is not None
+    assert plain == rst  # identical coefficients -> identical pixels
+
+
+def test_jpeg_progressive_returns_none():
+    # SOF2 (progressive) must fall through, not crash or mis-decode
+    sof2 = bytes([0xFF, 0xC2, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    assert M._decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9") is None
+    # truncated scan data must return None, not raise — use a noisy
+    # image so the entropy-coded scan is genuinely longer than the cut
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    full = _jpeg_bytes(rng.randint(0, 256, size=(16, 16)).astype(np.uint8))
+    cut = full[: full.index(b"\xff\xda") + 20]
+    assert M._decode_jpeg(cut) is None
+
+
+def test_jpeg_through_spark_pipeline(spark):
+    import numpy as np
+
+    px = (np.add.outer(np.arange(12) * 9, np.arange(10) * 13) % 256
+          ).astype(np.uint8)
+    rows = [(60, "image", "image/jpeg", _jpeg_bytes(px), (None,) * 4)]
+    out = M.decode_images(M.media_table(spark, rows)).collect()[0]
+    assert (out["width"], out["height"]) == (10, 12)
+    feats = M.extract_features(M.media_table(spark, rows), dim=16).collect()
+    assert len(feats[0]["embedding"]) == 16
