@@ -49,6 +49,7 @@ __all__ = [
     "bpe_train",
     "bpe_encode",
     "bpe_apply_word",
+    "bpe_decode_expr",
 ]
 
 
@@ -138,6 +139,22 @@ def bpe_apply_word(
     return toks
 
 
+def bpe_decode_expr(tokens_str, marker: str = "</w>"):
+    """Decode a marker-carrying token string back to the normalized
+    text it encodes — a pure JVM expression (no kernel): drop the
+    subword joiner spaces, turn each word-end marker into a word
+    separator, trim the trailing one. Lossless against
+    ``bpe_encode(word_end_marker=marker)`` because subwords are
+    alphanumeric post-normalization (the marker and the joiner can't
+    collide with content)."""
+    c = F.col(tokens_str) if isinstance(tokens_str, str) else tokens_str
+    return F.rtrim(
+        F.replace(
+            F.replace(c, F.lit(" "), F.lit("")), F.lit(marker), F.lit(" ")
+        )
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -145,6 +162,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     carry_cols: tuple[str, ...] = (),
+    word_end_marker: str | None = None,
 ) -> DataFrame:
     """Encode each document with a (pre-trained) merge table; returns
     ``(id, *carry_cols, n_words, n_tokens, tokens_str)`` where
@@ -157,6 +175,13 @@ def bpe_encode(
     Arrow kernel only splits on single spaces and runs the merge loop
     through a per-task word memo. No shuffle — a 100 TB encode is one
     embarrassingly parallel pass.
+
+    ``word_end_marker`` (Sennrich-style ``</w>``) appends the marker
+    to each word's LAST subword, making the encoding losslessly
+    decodable (:func:`bpe_decode_expr`); the default ``None`` keeps
+    the marker-free representation the registered count/packing
+    entries hash. The memo stores marker-free encodings, so the same
+    word costs one merge loop either way.
     """
     ranks = {pair: i for i, pair in enumerate(merges)}
     if len(ranks) != len(merges):
@@ -187,7 +212,11 @@ def bpe_encode(
                     if enc is None:
                         enc = bpe_apply_word(w, ranks)
                         memo[w] = enc
-                    toks.extend(enc)
+                    if word_end_marker is None:
+                        toks.extend(enc)
+                    else:
+                        toks.extend(enc[:-1])
+                        toks.append(enc[-1] + word_end_marker)
                 n_words.append(len(words))
                 n_tokens.append(len(toks))
                 strs.append(" ".join(toks))

@@ -1,0 +1,250 @@
+"""Closed-form distributed classifiers for corpus curation [EXT].
+
+No counterpart in the reference (Stiivi/Datacamp-ETL has no ML
+surface; its closest analog is the SQL-side derived columns of
+``loading.rb``); the algorithm is the public multinomial Naive Bayes
+of McCallum & Nigam 1998 ("A Comparison of Event Models for Naive
+Bayes Text Classification") — the standard cheap corpus-quality /
+language / domain classifier that pipelines like CCNet and fastText
+replace with a learned linear model. NB's training step is PURE
+AGGREGATION, which makes it the one text classifier whose train AND
+score phases are both fully expressible as DataFrame ops — no
+driver-side optimization loop, no UDF, and an exact DuckDB oracle.
+
+Design for 100 TB:
+
+- **Training is two aggregated shuffles**: class priors
+  (``groupBy(label).count()`` over documents) and add-one-smoothed
+  token likelihoods (``groupBy(token, label).count()`` over the token
+  stream, map-side combinable). The model NEVER materializes
+  driver-side — likelihood rows stay a DataFrame keyed by token, so a
+  100 TB corpus with a 100M-token vocabulary trains without any
+  bounded-collect assumption.
+- **Scoring is one equi-join**: the document token stream joins the
+  likelihood table on ``token`` (both sides shuffle-partitioned by
+  token; AQE broadcasts the model side when the vocabulary is small),
+  then one ``groupBy(doc_id, label)`` partial-aggregated sum and a
+  size-``|classes|`` max-struct argmax per document. Out-of-vocab
+  tokens contribute the smoothing floor ``ln(alpha) -
+  ln(class_tokens + alpha*V)`` via the join's null branch, so the
+  join stays an OUTER-free left join over the per-class expansion.
+- **Determinism** (so the oracle hash-matches): scores are a sum of
+  ``ln`` terms rounded only at the FINAL projection (6 decimals, the
+  repo-wide float contract); argmax ties break to the
+  lexicographically smallest label via the max-struct trick with a
+  descending-safe label key.
+
+The self-train/self-score shape registered in ``queries.py``
+(``nb_language_scores``) is the standard pipeline smoke: training a
+model on the corpus it scores is exactly what perplexity filtering
+(``text.bigram_lm_scores``) already does, and it exercises every
+phase without needing a second labeled fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datacamp_etl_spark.operators.text import normalize_text
+
+__all__ = ["nb_train", "nb_score", "nb_classify"]
+
+
+def _token_stream(
+    docs: DataFrame, *, id_col: str, text_col: str, label_col: str | None
+) -> DataFrame:
+    """(doc_id[, label], token) — one row per token OCCURRENCE of the
+    normalized text; empty documents contribute no rows."""
+    cols = [F.col(id_col)]
+    if label_col is not None:
+        cols.append(F.col(label_col))
+    norm = docs.select(*cols, normalize_text(F.col(text_col)).alias("__n"))
+    return norm.where(F.col("__n") != "").select(
+        *[c for c in (id_col, label_col) if c is not None],
+        F.explode(F.split("__n", " ")).alias("token"),
+    )
+
+
+def nb_train(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    alpha: float = 1.0,
+) -> dict[str, DataFrame]:
+    """Train a multinomial NB model; returns three DataFrames (the
+    model stays distributed — nothing is collected):
+
+    - ``priors``: (label, log_prior, log_floor) — one row per class;
+      ``log_floor = ln(alpha) - ln(class_tokens + alpha*V)`` is the
+      likelihood of any token unseen in that class.
+    - ``likelihood``: (token, label, log_like) — only observed
+      (token, class) pairs; absent pairs take the class floor.
+    - ``vocab``: 1-row (v) — the smoothing denominator's vocabulary
+      size, kept for introspection/tests.
+    """
+    toks = _token_stream(
+        docs, id_col=id_col, text_col=text_col, label_col=label_col
+    )
+    # |V| — global distinct-token count: a single scalar, broadcast as
+    # a 1-row crossJoin (same bounded pattern as lm_perplexity_scores).
+    vocab = toks.agg(F.countDistinct("token").alias("v"))
+    class_tokens = toks.groupBy(label_col).agg(
+        F.count("*").alias("class_tokens")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    priors = (
+        docs.groupBy(label_col)
+        .agg(F.count("*").alias("class_docs"))
+        .crossJoin(n_docs)
+        .join(class_tokens, label_col)
+        .crossJoin(vocab)
+        .select(
+            label_col,
+            (F.log("class_docs") - F.log("n_docs")).alias("log_prior"),
+            (
+                F.log(F.lit(float(alpha)))
+                - F.log(F.col("class_tokens") + alpha * F.col("v"))
+            ).alias("log_floor"),
+            "class_tokens",
+            "v",
+        )
+    )
+    likelihood = (
+        toks.groupBy("token", label_col)
+        .agg(F.count("*").alias("tc"))
+        .join(class_tokens, label_col)
+        .crossJoin(vocab)
+        .select(
+            "token",
+            label_col,
+            (
+                F.log(F.col("tc") + F.lit(float(alpha)))
+                - F.log(F.col("class_tokens") + alpha * F.col("v"))
+            ).alias("log_like"),
+        )
+    )
+    return {
+        "priors": priors.drop("class_tokens", "v"),
+        "likelihood": likelihood,
+        "vocab": vocab,
+    }
+
+
+def nb_score(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Per-(document, class) log-posterior: (doc_id, label, score).
+
+    One token-stream/likelihood left join per class-expansion row:
+    the token stream crossJoins the (bounded, |classes|-row) priors
+    table so every token scores under EVERY class, takes the observed
+    ``log_like`` where the (token, class) pair was seen in training
+    and the class ``log_floor`` otherwise, then one partial-aggregated
+    ``groupBy(doc, class)`` sum adds the prior. Empty documents score
+    ``log_prior`` alone (they re-enter via the final right join with
+    n_tokens = 0)."""
+    toks = _token_stream(
+        docs, id_col=id_col, text_col=text_col, label_col=None
+    )
+    priors = model["priors"]
+    ml = model["likelihood"].select(
+        F.col("token").alias("__mt"),
+        F.col(label_col).alias("__ml"),
+        "log_like",
+    )
+    expanded = (
+        toks.crossJoin(F.broadcast(priors.select(label_col, "log_floor")))
+        .join(
+            ml,
+            (F.col("token") == F.col("__mt"))
+            & (F.col(label_col) == F.col("__ml")),
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.coalesce("log_like", "log_floor").alias("ll"),
+        )
+    )
+    per_class = expanded.groupBy(id_col, label_col).agg(
+        F.sum("ll").alias("sum_ll"), F.count("*").alias("n_tokens")
+    )
+    # Re-enter empty docs (no tokens): every class at its prior.
+    base = docs.select(id_col).crossJoin(
+        F.broadcast(priors.select(label_col, "log_prior"))
+    )
+    return base.join(per_class, [id_col, label_col], "left").select(
+        id_col,
+        label_col,
+        (F.col("log_prior") + F.coalesce("sum_ll", F.lit(0.0))).alias(
+            "score"
+        ),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: dict[str, DataFrame] | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    alpha: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """End-to-end classify: (doc_id, predicted, nb_score, n_tokens).
+
+    ``model=None`` self-trains on ``docs`` (the registered smoke
+    shape). The argmax is a size-|classes| ``max_by`` per document on
+    the ROUNDED score — rounding before the argmax pins the
+    prediction against sub-1e-6 cross-engine float drift — with ties
+    to the lexicographically smallest label."""
+    if model is None:
+        model = nb_train(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            label_col=label_col,
+            alpha=alpha,
+        )
+    scored = nb_score(
+        docs, model, id_col=id_col, text_col=text_col, label_col=label_col
+    ).select(
+        id_col,
+        label_col,
+        F.round("score", decimals).alias("r_score"),
+        "n_tokens",
+    )
+    # argmax via max(struct): score ASC then label DESC, so the max
+    # struct is (highest score, lexicographically smallest label) —
+    # the label is stored negated-by-ordering using a descending-safe
+    # trick: max on (r_score, struct-reversed label) is not directly
+    # expressible, so use min over (-r_score, label).
+    pick = (
+        scored.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("r_score")).alias("neg"),
+                    F.col(label_col).alias("lab"),
+                )
+            ).alias("m"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            F.col("m.lab").alias("predicted"),
+            (-F.col("m.neg")).alias("nb_score"),
+            "n_tokens",
+        )
+    )
+    return pick

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_star", "dedup_clusters"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "dedup_clusters",
+    "dedup_keep_best",
+]
 
 
 def connected_components(
@@ -117,6 +122,51 @@ def dedup_clusters(
         )
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware dedup apply: one SURVIVOR per near-dup cluster,
+    chosen as the cluster member with the HIGHEST ``quality_col``
+    (ties to the smallest id) rather than the arbitrary smallest-id
+    member that :func:`dedup_clusters`' ``keep`` flag selects. This is
+    the variant an LLM-corpus pipeline actually wants: when a page and
+    its truncated mirror collide, keep the longer/cleaner one (the
+    keep-best convention of the C4/RefinedWeb dedup stages).
+
+    Returns the surviving rows of ``docs`` (all original columns)
+    plus ``cluster_id`` and ``cluster_size``. Cost over the clustering
+    itself: one ``groupBy(cluster_id)`` max-struct argmax — an
+    aggregated (map-side combinable) shuffle, NOT a window sort — and
+    one semi-join back to ``docs`` on the id.
+    """
+    clusters = dedup_clusters(
+        docs.select(F.col(id_col)), pairs,
+        id_col=id_col, pair_a=pair_a, pair_b=pair_b,
+    ).select(F.col("doc_id").alias("__cid"), "cluster_id")
+    labeled = docs.select(
+        F.col(id_col), F.col(quality_col).alias("__q")
+    ).join(clusters, F.col(id_col) == F.col("__cid")).drop("__cid")
+    # argmax(quality, tie -> min id) per cluster via min(struct):
+    # struct orders by (-quality, id) lexicographically.
+    best = labeled.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("__q")).alias("nq"), F.col(id_col).alias("i"))
+        ).alias("m"),
+        F.count("*").alias("cluster_size"),
+    ).select(
+        F.col("m.i").alias("__best_id"), "cluster_id", "cluster_size"
+    )
+    return docs.join(
+        best, docs[id_col] == F.col("__best_id"), "inner"
+    ).drop("__best_id")
 
 
 # ---------------------------------------------------------------------

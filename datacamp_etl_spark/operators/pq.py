@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_topk"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk"]
 
 
 def _slice(vec: Column, s: int, sub_dim: int) -> Column:
@@ -186,4 +186,83 @@ def pq_topk(
         )
         .orderBy("adc_dist", id_col)
         .limit(topk)
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 10,
+    num_cells: int = 16,
+    num_probes: int = 4,
+    m: int = 4,
+    k: int = 4,
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the billion-scale ANN recipe (FAISS ``IVFx,PQy``,
+    Jégou et al. 2011 §V) — coarse inverted-file pruning picks the
+    ``num_probes`` cells nearest the query, then PQ-ADC approximates
+    distances INSIDE the probed cells only. Two multiplicative
+    savings: the scan prunes to ~probes/cells of the corpus, and the
+    scanned part never touches a float vector (an m-term LUT sum per
+    row). At 100 TB this is the configuration that actually runs:
+    IVF alone still scans full vectors; PQ alone scans every row.
+
+    Composition of the two registered operators with their exact
+    determinism contracts: the coarse quantizer is ``ivf_topk``'s
+    md5-ordered centroid sample + cosine-argmax assignment
+    (similarity.py:247); the fine quantizer is ``pq_train(n_iter=0)``'s
+    md5-sampled codebooks + lowest-code argmin encode. The probed-cell
+    filter runs BEFORE encode, so codes are only computed for scanned
+    rows. Returns ``(id, adc_dist)``, smallest first, id tie-break.
+    """
+    from datacamp_etl_spark.functions import cosine_similarity
+
+    # Coarse quantizer: deterministic centroid sample (kmeans-refined
+    # drop-in), nearest-cell argmax per row, query-side probe list.
+    centroid_rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(num_cells)
+        .collect()
+    )
+    centroids = [
+        [float(x) for x in r[vec_col]] for r in centroid_rows
+    ]
+    sims = F.array(
+        *[
+            cosine_similarity(
+                F.col(vec_col), F.array(*[F.lit(x) for x in cen])
+            )
+            for cen in centroids
+        ]
+    )
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+    def _py_cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else -2.0
+
+    q = [float(x) for x in query]
+    probe = sorted(
+        range(len(centroids)), key=lambda i: (-_py_cos(q, centroids[i]), i)
+    )[:num_probes]
+
+    scanned = df.withColumn("__cell", cell).where(
+        F.col("__cell").isin(probe)
+    )
+
+    # Fine quantizer: PQ codebooks trained on the FULL corpus (the
+    # codebook must not depend on the query's probe set), ADC on the
+    # scanned subset only.
+    books = pq_train(df, id_col=id_col, vec_col=vec_col, m=m, k=k, n_iter=0)
+    codes = pq_encode(scanned, books, id_col=id_col, vec_col=vec_col)
+    return pq_topk(
+        codes, books, q, id_col=id_col, topk=topk, decimals=decimals
     )

@@ -34,6 +34,7 @@ __all__ = [
     "sentence_stats",
     "token_entropy",
     "oov_rate",
+    "source_kl_divergence",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -464,5 +465,56 @@ def sentence_stats(
             F.count("__n").cast("long").alias("n_sentences"),
             F.round(F.avg("__n"), 6).alias("avg_sentence_tokens"),
             F.max("__n").cast("long").alias("max_sentence_tokens"),
+        )
+    )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group unigram KL divergence against the whole corpus —
+    the mixture-drift diagnostic a multi-source training-data
+    pipeline runs before weighting sources: ``KL(P_g || Q) =
+    sum_t p_t * ln(p_t / q_t)`` where ``P_g`` is group ``g``'s token
+    distribution and ``Q`` the corpus's. 0 means the source looks
+    like the corpus; large values flag outlier sources (boilerplate
+    farms, wrong-language feeds) for capping or inspection.
+
+    Every ``p`` term has ``q > 0`` by construction (a group's tokens
+    are corpus tokens), so the sum is total and finite. Three
+    aggregated shuffles — (group, token), (group), (token) counts —
+    plus one 1-row corpus-total crossJoin (bounded broadcast); the
+    final reduce is one more aggregated (group) shuffle. All JVM
+    expressions; nothing driver-side.
+
+    Returns ``(group_col, n_tokens, n_distinct_tokens, kl)``, KL
+    rounded to ``decimals`` (the repo-wide float contract).
+    """
+    toks = df.select(
+        F.col(group_col), normalize_text(F.col(text_col)).alias("__n")
+    ).where(F.col("__n") != "").select(
+        group_col, F.explode(F.split("__n", " ")).alias("token")
+    )
+    gt = toks.groupBy(group_col, "token").agg(F.count("*").alias("n_gt"))
+    g = toks.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    ct = toks.groupBy("token").agg(F.count("*").alias("n_t"))
+    n = toks.agg(F.count("*").alias("n_corpus"))
+    p = F.col("n_gt") / F.col("n_g")
+    q = F.col("n_t") / F.col("n_corpus")
+    term = p * F.log(p / q)
+    return (
+        gt.join(g, group_col)
+        .join(ct, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy(group_col)
+        .agg(
+            F.max("n_g").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct_tokens"),
+            F.round(F.sum(term), decimals).alias("kl"),
         )
     )

@@ -6384,6 +6384,296 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# [EXT] Round-7: closed-form NB classifier, IVF-PQ, keep-best dedup,
+# corpus-drift KL, cluster purity, BPE round-trip
+# =====================================================================
+
+
+@register(
+    "nb_language_scores",
+    f"""
+    WITH n AS (SELECT doc_id, lang, {_NORM_SQL} AS norm FROM documents),
+    tok AS (SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS token
+            FROM n WHERE norm <> ''),
+    v AS (SELECT count(DISTINCT token) AS v FROM tok),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    cd AS (SELECT lang, count(*) AS class_docs FROM documents GROUP BY 1),
+    ctk AS (SELECT lang, count(*) AS class_tokens FROM tok GROUP BY 1),
+    pri AS (SELECT cd.lang,
+                   ln(class_docs) - ln(n_docs) AS log_prior,
+                   ln(1.0) - ln(class_tokens + v.v) AS log_floor
+            FROM cd CROSS JOIN nd JOIN ctk USING (lang) CROSS JOIN v),
+    lk AS (SELECT token, lang,
+                  ln(count(*) + 1.0)
+                    - ln(any_value(class_tokens) + any_value(vv)) AS log_like
+           FROM (SELECT tk.token, tk.lang, c.class_tokens, v.v AS vv
+                 FROM tok tk JOIN ctk c USING (lang) CROSS JOIN v)
+           GROUP BY token, lang),
+    ex AS (SELECT tk.doc_id, p.lang,
+                  coalesce(l.log_like, p.log_floor) AS ll
+           FROM tok tk CROSS JOIN pri p
+           LEFT JOIN lk l ON l.token = tk.token AND l.lang = p.lang),
+    pc AS (SELECT doc_id, lang, sum(ll) AS sum_ll, count(*) AS n_tokens
+           FROM ex GROUP BY 1, 2),
+    sc AS (SELECT d.doc_id, p.lang,
+                  round(p.log_prior + coalesce(pc.sum_ll, 0.0), 6) AS r_score,
+                  coalesce(pc.n_tokens, 0) AS n_tokens
+           FROM documents d CROSS JOIN pri p
+           LEFT JOIN pc ON pc.doc_id = d.doc_id AND pc.lang = p.lang)
+    SELECT doc_id, lang AS predicted, r_score AS nb_score,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY r_score DESC, lang) AS rn FROM sc)
+    WHERE rn = 1
+    """,
+)
+def q_nb_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multinomial Naive Bayes self-train + classify
+    (classify.nb_classify): the closed-form text classifier whose
+    train AND score phases are pure DataFrame aggregation — priors
+    and add-one likelihoods from two aggregated shuffles, scoring via
+    one token/model equi-join, argmax on the 6-decimal-rounded
+    posterior (rounding BEFORE the argmax pins the prediction against
+    sub-1e-6 cross-engine float drift). The model stays distributed —
+    a 100M-token vocabulary never touches the driver."""
+    from datacamp_etl_spark.operators.classify import nb_classify
+
+    return nb_classify(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ivfpq_topk_embeddings",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    init AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> round(x, 6)) AS c,
+                    row_number() OVER
+                        (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+             FROM embeddings
+             ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4),
+    q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+    cen AS (SELECT e AS cv, cell_id FROM (
+                SELECT e, row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell_id
+                FROM v) WHERE cell_id < 16),
+    assigned AS (SELECT vec_id, e, cell_id FROM (
+                SELECT v.vec_id, v.e, cen.cell_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.e, cen.cv) DESC,
+                                    cen.cell_id) AS rn
+                FROM v CROSS JOIN cen) WHERE rn = 1),
+    probe AS (SELECT cell_id FROM cen CROSS JOIN q
+              ORDER BY list_cosine_similarity(cv, qv) DESC, cell_id LIMIT 4),
+    sc AS (SELECT vec_id, e FROM assigned
+           WHERE cell_id IN (SELECT cell_id FROM probe)),
+    d AS (
+{chr(10).join(f"        SELECT sc.vec_id, {s} AS s, i.rn - 1 AS code, {_pq_dist('sc.e', s)} AS dist FROM sc CROSS JOIN init i" + (" UNION ALL" if s < _PQ_M - 1 else "") for s in range(_PQ_M))}
+    ),
+    best AS (SELECT vec_id, s, code FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY dist, code) AS rn2 FROM d)
+             WHERE rn2 = 1),
+    w AS (SELECT vec_id,
+                 max(CASE WHEN s = 0 THEN code END) AS c0,
+                 max(CASE WHEN s = 1 THEN code END) AS c1,
+                 max(CASE WHEN s = 2 THEN code END) AS c2,
+                 max(CASE WHEN s = 3 THEN code END) AS c3
+          FROM best GROUP BY vec_id),
+    lut AS (
+{chr(10).join(f"        SELECT {s} AS s, i.rn - 1 AS code, {_pq_dist('q.qv', s)} AS d FROM q CROSS JOIN init i" + (" UNION ALL" if s < _PQ_M - 1 else "") for s in range(_PQ_M))}
+    )
+    SELECT w.vec_id, round(l0.d + l1.d + l2.d + l3.d, 6) AS adc_dist
+    FROM w
+    JOIN lut l0 ON l0.s = 0 AND l0.code = w.c0
+    JOIN lut l1 ON l1.s = 1 AND l1.code = w.c1
+    JOIN lut l2 ON l2.s = 2 AND l2.code = w.c2
+    JOIN lut l3 ON l3.s = 3 AND l3.code = w.c3
+    ORDER BY adc_dist, w.vec_id LIMIT 10
+    """,
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] IVF-PQ ANN (pq.ivfpq_topk) — the billion-scale recipe
+    (FAISS ``IVF16,PQ4``): the coarse inverted file prunes the scan to
+    4/16 of the corpus, PQ-ADC scores the scanned rows from CODES only
+    (no float vector read at probe time). Composition of the two
+    registered quantizers with their exact determinism contracts; the
+    oracle replays coarse assignment, probe selection, in-cell encode
+    and the 4-term LUT distance end-to-end."""
+    from datacamp_etl_spark.operators.pq import ivfpq_topk
+
+    q = _query_vector(spark, sf_dir, 0)
+    return ivfpq_topk(
+        t(spark, sf_dir, "embeddings"), q,
+        topk=10, num_cells=16, num_probes=4, m=_PQ_M, k=_PQ_K,
+    )
+
+
+@register(
+    "near_dup_keep_best",
+    """
+    WITH RECURSIVE pairs AS ({LSH_PAIRS}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    cl AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                  coalesce(c.component, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+           cluster_id, CAST(csize AS BIGINT) AS cluster_size
+    FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY n_chars DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY cluster_id) AS csize
+          FROM cl)
+    WHERE rn = 1
+    """,
+)
+def q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] quality-aware dedup apply (graph.dedup_keep_best): one
+    survivor per LSH near-dup cluster, chosen as the member with the
+    most content (max n_chars, ties to the smallest id) — the
+    C4/RefinedWeb keep-best convention, vs near_dup_apply's arbitrary
+    smallest-id survivor. The argmax is a map-side-combinable
+    min(struct) aggregation, NOT a window sort, so the only cost over
+    the clustering is one aggregated shuffle + one id semi-join."""
+    from datacamp_etl_spark.operators.dedup import lsh_candidate_pairs
+    from datacamp_etl_spark.operators.graph import dedup_keep_best
+
+    docs = t(spark, sf_dir, "documents")
+    out = dedup_keep_best(
+        docs, lsh_candidate_pairs(docs), quality_col="n_chars"
+    )
+    return out.select(
+        "doc_id", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+ORACLE["near_dup_keep_best"] = ORACLE["near_dup_keep_best"].replace(
+    "{LSH_PAIRS}", ORACLE["lsh_candidate_pairs"]
+)
+
+
+@register(
+    "source_kl_divergence",
+    f"""
+    WITH n AS (SELECT source, {_NORM_SQL} AS norm FROM documents),
+    tok AS (SELECT source, unnest(string_split(norm, ' ')) AS token
+            FROM n WHERE norm <> ''),
+    gt AS (SELECT source, token, count(*) AS n_gt FROM tok GROUP BY 1, 2),
+    g AS (SELECT source, count(*) AS n_g FROM tok GROUP BY 1),
+    ct AS (SELECT token, count(*) AS n_t FROM tok GROUP BY 1),
+    nn AS (SELECT count(*) AS n_corpus FROM tok)
+    SELECT gt.source,
+           CAST(max(n_g) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           round(sum((n_gt * 1.0 / n_g)
+                 * ln((n_gt * 1.0 / n_g) / (n_t * 1.0 / n_corpus))), 6)
+             AS kl
+    FROM gt JOIN g USING (source) JOIN ct USING (token) CROSS JOIN nn
+    GROUP BY gt.source
+    """,
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-source unigram KL divergence vs the corpus
+    (text.source_kl_divergence) — the mixture-drift diagnostic run
+    before weighting sources in a multi-source training mix. Three
+    aggregated count shuffles + one 1-row corpus-total broadcast;
+    every p-term has q > 0 by construction so the sum is finite."""
+    from datacamp_etl_spark.operators.text import source_kl_divergence
+
+    return source_kl_divergence(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "kmeans_cluster_purity",
+    _kmeans_cte_sql(4, 2)
+    + """,
+    afin AS (SELECT vec_id, cluster FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cluster) AS rn FROM dfin)
+             WHERE rn = 1),
+    jl AS (SELECT a.cluster, e2.label
+           FROM afin a JOIN embeddings e2 ON a.vec_id = e2.vec_id),
+    cnt AS (SELECT cluster, label, count(*) AS c FROM jl GROUP BY 1, 2),
+    tot AS (SELECT cluster, sum(c) AS size FROM cnt GROUP BY 1)
+    SELECT CAST(r.cluster AS INT) AS cluster,
+           CAST(size AS BIGINT) AS size,
+           CAST(label AS BIGINT) AS majority_label,
+           round(c * 1.0 / size, 6) AS purity
+    FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+              ORDER BY c DESC, label) AS rn FROM cnt) r
+    JOIN tot USING (cluster)
+    WHERE r.rn = 1
+    """,
+)
+def q_kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] clustering-quality evaluation: purity of the registered
+    k-means assignment against the fixture's ground-truth labels —
+    per cluster, the majority label's share (ties to the lowest
+    label). The eval-harness twin of ann_recall_eval/dedup_recall_eval
+    for the clustering family: measure the unsupervised structure
+    against truth before trusting it for curation. One aggregated
+    (cluster, label) count shuffle over the kmeans output."""
+    from datacamp_etl_spark.operators.similarity import kmeans_train
+
+    emb = t(spark, sf_dir, "embeddings")
+    asg = kmeans_train(emb, k=4, n_iter=2).select("vec_id", "cluster")
+    jl = asg.join(
+        emb.select(F.col("vec_id").alias("__v"), "label"),
+        asg.vec_id == F.col("__v"),
+    )
+    cnt = jl.groupBy("cluster", "label").agg(F.count("*").alias("c"))
+    best = cnt.groupBy("cluster").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lab"))
+        ).alias("m"),
+        F.sum("c").alias("size"),
+    )
+    return best.select(
+        F.col("cluster").cast("int"),
+        F.col("size").cast("long").alias("size"),
+        F.col("m.lab").cast("long").alias("majority_label"),
+        F.round((-F.col("m.nc")) / F.col("size"), 6).alias("purity"),
+    )
+
+
+@register(
+    "bpe_roundtrip",
+    f"""
+    SELECT doc_id, coalesce({_NORM_SQL}, '') AS decoded FROM documents
+    """,
+)
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] lossless-tokenization gate: encode with Sennrich-style
+    word-end markers (bpe.bpe_encode(word_end_marker='</w>')), decode
+    with the pure-JVM expression (bpe.bpe_decode_expr), and
+    value-hash the decoded text against an INDEPENDENT replay of the
+    normalization alone — the oracle never runs BPE, so a hash match
+    proves decode(encode(x)) == normalize(x) for every document. The
+    invariant a tokenizer must hold before its token ids feed
+    packing/training."""
+    from datacamp_etl_spark.operators.bpe import (
+        FIXTURE_MERGES_V1,
+        bpe_decode_expr,
+        bpe_encode,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, FIXTURE_MERGES_V1, word_end_marker="</w>")
+    return enc.select(
+        "doc_id", bpe_decode_expr(F.col("tokens_str")).alias("decoded")
+    )
+
+
+# =====================================================================
 # Driver adjudication window ordering (round 7) — keep this LAST
 # =====================================================================
 # The round driver oracle-checks the FIRST-50 prefix of this registry
@@ -6416,6 +6706,12 @@ _PROMOTE_TO_WINDOW: list[str] = [
     "dedup_recall_sampled",
     "bpe_encode",
     "pack_sequences_bpe",
+    "nb_language_scores",
+    "ivfpq_topk_embeddings",
+    "near_dup_keep_best",
+    "source_kl_divergence",
+    "kmeans_cluster_purity",
+    "bpe_roundtrip",
 ]
 
 

@@ -43,6 +43,14 @@ ALLOWED_BNLJ = {
     "lm_perplexity_scores": "1-row vocabulary-size broadcast (the "
     "add-one-smoothing denominator |V| is a global countDistinct, "
     "crossJoined onto the bigram stream as a single-row literal)",
+    "nb_language_scores": "bounded model-side broadcasts: the 1-row "
+    "|V| vocabulary scalar and 1-row n_docs scalar (same pattern as "
+    "lm_perplexity_scores) plus the |classes|-row priors table — "
+    "class cardinality is a property of the label domain, not the "
+    "data size",
+    "source_kl_divergence": "1-row corpus-total token count "
+    "crossJoined onto the per-(source, token) aggregate as a "
+    "single-row literal",
 }
 
 #: Partitionless-Window allowlist: query -> why the window's input is
