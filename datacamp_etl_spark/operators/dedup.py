@@ -47,6 +47,7 @@ __all__ = [
     "simhash_near_pairs",
     "span_dedup",
     "containment_pairs",
+    "substring_dedup",
 ]
 
 
@@ -1255,4 +1256,110 @@ def containment_pairs(
         )
         .where(F.col("n_common") * 10000 >= F.lit(thr_num) * F.col("n_a"))
         .select("id_a", "id_b", "n_common", "n_a")
+    )
+
+
+# ---------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Exact substring deduplication: every maximal token span whose
+    text occurs VERBATIM in >= 2 distinct documents, at span length
+    >= ``min_tokens`` — the Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499) capability
+    that MinHash/SimHash cannot express (they score whole documents;
+    this finds the shared passages themselves).
+
+    Suffix arrays (the paper's tool) are a single-machine structure;
+    the distributed shape is k-gram anchoring with ``k = min_tokens``:
+
+    1. every token position emits the md5 of its k-token window
+       (anchor) — a map-side projection, no shuffle;
+    2. an anchor duplicated across >= 2 distinct docs marks its k-token
+       interval as shared text (groupBy anchor hash — map-side
+       partial-agg absorbs hot boilerplate anchors, then a semi-join
+       back; anchors only ever meet in their own hash bucket, NEVER
+       all-pairs);
+    3. per document, overlapping/touching duplicated intervals merge
+       into maximal spans (gaps-and-islands over positions — the
+       window is partitioned by doc id, so skew is bounded by document
+       length, not corpus size);
+    4. each merged span is re-verified and labeled by the md5 of its
+       own text (``cluster``), so content-identical maximal spans
+       carry the same cluster key across documents.
+
+    Any two docs sharing a verbatim passage of >= k tokens share ALL
+    its length-k sub-windows, so anchor recall is exact (no
+    probabilistic miss, unlike MinHash). A span longer than k is
+    reported once, merged, not once per anchor.
+
+    Returns ``(id_col, span_start, span_len, cluster)``, one row per
+    maximal duplicated span; ``span_start`` is a 0-based token offset
+    into the normalized token stream.
+    """
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    k = min_tokens
+    toks = tokens(text_col)
+    base = scoped_cache(
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .where(F.size("__toks") >= k)
+    )
+    # (id, pos, anchor-hash) for pos in [0, n-k]; slice() is 1-based
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - k),
+        lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, k), " ")),
+    )
+    anchors = base.select(
+        "id", F.posexplode(grams).alias("pos", "__h")
+    )
+    dup_h = (
+        anchors.groupBy("__h")
+        .agg(F.count_distinct("id").alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    dup_anchors = anchors.join(dup_h, "__h", "left_semi")
+    # gaps-and-islands: intervals [pos, pos+k) merge while the next
+    # duplicated position starts within (or touching) the previous
+    # interval, i.e. pos - prev <= k
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup_anchors.select(
+        "id",
+        "pos",
+        F.sum(
+            F.when(
+                F.col("pos") - F.lag("pos", 1, -k - 1).over(w) > k, 1
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("__island"),
+    )
+    spans = islands.groupBy("id", "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k - F.min("pos")).alias("span_len"),
+    )
+    return (
+        spans.join(base, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_len",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        "__toks", F.col("span_start") + 1, F.col("span_len")
+                    ),
+                    " ",
+                )
+            ).alias("cluster"),
+        )
     )

@@ -4148,6 +4148,53 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_dedup",
+    f"""
+    {_TOKS_CTE},
+    p AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - 10)) AS pos
+          FROM tk WHERE len(toks) >= 10),
+    g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                 md5(array_to_string(toks[(pos + 1):(pos + 10)], ' ')) AS h
+          FROM p),
+    dup AS (SELECT h FROM g GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2),
+    d AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+    i AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos, 1, -11)
+                          OVER (PARTITION BY doc_id ORDER BY pos) > 10
+                      THEN 1 ELSE 0 END AS brk
+          FROM d),
+    isl AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS island
+            FROM i),
+    s AS (SELECT doc_id, min(pos) AS span_start,
+                 max(pos) + 10 - min(pos) AS span_len
+          FROM isl GROUP BY doc_id, island)
+    SELECT s.doc_id, CAST(span_start AS INT) AS span_start,
+           CAST(span_len AS INT) AS span_len,
+           md5(array_to_string(
+               tk.toks[(span_start + 1):(span_start + span_len)], ' '))
+               AS cluster
+    FROM s JOIN tk USING (doc_id)
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact substring dedup (Lee et al. 2022): maximal verbatim
+    token spans >= 10 tokens shared across >= 2 documents, via k-gram
+    anchor hashing + per-doc interval merge. Anchors meet only inside
+    their own hash bucket (groupBy + semi-join) — never all-pairs; the
+    island-merge window is partitioned by doc_id so skew is bounded by
+    document length."""
+    from datacamp_etl_spark.operators.dedup import substring_dedup
+
+    return substring_dedup(
+        t(spark, sf_dir, "documents"), min_tokens=10
+    )
+
+
+@register(
     "contamination_apply",
     f"""
     WITH n AS (SELECT doc_id, source, {_NORM_SQL} AS norm FROM documents),

@@ -1,0 +1,113 @@
+"""Round-8 operators: exact substring dedup (Lee et al. 2022)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _dedup(spark, rows, min_tokens=4):
+    from datacamp_etl_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return substring_dedup(docs, min_tokens=min_tokens).collect()
+
+
+def test_shared_passage_found_and_maximal(spark):
+    # 6-token shared passage inside otherwise-distinct docs; with
+    # k=4 the passage yields 3 overlapping dup anchors per doc that
+    # must merge into ONE maximal span of 6 tokens.
+    shared = "one two three four five six"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"zeta {shared} eta theta iota"),
+    ]
+    out = _dedup(spark, rows)
+    by_doc = {r["doc_id"]: r for r in out}
+    assert len(out) == 2
+    assert by_doc[1]["span_start"] == 2 and by_doc[1]["span_len"] == 6
+    assert by_doc[2]["span_start"] == 1 and by_doc[2]["span_len"] == 6
+    # content-identical maximal spans share the cluster key
+    assert by_doc[1]["cluster"] == by_doc[2]["cluster"]
+
+
+def test_below_min_tokens_not_reported(spark):
+    # only a 3-token overlap -> no length-4 anchor can match
+    rows = [
+        (1, "one two three apple pear plum"),
+        (2, "one two three house boat car"),
+    ]
+    assert _dedup(spark, rows) == []
+
+
+def test_within_doc_repeat_is_not_cross_doc(spark):
+    # the passage repeats inside ONE doc only: count(distinct doc) < 2
+    rows = [
+        (1, "a b c d x y z a b c d"),
+        (2, "p q r s t u v w"),
+    ]
+    assert _dedup(spark, rows) == []
+
+
+def test_two_separate_spans_stay_separate(spark):
+    # two shared passages separated by > k distinct tokens in doc 1
+    # must come out as two islands, not one merged span
+    s1, s2 = "one two three four", "five six seven eight"
+    rows = [
+        (1, f"{s1} aa bb cc dd ee ff gg hh {s2}"),
+        (2, f"xx {s1} yy"),
+        (3, f"zz {s2} ww"),
+    ]
+    out = _dedup(spark, rows)
+    d1 = sorted(
+        [r for r in out if r["doc_id"] == 1], key=lambda r: r["span_start"]
+    )
+    assert [(r["span_start"], r["span_len"]) for r in d1] == [(0, 4), (12, 4)]
+    clusters = {r["cluster"] for r in out}
+    assert len(clusters) == 2  # one per distinct passage
+
+
+def test_normalization_applies(spark):
+    # case / punctuation differences normalize away -> still verbatim
+    rows = [
+        (1, "One, Two;  THREE four!"),
+        (2, "prefix one two three four suffix words here"),
+    ]
+    out = _dedup(spark, rows)
+    assert {r["doc_id"] for r in out} == {1, 2}
+
+
+def test_min_tokens_validated(spark):
+    with pytest.raises(ValueError):
+        _dedup(spark, [(1, "a b c")], min_tokens=1)
+
+
+def test_plan_shape(spark, sf_dir):
+    """Scale posture: anchor meeting is hash-bucketed (no cartesian,
+    no BNLJ) and the island window is partitioned by doc id."""
+    from datacamp_etl_spark.queries import QUERIES
+
+    df = QUERIES["substring_dedup"](spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_nb_train_drops_tokenless_class(spark):
+    """A class whose training docs are all empty vanishes from the
+    model (documented nb_train contract): no prior row, never
+    predicted."""
+    from datacamp_etl_spark.operators.classify import nb_classify, nb_train
+
+    train = spark.createDataFrame(
+        [(0, "x y x", "a"), (1, "y z", "b"), (2, "", "ghost"), (3, "...", "ghost")],
+        "doc_id long, text string, lang string",
+    )
+    model = nb_train(train)
+    labels = {r["lang"] for r in model["priors"].collect()}
+    assert labels == {"a", "b"}
+    test = spark.createDataFrame(
+        [(10, "unseen tokens only", "?")],
+        "doc_id long, text string, lang string",
+    )
+    preds = {r["predicted"] for r in nb_classify(test, model).collect()}
+    assert "ghost" not in preds
