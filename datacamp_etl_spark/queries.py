@@ -6748,58 +6748,42 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# Driver adjudication window ordering (round 7) — keep this LAST
+# Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================
 # The round driver oracle-checks the FIRST-50 prefix of this registry
-# (confirmed against CORRECTNESS_r01–r06: the adjudicated set is
-# exactly registry positions 0–49). Entries added in rounds 5–6 were
-# registered at the tail (positions 140–149) and so were never
-# driver-adjudicated — only selfcheck + judge evidence. The r4 fix
-# physically moved definitions earlier in the file; that splits an
-# operator's registry entry away from the section that documents it,
-# so from round 7 the ordering is explicit instead: the names below
-# are promoted to the registry front (in this order), everything else
-# follows in original registration order. Displaced veterans keep
-# their cross-round driver green — the union ledger in COVERAGE.md is
-# cumulative. Any NEW entry must be added to this list in the same
-# commit that registers it, so it lands in the window on its first
-# driver run (enforced by tests/test_registry_window.py).
-_PROMOTE_TO_WINDOW: list[str] = [
-    # round-6 additions, never driver-adjudicated (VERDICT r6 item #1)
-    "gopher_quality",
-    "pii_scan",
-    "pii_redact",
-    "lm_perplexity_scores",
-    "dedup_recall_eval",
-    "zorder_layout",
-    "sentence_stats",
-    "stratified_sample_docs",
-    "dedup_recall_planned",
-    "audio_features",
-    # round-7 additions
-    "dedup_recall_sampled",
-    "bpe_encode",
-    "pack_sequences_bpe",
-    "nb_language_scores",
-    "ivfpq_topk_embeddings",
-    "near_dup_keep_best",
-    "source_kl_divergence",
-    "kmeans_cluster_purity",
-    "bpe_roundtrip",
-]
+# (confirmed against CORRECTNESS_r01–r07). From round 8 the ordering
+# is a deterministic rotation driven by the adjudication ledger
+# (datacamp_etl_spark/adjudication.py, regenerated each round by
+# scripts/update_ledger.py from the CORRECTNESS_r*.json files):
+#
+#   [entries never driver-adjudicated]           (registration order)
+#   + [everything else, ascending by last-adjudicated round,
+#      registration order within a round]
+#
+# So each round's 50-slot window holds the new entries plus the 40-odd
+# least-recently-checked veterans; the whole 150+ registry cycles
+# through the driver's hard correctness signal in ~3 rounds (VERDICT
+# r7 item #1/#3). New entries need no manual list edit — being absent
+# from the ledger puts them at the very front automatically
+# (enforced by tests/test_registry_window.py).
+
+from datacamp_etl_spark.adjudication import LAST_ADJUDICATED  # noqa: E402
 
 
-def _front_load(front: list[str]) -> None:
-    """Stable-reorder QUERIES/ORACLE in place: `front` first, then the
-    remaining entries in their original registration order."""
-    missing = [n for n in front if n not in QUERIES]
-    if missing:  # fail loudly at import: a typo here would silently
-        raise KeyError(f"_PROMOTE_TO_WINDOW names unknown entries: {missing}")
-    ordered = list(front) + [n for n in QUERIES if n not in set(front)]
+def _rotation_order() -> list[str]:
+    reg_idx = {n: i for i, n in enumerate(QUERIES)}
+    return sorted(
+        QUERIES,
+        key=lambda n: (LAST_ADJUDICATED.get(n, -1), reg_idx[n]),
+    )
+
+
+def _apply_order(ordered: list[str]) -> None:
+    """Stable-reorder QUERIES/ORACLE in place to `ordered`."""
     for d in (QUERIES, ORACLE):
         snapshot = {n: d[n] for n in ordered if n in d}
         d.clear()
         d.update(snapshot)
 
 
-_front_load(_PROMOTE_TO_WINDOW)
+_apply_order(_rotation_order())
