@@ -84,6 +84,17 @@ def nb_train(
       (token, class) pairs; absent pairs take the class floor.
     - ``vocab``: 1-row (v) — the smoothing denominator's vocabulary
       size, kept for introspection/tests.
+
+    Edge case, by design: a class whose training documents are ALL
+    empty (zero tokens after normalization) is dropped from the model
+    — ``priors`` inner-joins the per-class token counts, so the class
+    contributes no prior and can never be predicted. Rationale: its
+    ``class_tokens`` is 0, so every token would score the bare floor
+    ``ln(alpha) - ln(alpha*V)``, which is GREATER than any trained
+    class's floor — an all-empty label (usually a data bug) would
+    otherwise win every unseen-token argmax. The oracle SQL replays
+    the same inner join. Pinned by
+    ``test_nb_train_drops_tokenless_class``.
     """
     toks = _token_stream(
         docs, id_col=id_col, text_col=text_col, label_col=label_col

@@ -233,10 +233,23 @@ def ivfpq_topk(
     centroids = [
         [float(x) for x in r[vec_col]] for r in centroid_rows
     ]
+    # Round to the repo-wide 6 decimals BEFORE the argmax (consistent
+    # with the adc_dist contract) so a near-tie cannot flip the cell
+    # choice between the three float implementations involved (Spark
+    # JVM fold, Python _py_cos, DuckDB list_cosine_similarity), and
+    # coalesce zero-norm rows to the -2.0 sentinel (_py_cos's own
+    # zero-norm contract) so they keep a cell instead of being
+    # silently dropped by a NULL argmax.
     sims = F.array(
         *[
-            cosine_similarity(
-                F.col(vec_col), F.array(*[F.lit(x) for x in cen])
+            F.round(
+                F.coalesce(
+                    cosine_similarity(
+                        F.col(vec_col), F.array(*[F.lit(x) for x in cen])
+                    ),
+                    F.lit(-2.0),
+                ),
+                6,
             )
             for cen in centroids
         ]
@@ -251,7 +264,8 @@ def ivfpq_topk(
 
     q = [float(x) for x in query]
     probe = sorted(
-        range(len(centroids)), key=lambda i: (-_py_cos(q, centroids[i]), i)
+        range(len(centroids)),
+        key=lambda i: (-round(_py_cos(q, centroids[i]), 6), i),
     )[:num_probes]
 
     scanned = df.withColumn("__cell", cell).where(

@@ -472,7 +472,6 @@ def sentence_stats(
 def source_kl_divergence(
     df: DataFrame,
     *,
-    id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "source",
     decimals: int = 6,

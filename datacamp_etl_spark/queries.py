@@ -6534,11 +6534,18 @@ def q_nb_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned AS (SELECT vec_id, e, cell_id FROM (
                 SELECT v.vec_id, v.e, cen.cell_id,
                        row_number() OVER (PARTITION BY v.vec_id
-                           ORDER BY list_cosine_similarity(v.e, cen.cv) DESC,
+                           ORDER BY CASE WHEN isnan(
+                                        list_cosine_similarity(v.e, cen.cv))
+                                    THEN -2.0
+                                    ELSE round(list_cosine_similarity(
+                                        v.e, cen.cv), 6) END DESC,
                                     cen.cell_id) AS rn
                 FROM v CROSS JOIN cen) WHERE rn = 1),
     probe AS (SELECT cell_id FROM cen CROSS JOIN q
-              ORDER BY list_cosine_similarity(cv, qv) DESC, cell_id LIMIT 4),
+              ORDER BY CASE WHEN isnan(list_cosine_similarity(cv, qv))
+                       THEN -2.0
+                       ELSE round(list_cosine_similarity(cv, qv), 6) END
+                  DESC, cell_id LIMIT 4),
     sc AS (SELECT vec_id, e FROM assigned
            WHERE cell_id IN (SELECT cell_id FROM probe)),
     d AS (

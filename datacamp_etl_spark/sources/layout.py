@@ -234,10 +234,26 @@ def write_zordered(
     from pyspark.sql import functions as F
 
     keyed = df.withColumn("__zkey", zorder_key(df, cols, bits=bits))
-    (
-        keyed.repartitionByRange(num_files, F.col("__zkey"))
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # Range boundaries come from a per-partition reservoir sample; at
+    # the default (100/partition) the boundary noise makes file spans
+    # drift run-to-run (measured ±0.03 span-fraction at sf0.01, enough
+    # to wobble the layout gate). 1000 samples of one LONG key per
+    # partition is negligible driver traffic and makes the boundaries
+    # (hence the physical layout) reproducible.
+    sess = df.sparkSession
+    conf_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    prev = sess.conf.get(conf_key, None)
+    sess.conf.set(conf_key, "1000")
+    try:
+        (
+            keyed.repartitionByRange(num_files, F.col("__zkey"))
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            sess.conf.unset(conf_key)
+        else:
+            sess.conf.set(conf_key, prev)

@@ -93,11 +93,19 @@ def test_ivfpq_topk_matches_pq_ranking_on_probed_cells(spark):
         df, q, topk=5, num_cells=8, num_probes=8, m=2, k=4
     ).collect()
     assert len(out) == 5
-    # full-probe IVF-PQ == plain PQ over everything: the query vector's
-    # own row must rank first (ADC distance to itself is the minimum of
-    # its own cell's code distances; with probes=cells nothing pruned).
     dists = [r["adc_dist"] for r in out]
     assert dists == sorted(dists)
+    # With probes == cells nothing is pruned, so full-probe IVF-PQ
+    # must equal plain PQ (same codebooks, same ADC) over the whole
+    # corpus, row for row.
+    from datacamp_etl_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    books = pq_train(df, m=2, k=4, n_iter=0)
+    codes = pq_encode(df, books)
+    plain = pq_topk(codes, books, q, topk=5).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in out] == [
+        (r["vec_id"], r["adc_dist"]) for r in plain
+    ]
 
 
 def test_ivfpq_prunes_to_probed_cells(spark):
@@ -173,7 +181,7 @@ def test_source_kl_divergence_zero_for_identical_sources(spark):
         for i in range(5):
             rows.append((f"{s}{i}", s, "alpha beta gamma"))
     docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
-    out = source_kl_divergence(docs, id_col="doc_id").collect()
+    out = source_kl_divergence(docs).collect()
     assert len(out) == 2
     for r in out:
         assert r["kl"] == 0.0
