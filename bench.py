@@ -118,6 +118,20 @@ HEADLINE = [
     "dedup_recall_sampled",
     "bpe_encode",
     "pack_sequences_bpe",
+    # round-8 addition: exact substring dedup (Lee et al. 2022)
+    "substring_dedup",
+]
+
+# Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap
+# queries UNTOUCHED since round 1 (`git log --follow` on their
+# operators shows no change), re-measured standalone every run. Their
+# drift round-over-round measures the box, not the code — divide the
+# in-sequence numbers by the sentinel ratio before calling anything a
+# regression. Do not edit this list; its value is that it never moves.
+SENTINELS = [
+    "q1_pricing_summary",
+    "mapped_append",
+    "kmv_distinct_custkey",
 ]
 
 
@@ -186,13 +200,21 @@ def main() -> None:
     # methodology (operator caches released, JIT/page cache retained),
     # but each query measured back-to-back with nothing else in flight.
     standalone: dict[str, float] = {}
+    sentinel: dict[str, float] = {}
     if not smoke:
-        n_worst = int(os.environ.get("SPARK_GRAFT_STANDALONE_N", "5"))
+        n_worst = int(os.environ.get("SPARK_GRAFT_STANDALONE_N", "10"))
         for name in sorted(warm, key=warm.get, reverse=True)[:n_worst]:
             release_engine_caches()
             start = time.perf_counter()
             _execute(QUERIES[name](spark, sf_dir))
             standalone[name] = round(time.perf_counter() - start, 3)
+        for name in SENTINELS:
+            if name not in QUERIES:
+                continue
+            release_engine_caches()
+            start = time.perf_counter()
+            _execute(QUERIES[name](spark, sf_dir))
+            sentinel[name] = round(time.perf_counter() - start, 3)
         release_engine_caches()
 
     timings = cold if smoke else warm
@@ -213,14 +235,18 @@ def main() -> None:
         # rebuilt inside the measured pass (steady-state compute, not
         # cached-read time). "queries_cold" is first-execution pass 1.
         payload["queries_standalone"] = standalone
+        payload["queries_sentinel"] = sentinel
         payload["series"] = "warm"
         payload["methodology"] = (
             "value/queries = pass 2 after release_engine_caches() "
             "(JIT+page-cache warm, operator caches rebuilt in-pass); "
             "value_cold/queries_cold = pass 1 first-execution; "
-            "queries_standalone = worst-5 warm queries re-measured in "
+            "queries_standalone = worst-10 warm queries re-measured in "
             "isolation (noise confirmation — trust these over the "
-            "in-sequence numbers when they disagree)"
+            "in-sequence numbers when they disagree); "
+            "queries_sentinel = pinned r1-era queries re-measured "
+            "standalone every run — their round-over-round drift is "
+            "the machine-speed factor, divide before comparing"
         )
     print(json.dumps(payload))
     spark.stop()
