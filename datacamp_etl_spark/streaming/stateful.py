@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-__all__ = ["running_user_totals", "running_user_totals_tws"]
+__all__ = [
+    "running_user_totals",
+    "running_user_totals_tws",
+    "RunningTotalsProcessor",
+]
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_cents long"
 STATE_SCHEMA = "n long, cents long"
@@ -62,26 +66,27 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def running_user_totals_tws(events: DataFrame) -> DataFrame:
-    """The same per-user running totals on the transformWithState API
-    (Spark 4 arbitrary-state v2, ``StatefulProcessor``): typed
-    ValueState managed by the processor handle instead of a single
-    opaque tuple, with lifecycle hooks (init/close) and room for
-    timers/TTL — the API an evolving stateful operator grows into.
-    Identical integer-cents semantics to running_user_totals.
+def _make_processor_class():
+    """Build the StatefulProcessor subclass for transformWithState.
 
-    ENVIRONMENT GATE: the transformWithState Python worker protocol
-    needs a working ``google.protobuf``; where that is absent (as in
-    this build container) the streaming query crashes at start. The
-    operator stays for environments that have it; use
-    :func:`running_user_totals` (applyInPandasWithState) otherwise —
-    tests probe protobuf and skip accordingly."""
+    Deferred class creation (not a module-level class) only so the
+    pyspark import stays lazy, matching the rest of the streaming
+    package; the base-class import itself needs NO protobuf — every
+    line of processor logic below is plain-pytest-covered via a fake
+    handle/ValueState (tests/test_streaming_stateful.py). Only the
+    worker PROTOCOL at query start needs google.protobuf (the gated
+    core in running_user_totals_tws)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    class RunningTotals(StatefulProcessor):
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-user running (count, integer-cents sum) totals on the
+        Spark 4 arbitrary-state v2 API: typed ValueState managed by
+        the processor handle, lifecycle hooks (init/close) and room
+        for timers/TTL. Identical semantics to running_user_totals."""
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._agg = handle.getValueState("agg", STATE_SCHEMA)
 
@@ -103,8 +108,32 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningTotalsProcessor
+
+
+def __getattr__(name: str):
+    # expose the class lazily so `from ... import RunningTotalsProcessor`
+    # works without importing pyspark at module import time
+    if name == "RunningTotalsProcessor":
+        return _make_processor_class()
+    raise AttributeError(name)
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Running totals via ``transformWithStateInPandas`` — the thin
+    wiring around :class:`RunningTotalsProcessor`.
+
+    ENVIRONMENT GATE (irreducible core — these 5 lines only): the
+    transformWithState Python WORKER protocol serializes state
+    requests with ``google.protobuf`` (pyspark/sql/streaming/proto/
+    StateMessage_pb2.py needs the full descriptor-pool runtime, not
+    shimmable without vendoring the protobuf library); where absent
+    the streaming query crashes at start. Everything else — state
+    schema, output schema/mode, time mode, and the complete processor
+    logic — is plain-pytest-covered without protobuf. Use
+    :func:`running_user_totals` (applyInPandasWithState) otherwise."""
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotals(),
+        statefulProcessor=_make_processor_class()(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
