@@ -118,8 +118,11 @@ HEADLINE = [
     "dedup_recall_sampled",
     "bpe_encode",
     "pack_sequences_bpe",
-    # round-8 addition: exact substring dedup (Lee et al. 2022)
+    # round-8 additions: exact substring dedup (Lee et al. 2022) +
+    # derived quality signal, PSI drift monitor
     "substring_dedup",
+    "duplicate_text_fraction",
+    "psi_drift_events",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -48,6 +48,7 @@ __all__ = [
     "span_dedup",
     "containment_pairs",
     "substring_dedup",
+    "duplicate_text_fraction",
 ]
 
 
@@ -1361,5 +1362,51 @@ def substring_dedup(
                     " ",
                 )
             ).alias("cluster"),
+        )
+    )
+
+
+def duplicate_text_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Per-document fraction of tokens inside cross-document verbatim
+    spans — the quality-filter signal the Lee et al. 2022 pipeline
+    derives from exact substring dedup (a doc that is 80% shared
+    boilerplate is a removal candidate even if no single whole-doc
+    near-dup exists). Composes :func:`substring_dedup`: its maximal
+    spans are non-overlapping per doc by construction (the island
+    merge), so ``sum(span_len)`` is exactly the covered token count.
+
+    Returns ``(id_col, n_tokens, dup_tokens, dup_fraction)`` for
+    EVERY input document (zero-token docs report 0.0 — never NULL,
+    so a downstream ``dup_fraction < t`` filter keeps them instead of
+    silently dropping). Fraction rounded to the repo-wide 6 decimals.
+    """
+    spans = substring_dedup(
+        df, id_col, text_col, min_tokens=min_tokens
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").alias("__dup")
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("n_tokens")
+    )
+    dup = F.coalesce(F.col("__dup"), F.lit(0))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            dup.cast("long").alias("dup_tokens"),
+            F.round(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    dup / F.col("n_tokens")
+                ),
+                6,
+            ).alias("dup_fraction"),
         )
     )

@@ -4174,9 +4174,11 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(t(spark, sf_dir, "documents"), span=3)
 
 
-@register(
-    "substring_dedup",
-    f"""
+# Shared CTE chain: k-gram anchors -> cross-doc dup anchors ->
+# per-doc island merge into maximal spans `s(doc_id, span_start,
+# span_len)`; used by both substring_dedup and
+# duplicate_text_fraction oracles (k = 10).
+_SUBSTR_SPANS_SQL = f"""
     {_TOKS_CTE},
     p AS (SELECT doc_id, toks,
                  unnest(generate_series(0, len(toks) - 10)) AS pos
@@ -4199,6 +4201,12 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT doc_id, min(pos) AS span_start,
                  max(pos) + 10 - min(pos) AS span_len
           FROM isl GROUP BY doc_id, island)
+"""
+
+
+@register(
+    "substring_dedup",
+    _SUBSTR_SPANS_SQL + """
     SELECT s.doc_id, CAST(span_start AS INT) AS span_start,
            CAST(span_len AS INT) AS span_len,
            md5(array_to_string(
@@ -4218,6 +4226,98 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return substring_dedup(
         t(spark, sf_dir, "documents"), min_tokens=10
+    )
+
+
+@register(
+    "duplicate_text_fraction",
+    _SUBSTR_SPANS_SQL + """
+    , pd AS (SELECT doc_id, sum(span_len) AS dup_tokens
+             FROM s GROUP BY doc_id)
+    SELECT tk.doc_id,
+           CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(CASE WHEN len(tk.toks) = 0 THEN 0.0
+                 ELSE coalesce(pd.dup_tokens, 0) / len(tk.toks) END,
+                 6) AS dup_fraction
+    FROM tk LEFT JOIN pd USING (doc_id)
+    """,
+)
+def q_duplicate_text_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-doc duplicated-text fraction (Lee et al. 2022
+    quality signal): tokens covered by cross-doc verbatim spans
+    (substring_dedup's non-overlapping maximal islands) over total
+    tokens, for EVERY document — zero-token and span-free docs report
+    0.0, never NULL. Same scale posture as substring_dedup plus one
+    aggregated per-doc shuffle and a left join on doc_id."""
+    from datacamp_etl_spark.operators.dedup import duplicate_text_fraction
+
+    return duplicate_text_fraction(
+        t(spark, sf_dir, "documents"), min_tokens=10
+    )
+
+
+@register(
+    "psi_drift_events",
+    """
+    WITH tsn AS (SELECT event_type, value, epoch_us(ts) AS us
+                 FROM events),
+    mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM tsn),
+    bkt AS (SELECT event_type,
+                   CASE WHEN us < (SELECT m FROM mid) THEN 0 ELSE 1 END
+                       AS side,
+                   least(9, greatest(0, CAST(floor(
+                       (value - 0.0) / 500.0 * 10) AS INT))) AS bucket
+            FROM tsn WHERE value IS NOT NULL),
+    cnt AS (SELECT event_type, side, bucket, count(*) AS n
+            FROM bkt GROUP BY 1, 2, 3),
+    scaffold AS (SELECT DISTINCT event_type, b.bucket
+                 FROM bkt CROSS JOIN (SELECT unnest(generate_series(0, 9))
+                                      AS bucket) b),
+    filled AS (SELECT sc.event_type, sc.bucket,
+                      coalesce(a.n, 0) AS a, coalesce(p.n, 0) AS b
+               FROM scaffold sc
+               LEFT JOIN (SELECT * FROM cnt WHERE side = 0) a
+                      USING (event_type, bucket)
+               LEFT JOIN (SELECT * FROM cnt WHERE side = 1) p
+                      USING (event_type, bucket)),
+    tot AS (SELECT event_type, sum(a) AS ta, sum(b) AS tb
+            FROM filled GROUP BY 1)
+    SELECT f.event_type,
+           CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b,
+           round(sum(((f.a + 1) / (ta + 10) - (f.b + 1) / (tb + 10))
+                 * ln(((f.a + 1) / (ta + 10))
+                      / ((f.b + 1) / (tb + 10)))), 6) AS psi
+    FROM filled f JOIN tot USING (event_type)
+    GROUP BY f.event_type
+    """,
+)
+def q_psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Population Stability Index drift monitor
+    (profile.psi_drift): per event type, PSI of the `value`
+    distribution between the first and second temporal half of the
+    events table (midpoint of the integer-microsecond ts range — an
+    exact, engine-portable split). 10 fixed bins over [0, 500),
+    Laplace-smoothed proportions; two aggregated count shuffles down
+    to groups x bins rows, all arithmetic on that bounded table."""
+    from datacamp_etl_spark.operators.profile import psi_drift
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
+    ev = scoped_cache(
+        t(spark, sf_dir, "events").select(
+            "event_type", "value", F.unix_micros(F.col("ts")).alias("__us")
+        )
+    )
+    mid = ev.agg(
+        ((F.min("__us") + F.max("__us")) / F.lit(2)).cast("long").alias("m")
+    )
+    ev = ev.crossJoin(F.broadcast(mid))
+    pre = ev.where(F.col("__us") < F.col("m"))
+    post = ev.where(F.col("__us") >= F.col("m"))
+    return psi_drift(
+        pre, post, "value",
+        lo=0.0, hi=500.0, bins=10, group_col="event_type",
     )
 
 

@@ -29,6 +29,9 @@ ALLOWED_BNLJ = {
     "above max_exact_rows, so the O(n²) plan cannot reach production "
     "scale; the default scale path is cosine_near_dup_lsh",
     "temperature_mix": "per-source sampling-rate table (|sources| rows)",
+    "psi_drift_events": "1-row temporal-midpoint scalar broadcast "
+    "(min/max ts aggregate) into the pre/post split, plus the "
+    "no-group PSI reduce over the bounded groups x bins table",
     "gapfill_hourly_events": "hour spine bounded by the queried range",
     "ann_recall_eval": "1-row x 1-row scalar-aggregate cross join "
     "(hit count x pool count) plus a 10-row exact-top-k broadcast",

@@ -111,3 +111,87 @@ def test_nb_train_drops_tokenless_class(spark):
     )
     preds = {r["predicted"] for r in nb_classify(test, model).collect()}
     assert "ghost" not in preds
+
+
+# ---------------------------------------------------------------------
+# duplicate_text_fraction / psi_drift (round-8 stretch)
+# ---------------------------------------------------------------------
+
+
+def test_duplicate_text_fraction_covers_all_docs(spark):
+    from datacamp_etl_spark.operators.dedup import duplicate_text_fraction
+
+    shared = "one two three four"
+    rows = [
+        (1, f"{shared} aa bb cc dd"),          # 4 of 8 tokens shared
+        (2, f"xx {shared} yy"),                # 4 of 6
+        (3, "totally distinct text here now"), # 0 of 5
+        (4, ""),                               # zero tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_text_fraction(docs, min_tokens=4).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # EVERY doc reported
+    assert (out[1]["n_tokens"], out[1]["dup_tokens"]) == (8, 4)
+    assert out[1]["dup_fraction"] == 0.5
+    assert (out[2]["n_tokens"], out[2]["dup_tokens"]) == (6, 4)
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_fraction"] == 0.0
+    assert out[4]["n_tokens"] == 0 and out[4]["dup_fraction"] == 0.0
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shift(spark):
+    import math
+
+    from datacamp_etl_spark.operators.profile import psi_drift
+
+    a = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "v double"
+    )
+    b = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "v double"
+    )
+    same = psi_drift(a, b, "v", lo=0.0, hi=10.0, bins=10).collect()
+    assert len(same) == 1
+    assert same[0]["psi"] == 0.0 and same[0]["n_a"] == 100
+
+    # hard shift: all mass moves to the top bin
+    c = spark.createDataFrame([(9.5,)] * 100, "v double")
+    shifted = psi_drift(a, c, "v", lo=0.0, hi=10.0, bins=10).collect()[0]
+    assert shifted["psi"] > 0.25  # "major shift" band
+    # closed-form check with the documented Laplace smoothing
+    want = 0.0
+    for i in range(10):
+        p = (10 + 1) / (100 + 10)
+        q = ((100 if i == 9 else 0) + 1) / (100 + 10)
+        want += (p - q) * math.log(p / q)
+    assert abs(shifted["psi"] - round(want, 6)) < 1e-9
+
+
+def test_psi_drift_grouped_scaffold_counts_empty_bins(spark):
+    from datacamp_etl_spark.operators.profile import psi_drift
+
+    # group g2 exists only on side A: its side-B proportions are all
+    # the smoothed 1/bins floor; PSI must still be finite and present
+    a = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 2.0), ("g2", 3.0)], "g string, v double"
+    )
+    b = spark.createDataFrame([("g1", 1.0)], "g string, v double")
+    out = {
+        r["g"]: r
+        for r in psi_drift(
+            a, b, "v", lo=0.0, hi=4.0, bins=4, group_col="g"
+        ).collect()
+    }
+    assert set(out) == {"g1", "g2"}
+    assert out["g2"]["n_b"] == 0
+    assert out["g2"]["psi"] is not None
+
+
+def test_psi_drift_validates_bins(spark):
+    from datacamp_etl_spark.operators.profile import psi_drift
+
+    docs = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        psi_drift(docs, docs, "v", lo=0.0, hi=1.0, bins=1)
