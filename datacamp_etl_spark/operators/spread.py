@@ -46,8 +46,9 @@ def scoped_cache(df: DataFrame) -> DataFrame:
 
 def release_engine_caches() -> int:
     """Unpersist every :func:`scoped_cache`-registered DataFrame
-    (non-blocking) and return how many were released. Call between
-    queries in long-lived hosts (bench loop, driver gate, notebook)."""
+    (non-blocking), sweep any other still-persisted RDD blocks, and
+    return how many handles were released. Call between queries in
+    long-lived hosts (bench loop, driver gate, notebook)."""
     n = len(_ENGINE_CACHES)
     for df in _ENGINE_CACHES:
         try:
@@ -55,6 +56,37 @@ def release_engine_caches() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     _ENGINE_CACHES.clear()
+    # ``localCheckpoint()`` (graph CC rounds, contiguous-id offsets,
+    # BPE merge pins) persists RDD blocks that no scoped_cache handle
+    # tracks. In a long-lived host they accumulate across queries:
+    # storage fills, the unified memory manager squeezes execution
+    # memory, and late sort/join-heavy queries start spilling (~10x
+    # observed on the 89-query bench JVM). Sweep the JVM's persistent
+    # -RDD registry too — between host actions no in-flight plan may
+    # depend on a previous query's materialized state, the same
+    # contract the scoped-cache release already relies on.
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            n += jmap.size()
+            for jrdd in jmap.values():
+                jrdd.unpersist(False)
+            # Broadcast payloads and shuffle files are reclaimed by
+            # Spark's ContextCleaner only after a GC turns their weak
+            # references over — and a driver that is busy running
+            # queries back-to-back may not GC for the whole session,
+            # so hundreds of dead broadcasts/shuffles stay pinned.
+            # Drop the py4j references first, then nudge the JVM so
+            # the cleaner's reference queue actually drains.
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+    except Exception:  # session stopped / JVM gone — nothing to free
+        pass
     return n
 
 

@@ -195,3 +195,19 @@ def test_psi_drift_validates_bins(spark):
     docs = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError):
         psi_drift(docs, docs, "v", lo=0.0, hi=1.0, bins=1)
+
+
+def test_release_engine_caches_sweeps_localcheckpoints(spark):
+    from datacamp_etl_spark.operators.spread import release_engine_caches
+
+    df = spark.range(1000).localCheckpoint()
+    assert df.count() == 1000
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() >= 1
+    release_engine_caches()
+    # every pinned block (scoped caches AND untracked localCheckpoint
+    # blocks) must be gone — in a long-lived host leaked checkpoint
+    # storage squeezes execution memory until sort-heavy queries spill
+    assert jsc.getPersistentRDDs().size() == 0
+    # the session stays fully usable after the sweep
+    assert spark.range(5).count() == 5
