@@ -123,6 +123,9 @@ HEADLINE = [
     "substring_dedup",
     "duplicate_text_fraction",
     "psi_drift_events",
+    "dsir_weights",
+    "c4_quality",
+    "perplexity_buckets",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -35,6 +35,7 @@ __all__ = [
     "repetition_profile",
     "boilerplate_ratio",
     "gopher_rules",
+    "c4_rules",
 ]
 
 
@@ -345,5 +346,60 @@ def gopher_rules(
         & (F.col("bullet_milli") < max_bullet_milli)
         & (F.col("ellipsis_milli") < max_ellipsis_milli)
         & (F.col("n_stop_distinct") >= min_stopword_hits)
+    )
+    return sig.withColumn("keep", keep.cast("int"))
+
+
+def c4_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_sentences: int = 3,
+    min_words: int = 5,
+) -> DataFrame:
+    """C4-style rule-battery document filter (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2) — the other canonical pretraining rule set
+    next to :func:`gopher_rules`: require at least ``min_sentences``
+    sentences and ``min_words`` words, and drop documents containing
+    the "lorem ipsum" placeholder, a curly brace (code/templating
+    leak), the word "javascript" (unrendered-page boilerplate), or a
+    cookies/policy notice phrase. (C4's remaining rules are span
+    removal and exact dedup — :func:`~datacamp_etl_spark.operators.
+    dedup.span_dedup` / ``dedup_exact`` in this engine.)
+
+    Sentences are counted as terminal-punctuation marks (``. ! ?``),
+    the C4 proxy. All signals are per-row regex/contains kernels —
+    zero shuffles, zero UDFs; at 100 TB the battery runs inside the
+    scan stage and ``keep`` pushes into a downstream filter. Returns
+    ``(id, n_sentences, n_words, has_lorem_ipsum, has_curly_brace,
+    has_javascript, has_policy_phrase, keep)`` with flags as int 0/1.
+    """
+    c = F.col(text_col)
+    low = F.lower(c)
+    policy = (
+        low.contains("terms of use")
+        | low.contains("privacy policy")
+        | low.contains("cookie policy")
+        | low.contains("uses cookies")
+    )
+    sig = df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]"), 0))
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.size(tokens(text_col)).cast("bigint").alias("n_words"),
+        low.contains("lorem ipsum").cast("int").alias("has_lorem_ipsum"),
+        c.contains("{").cast("int").alias("has_curly_brace"),
+        low.contains("javascript").cast("int").alias("has_javascript"),
+        policy.cast("int").alias("has_policy_phrase"),
+    )
+    keep = (
+        (F.col("n_sentences") >= min_sentences)
+        & (F.col("n_words") >= min_words)
+        & (F.col("has_lorem_ipsum") == 0)
+        & (F.col("has_curly_brace") == 0)
+        & (F.col("has_javascript") == 0)
+        & (F.col("has_policy_phrase") == 0)
     )
     return sig.withColumn("keep", keep.cast("int"))

@@ -35,6 +35,7 @@ __all__ = [
     "token_entropy",
     "oov_rate",
     "source_kl_divergence",
+    "perplexity_buckets",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -516,4 +517,54 @@ def source_kl_divergence(
             F.count("*").cast("long").alias("n_distinct_tokens"),
             F.round(F.sum(term), decimals).alias("kl"),
         )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    *,
+    buckets: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """CCNet-style per-language perplexity banding (Wenzek et al.
+    2020, arXiv:1911.00359): score every document with the corpus
+    bigram LM (:func:`bigram_lm_scores`) and split each language into
+    equal-count quality bands — CCNet's head/middle/tail, where "head"
+    (lowest perplexity) feeds pretraining first and "tail" is
+    discarded or down-weighted.
+
+    Returns ``(id, lang, lm_score, bucket, band)`` for every document
+    with >= 1 bigram; ``bucket`` is ANSI ``ntile(buckets)`` over
+    ``(lm_score, id)`` within the language (the id tiebreak makes the
+    banding deterministic), ``band`` is head/middle/tail for the
+    default 3 buckets, ``b<k>`` otherwise.
+
+    Scale note: the window partitions by LANGUAGE, so a mono-lingual
+    mega-corpus concentrates in few partitions. CCNet itself computes
+    the per-language cutoffs on a sample; for that regime, compute
+    boundary literals per language with
+    :func:`~datacamp_etl_spark.operators.ids.exact_ntile`'s
+    range-exchange recipe instead of this exact in-partition tile.
+    """
+    from pyspark.sql import Window
+
+    scores = bigram_lm_scores(df, id_col, text_col, decimals=decimals)
+    w = Window.partitionBy(lang_col).orderBy("lm_score", id_col)
+    bucket = F.ntile(buckets).over(w)
+    if buckets == 3:
+        band = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        band = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return (
+        df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+        .join(scores, id_col)
+        .select(id_col, "lang", "lm_score", bucket.alias("bucket"))
+        .withColumn("band", band)
     )

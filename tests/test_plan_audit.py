@@ -29,6 +29,8 @@ ALLOWED_BNLJ = {
     "above max_exact_rows, so the O(n²) plan cannot reach production "
     "scale; the default scale path is cosine_near_dup_lsh",
     "temperature_mix": "per-source sampling-rate table (|sources| rows)",
+    "dsir_weights": "1-row per-side-totals scalar broadcast onto the "
+    "<=buckets-row model table (never onto document rows)",
     "psi_drift_events": "1-row temporal-midpoint scalar broadcast "
     "(min/max ts aggregate) into the pre/post split, plus the "
     "no-group PSI reduce over the bounded groups x bins table",
@@ -46,6 +48,9 @@ ALLOWED_BNLJ = {
     "lm_perplexity_scores": "1-row vocabulary-size broadcast (the "
     "add-one-smoothing denominator |V| is a global countDistinct, "
     "crossJoined onto the bigram stream as a single-row literal)",
+    "perplexity_buckets": "1-row vocabulary-size broadcast inherited "
+    "from bigram_lm_scores (same |V| scalar as lm_perplexity_scores); "
+    "the banding window itself is language-partitioned",
     "nb_language_scores": "bounded model-side broadcasts: the 1-row "
     "|V| vocabulary scalar and 1-row n_docs scalar (same pattern as "
     "lm_perplexity_scores) plus the |classes|-row priors table — "

@@ -211,3 +211,88 @@ def test_release_engine_caches_sweeps_localcheckpoints(spark):
     assert jsc.getPersistentRDDs().size() == 0
     # the session stays fully usable after the sweep
     assert spark.range(5).count() == 5
+
+
+# ---------------------------------------------------------------------
+# dsir_weights / c4_rules / perplexity_buckets (round-8 stretch 2)
+# ---------------------------------------------------------------------
+
+
+def test_dsir_weights_ranks_target_like_docs_higher(spark):
+    from pyspark.sql import functions as F
+
+    from datacamp_etl_spark.operators.selection import dsir_weights
+
+    rows = (
+        [(i, "alpha beta gamma delta", 1) for i in range(10)]       # target
+        + [(i, "alpha beta gamma epsilon", 0) for i in range(10, 14)]  # close
+        + [(i, "zeta eta theta iota", 0) for i in range(14, 18)]    # far
+        + [(18, "", 0)]                                             # empty
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt int")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            docs, F.col("tgt") == 1, buckets=64
+        ).collect()
+    }
+    assert set(out) == set(range(19))  # EVERY pool doc reported
+    close, far = out[10]["log_weight"], out[14]["log_weight"]
+    assert close > far  # target-like text scores higher
+    assert out[18]["n_feats"] == 0 and out[18]["log_weight"] == 0.0
+
+
+def test_dsir_weights_validates_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from datacamp_etl_spark.operators.selection import dsir_weights
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dsir_weights(docs, F.lit(True), buckets=1)
+
+
+def test_c4_rules_flags_and_keep(spark):
+    from datacamp_etl_spark.operators.quality import c4_rules
+
+    rows = [
+        (1, "Good doc with words. More here! Really? yes indeed"),
+        (2, "short. no"),                          # < 3 sentences
+        (3, "Fine text lorem ipsum more. Two! Three? pad pad"),
+        (4, "Code doc { x } one. Two! Three? pad pad"),
+        (5, "Enable JavaScript to view. Two! Three? pad pad"),
+        (6, "This site uses cookies ok. Two! Three? pad pad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_rules(docs).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0 and out[2]["n_sentences"] == 1
+    assert out[3]["has_lorem_ipsum"] == 1 and out[3]["keep"] == 0
+    assert out[4]["has_curly_brace"] == 1 and out[4]["keep"] == 0
+    assert out[5]["has_javascript"] == 1 and out[5]["keep"] == 0
+    assert out[6]["has_policy_phrase"] == 1 and out[6]["keep"] == 0
+
+
+def test_perplexity_buckets_equal_bands_per_lang(spark):
+    from collections import Counter
+
+    from datacamp_etl_spark.operators.text import perplexity_buckets
+
+    # 9 docs per lang, salted with a unique token so every doc has a
+    # distinct bigram set (and >= 1 bigram)
+    rows = [
+        (lang_i * 100 + i, f"{lang} common word w{i} tail token", lang)
+        for lang_i, lang in enumerate(["en", "fr"])
+        for i in range(9)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(docs).collect()
+    assert len(out) == 18
+    for lang in ("en", "fr"):
+        bands = Counter(r["band"] for r in out if r["lang"] == lang)
+        assert bands == {"head": 3, "middle": 3, "tail": 3}
+    # within a lang, every head score <= every tail score
+    en = [r for r in out if r["lang"] == "en"]
+    assert max(r["lm_score"] for r in en if r["band"] == "head") <= min(
+        r["lm_score"] for r in en if r["band"] == "tail"
+    )
