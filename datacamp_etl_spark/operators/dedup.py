@@ -49,6 +49,7 @@ __all__ = [
     "containment_pairs",
     "substring_dedup",
     "duplicate_text_fraction",
+    "source_minhash_overlap",
 ]
 
 
@@ -1408,5 +1409,56 @@ def duplicate_text_fraction(
                 ),
                 6,
             ).alias("dup_fraction"),
+        )
+    )
+
+
+def source_minhash_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Corpus-overlap matrix: estimated shingle-set Jaccard between
+    every pair of GROUPS (sources/dumps/snapshots), from one MinHash
+    pass — the before-you-merge diagnostic for "how much of dataset B
+    is already in dataset A?" (the same set-resemblance estimator as
+    doc-level MinHash, Broder 1997, lifted to the union-of-shingles of
+    each group; a group's signature is the element-wise min over its
+    documents' shingle hashes, which :func:`minhash_signature` computes
+    directly when keyed by the group column).
+
+    Returns ``(source_a, source_b, est_jaccard)`` for ``a < b`` pairs,
+    ``est_jaccard`` = fraction of the ``num_hashes`` seeds whose group
+    minima collide (exact multiple of 1/num_hashes — float-safe).
+
+    Scale shape: the corpus is touched ONCE (shingle + single groupBy
+    keyed by the group — map-side combine collapses each partition to
+    |groups| x num_hashes partial minima before the exchange); the
+    pairwise compare runs on |groups| x num_hashes rows, broadcast-size
+    by construction. Never an all-pairs join over documents.
+    """
+    sig = minhash_signature(
+        df, id_col=group_col, text_col=text_col, num_hashes=num_hashes, k=k
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col(f"a.{group_col}") < F.col(f"b.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias("source_a"),
+            F.col(f"b.{group_col}").alias("source_b"),
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("a.minhash") == F.col("b.minhash")).cast("int"))
+                / F.lit(float(num_hashes)),
+                6,
+            ).alias("est_jaccard")
         )
     )

@@ -36,6 +36,7 @@ __all__ = [
     "mixture_sample",
     "sqrt_temperature_mix",
     "stratified_sample_exact_k",
+    "sequential_poisson_sample",
 ]
 
 #: Rate denominator: rates are expressed in millionths.
@@ -144,4 +145,45 @@ def stratified_sample_exact_k(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def sequential_poisson_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    key_out: str = "sp_key",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, size ``k``,
+    inclusion probability approximately proportional to ``weight_col``
+    (Ohlsson's *sequential Poisson sampling*, the order-sampling
+    scheme used by statistical offices for PPS draws): rank every row
+    by ``u / w`` where ``u`` is a uniform variate and ``w`` its
+    weight, keep the ``k`` smallest.
+
+    Determinism is the whole design: ``u`` is the repo's md5 sampling
+    bucket (+1, so it is in [1, 2^32] and a zero key cannot mass-tie),
+    and the ranking key is ONE IEEE-754 division of two
+    exactly-representable integers — correctly rounded, hence
+    bit-identical in every engine, unlike log/exp-based
+    Efraimidis–Spirakis keys whose libm rounding may differ. Ties are
+    impossible short of exact key equality, which ``id_col`` breaks.
+
+    Scale shape: zero-shuffle key computation + a global top-k
+    (TakeOrderedAndProject: per-partition heaps of size ``k`` merged
+    on the driver) — no global sort, no window. Rows with NULL or
+    non-positive weight are excluded (they have no defined inclusion
+    probability).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    key = (sample_bucket(id_col) + 1).cast("double") / w
+    return (
+        df.where(F.col(weight_col).isNotNull() & (w > 0))
+        .withColumn(key_out, key)
+        .orderBy(key_out, id_col)
+        .limit(k)
     )

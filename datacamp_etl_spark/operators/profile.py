@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["column_profile", "numeric_histogram", "psi_drift"]
+__all__ = ["column_profile", "numeric_histogram", "psi_drift", "mad_outliers"]
 
 
 def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -164,4 +164,85 @@ def psi_drift(
         F.max("__ta").cast("long").alias("n_a"),
         F.max("__tb").cast("long").alias("n_b"),
         F.round(F.sum((p - q) * F.log(p / q)), decimals).alias("psi"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    id_col: str,
+    z: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier profile via the median/MAD rule
+    (Iglewicz & Hoaglin's modified z-score): a row is an outlier when
+    ``|x - median| > z * 1.4826 * MAD`` — unlike mean/stddev fences,
+    the estimator itself is immune to the outliers it hunts (50%
+    breakdown point), which is what a data-quality monitor needs.
+
+    Returns one row per group: ``(group, n, median_val, mad,
+    n_outliers)``, medians exact (middle-of-two interpolation, ties
+    broken by ``id_col`` so both engines rank identically).
+
+    Scale shape: two partitioned-window passes (rank within group ->
+    median; rank of |x - median| -> MAD) + one conditional count — all
+    shuffles keyed by the group, never a global sort. The margin
+    compare is pure IEEE double arithmetic in a fixed order, so the
+    counts replay exactly in any engine.
+    """
+    from pyspark.sql import Window as W
+
+    x = F.col(value_col).cast("double")
+    wv = W.partitionBy(group_col).orderBy(value_col, id_col)
+    wc = W.partitionBy(group_col)
+    # NULL measurements have no deviation — and engines disagree on
+    # default NULL sort placement, so they never enter the ranking.
+    df = df.where(F.col(value_col).isNotNull())
+    r = df.select(group_col, value_col, id_col).select(
+        group_col,
+        x.alias("__x"),
+        F.col(id_col).alias("__id"),
+        F.row_number().over(wv).alias("__rn"),
+        F.count("*").over(wc).alias("__n"),
+    )
+    lo = F.floor((F.col("__n") + 1) / 2).cast("long")
+    hi = F.floor((F.col("__n") + 2) / 2).cast("long")
+    med = (
+        r.where((F.col("__rn") == lo) | (F.col("__rn") == hi))
+        .groupBy(group_col)
+        .agg(F.avg("__x").alias("__med"))
+    )
+    dev = r.join(F.broadcast(med), group_col).select(
+        group_col,
+        "__x",
+        "__id",
+        "__n",
+        F.abs(F.col("__x") - F.col("__med")).alias("__dev"),
+        "__med",
+    )
+    wd = W.partitionBy(group_col).orderBy("__dev", "__id")
+    d = dev.select(
+        group_col,
+        "__x",
+        "__n",
+        "__dev",
+        "__med",
+        F.row_number().over(wd).alias("__dn"),
+    )
+    mad = (
+        d.where((F.col("__dn") == lo) | (F.col("__dn") == hi))
+        .groupBy(group_col)
+        .agg(F.avg("__dev").alias("__mad"))
+    )
+    fence = F.lit(z) * F.lit(1.4826) * F.col("__mad")
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("__n").alias("n"),
+            F.round(F.max("__med"), 6).alias("median_val"),
+            F.round(F.max("__mad"), 6).alias("mad"),
+            F.sum((F.col("__dev") > fence).cast("long")).alias("n_outliers"),
+        )
     )

@@ -45,6 +45,7 @@ __all__ = [
     "cm_estimate_counts",
     "approx_distinct",
     "approx_quantiles",
+    "quantile_sketch_contract",
 ]
 
 #: Hash space size for the 8-hex-digit md5 prefix: [0, 2^32).
@@ -223,3 +224,61 @@ def hll_estimate(state: DataFrame, col: str) -> DataFrame:
     return state.withColumn(
         f"n_distinct_{col}", F.hll_sketch_estimate(sk).cast("long")
     ).drop(sk)
+
+
+def quantile_sketch_contract(
+    df: DataFrame,
+    col: str,
+    probabilities: list[float],
+    *,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Pin Spark's quantile sketch (``approx_percentile``,
+    Greenwald–Khanna style) to its published contract: for each
+    probability ``p`` the returned element's rank must lie within
+    ``±N/accuracy`` of ``p*N``. Emits one row per probability —
+    ``(prob, exact_val, within_contract)`` — where ``exact_val`` is
+    the exact interpolated percentile (percentile_cont semantics,
+    replayable in any engine) and ``within_contract`` verifies the
+    sketch's rank error from the data itself: the returned value's
+    rank interval ``[count(x < v) + 1, count(x <= v)]`` must overlap
+    ``[p*N - N/accuracy, p*N + N/accuracy]``. The same gate pattern as
+    ``hll_incremental_distinct``: the sketch binary is not replayable,
+    its CONTRACT is — a drifting sketch flips the boolean and breaks
+    the oracle hash.
+
+    Scale shape: the sketch pass is Spark's own single-pass mergeable
+    summary (bounded state per partition, merged on the driver — the
+    values collected are ``len(probabilities)`` floats, nothing more);
+    the verification pass is ONE conditional aggregation over the
+    column (map-side combined). Two scans total, no shuffle wider
+    than a scalar agg.
+    """
+    vals = df.approxQuantile(col, list(probabilities), 1.0 / accuracy)
+    x = F.col(col).cast("double")
+    aggs = [F.count(x).alias("__n")]
+    for i, (p, v) in enumerate(zip(probabilities, vals)):
+        aggs += [
+            F.expr(f"percentile({col}, CAST({p!r} AS DOUBLE))").alias(f"__ex{i}"),
+            F.sum((x <= F.lit(v)).cast("long")).alias(f"__le{i}"),
+            F.sum((x < F.lit(v)).cast("long")).alias(f"__lt{i}"),
+        ]
+    row = df.agg(*aggs)
+    eps = F.col("__n").cast("double") / accuracy
+    out = []
+    for i, p in enumerate(probabilities):
+        target = F.lit(p) * F.col("__n").cast("double")
+        within = (F.col(f"__le{i}").cast("double") >= target - eps) & (
+            (F.col(f"__lt{i}") + 1).cast("double") <= target + eps
+        )
+        out.append(
+            F.struct(
+                F.lit(p).alias("prob"),
+                F.round(F.col(f"__ex{i}"), 6).alias("exact_val"),
+                within.alias("within_contract"),
+            ).alias(f"__s{i}")
+        )
+    return (
+        row.select(F.explode(F.array(*out)).alias("s"))
+        .select("s.prob", "s.exact_val", "s.within_contract")
+    )

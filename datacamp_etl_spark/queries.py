@@ -7025,6 +7025,147 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(t(spark, sf_dir, "documents"))
 
 
+@register(
+    "weighted_sample_wor",
+    f"""
+    WITH w AS (SELECT doc_id, source, n_chars,
+                      ({_hash_bucket_sql("CAST(doc_id AS VARCHAR)")} + 1)
+                        / CAST(n_chars AS DOUBLE) AS sp_key
+               FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars > 0)
+    SELECT doc_id, source, n_chars, round(sp_key, 6) AS sp_key
+    FROM (SELECT * FROM w ORDER BY sp_key, doc_id LIMIT 200)
+    """,
+)
+def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic weighted sampling WITHOUT replacement
+    (mixture.sequential_poisson_sample, Ohlsson's order-sampling PPS
+    scheme): 200 documents drawn with inclusion probability ~
+    proportional to length. The ranking key u/w is one IEEE division
+    of md5-derived integers — engine-exact, append/layout-stable, and
+    the selection is a global top-k (per-partition heaps), never a
+    full sort."""
+    from datacamp_etl_spark.operators.mixture import sequential_poisson_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sequential_poisson_sample(docs, "n_chars", 200).select(
+        "doc_id", "source", "n_chars", F.round("sp_key", 6).alias("sp_key")
+    )
+
+
+@register(
+    "source_overlap_minhash",
+    f"""
+    WITH n AS (SELECT source, {_NORM_SQL} AS norm FROM documents),
+    tk AS (SELECT source,
+                  CASE WHEN norm = '' THEN []::VARCHAR[]
+                       ELSE string_split(norm, ' ') END AS toks
+           FROM n),
+    sh AS (SELECT source AS doc_id,
+                  unnest(list_distinct(list_transform(range(len(toks) - 2),
+                         i -> array_to_string(toks[(i+1):(i+3)], ' ')))) AS shingle
+           FROM tk WHERE len(toks) >= 3),
+    {{MINHASH_SIG}}
+    SELECT a.doc_id AS source_a, b.doc_id AS source_b,
+           round(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                 / 16.0, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.seed = b.seed AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] corpus-overlap matrix (dedup.source_minhash_overlap):
+    estimated shingle-set Jaccard between every source pair from ONE
+    MinHash pass keyed by source — the before-you-merge "how much of
+    B is already in A" diagnostic. The corpus shuffles once (map-side
+    combine collapses to |sources| x 16 partial minima); the pairwise
+    compare runs on that broadcast-sized signature table."""
+    from datacamp_etl_spark.operators.dedup import source_minhash_overlap
+
+    return source_minhash_overlap(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "approx_quantile_contract",
+    """
+    WITH q AS (SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS e50,
+                      round(quantile_cont(o_totalprice, 0.9), 6) AS e90,
+                      round(quantile_cont(o_totalprice, 0.99), 6) AS e99
+               FROM orders)
+    SELECT CAST(u.prob AS DOUBLE) AS prob,
+           CASE WHEN u.prob = 0.5 THEN e50
+                WHEN u.prob = 0.9 THEN e90 ELSE e99 END AS exact_val,
+           true AS within_contract
+    FROM q CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS u(prob)
+    """,
+)
+def q_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] quantile-sketch contract gate
+    (sketch.quantile_sketch_contract): approx_percentile's returned
+    element must rank within ±N/accuracy of p*N — verified from the
+    data in one conditional agg and pinned as a boolean next to the
+    exact percentile (the hll_incremental_distinct gate pattern: the
+    sketch isn't replayable in DuckDB, its contract is — a drifting
+    sketch flips the hash)."""
+    from datacamp_etl_spark.operators.sketch import quantile_sketch_contract
+
+    return quantile_sketch_contract(
+        t(spark, sf_dir, "orders"), "o_totalprice", [0.5, 0.9, 0.99]
+    )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH r AS (SELECT event_type AS grp,
+                      CAST(value AS DOUBLE) AS x, event_id AS id,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events WHERE value IS NOT NULL),
+    med AS (SELECT grp, avg(x) AS med FROM r
+            WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY grp),
+    dev AS (SELECT r.grp, r.x, r.id, r.n, med.med,
+                   abs(r.x - med.med) AS dv
+            FROM r JOIN med USING (grp)),
+    d AS (SELECT grp, dv, n,
+                 row_number() OVER (PARTITION BY grp ORDER BY dv, id) AS dn
+          FROM dev),
+    mad AS (SELECT grp, avg(dv) AS mad FROM d
+            WHERE dn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY grp)
+    SELECT dev.grp AS event_type,
+           max(dev.n) AS n,
+           round(max(dev.med), 6) AS median_val,
+           round(max(mad.mad), 6) AS mad,
+           CAST(sum(CASE WHEN dev.dv > (CAST(3.5 AS DOUBLE)
+                                        * CAST(1.4826 AS DOUBLE)) * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (grp)
+    GROUP BY dev.grp
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] robust outlier profile (profile.mad_outliers, Iglewicz &
+    Hoaglin modified z-score): per-event-type median + MAD fences on
+    the heavy-tailed value column — 50% breakdown point, so the fence
+    is immune to the outliers it hunts, unlike mean/stddev. Two
+    group-partitioned window passes + one conditional count; every
+    shuffle keyed by the group."""
+    from datacamp_etl_spark.operators.profile import mad_outliers
+
+    return mad_outliers(
+        t(spark, sf_dir, "events"),
+        "value",
+        "event_type",
+        id_col="event_id",
+    )
+
+
+ORACLE["source_overlap_minhash"] = ORACLE["source_overlap_minhash"].replace(
+    "{MINHASH_SIG}", _minhash_sig_cte()
+)
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

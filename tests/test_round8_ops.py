@@ -296,3 +296,147 @@ def test_perplexity_buckets_equal_bands_per_lang(spark):
     assert max(r["lm_score"] for r in en if r["band"] == "head") <= min(
         r["lm_score"] for r in en if r["band"] == "tail"
     )
+
+
+# ---------------------------------------------------------------------
+# sequential_poisson_sample (weighted sampling without replacement)
+# ---------------------------------------------------------------------
+
+def test_sps_selects_k_and_keys_are_u_over_w(spark):
+    from datacamp_etl_spark.operators.mixture import (
+        sample_bucket,
+        sequential_poisson_sample,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [(i, (i % 7) + 1) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = sequential_poisson_sample(df, "w", 10, id_col="doc_id")
+    got = out.collect()
+    assert len(got) == 10
+    # key really is (bucket+1)/w, and the selection is the k smallest
+    keyed = df.select(
+        "doc_id",
+        ((sample_bucket("doc_id") + 1).cast("double") / F.col("w").cast("double")).alias("k"),
+    ).collect()
+    expect = sorted(keyed, key=lambda r: (r["k"], r["doc_id"]))[:10]
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in expect]
+
+
+def test_sps_zero_and_null_weights_excluded_and_deterministic(spark):
+    from datacamp_etl_spark.operators.mixture import sequential_poisson_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, None), (4, 5), (5, 5)], "doc_id long, w int"
+    )
+    out = sequential_poisson_sample(df, "w", 5, id_col="doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 4, 5}  # zero/NULL weight rows never drawn
+    # same selection under a different physical layout
+    again = sequential_poisson_sample(df.repartition(7), "w", 5, id_col="doc_id")
+    assert {r["doc_id"] for r in again.collect()} == ids
+
+
+def test_sps_weight_bias(spark):
+    # with k = n/2, heavy rows must be selected at a visibly higher
+    # rate than light rows (inclusion ~ proportional to weight)
+    from datacamp_etl_spark.operators.mixture import sequential_poisson_sample
+
+    rows = [(i, 10 if i % 2 == 0 else 1) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sequential_poisson_sample(df, "w", 200, id_col="doc_id").collect()
+    heavy = sum(1 for r in got if r["w"] == 10)
+    assert heavy > 140  # 200 slots, heavy:light odds 10:1
+
+
+# ---------------------------------------------------------------------
+# source_minhash_overlap (corpus-overlap matrix)
+# ---------------------------------------------------------------------
+
+def test_source_overlap_orders_pairs_and_detects_overlap(spark):
+    from datacamp_etl_spark.operators.dedup import source_minhash_overlap
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = (
+        [(i, shared + f" tail{i}", "A") for i in range(5)]
+        + [(100 + i, shared + f" tail{i}", "B") for i in range(5)]
+        + [(200 + i, f"totally different text number {i} with unique words w{i} q{i} z{i}", "C") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["est_jaccard"]
+           for r in source_minhash_overlap(df).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}  # a < b only
+    assert out[("A", "B")] > 0.9   # near-identical shingle sets
+    assert out[("A", "C")] < 0.3   # disjoint content
+    # estimates are exact multiples of 1/16
+    assert all(abs(v * 16 - round(v * 16)) < 1e-9 for v in out.values())
+
+
+def test_source_overlap_identical_groups_hit_one(spark):
+    from datacamp_etl_spark.operators.dedup import source_minhash_overlap
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, text, "X"), (2, text, "Y")], "doc_id long, text string, source string"
+    )
+    [row] = source_minhash_overlap(df).collect()
+    assert (row["source_a"], row["source_b"]) == ("X", "Y")
+    assert row["est_jaccard"] == 1.0
+
+
+# ---------------------------------------------------------------------
+# quantile_sketch_contract
+# ---------------------------------------------------------------------
+
+def test_quantile_contract_holds_on_real_column(spark):
+    from datacamp_etl_spark.operators.sketch import quantile_sketch_contract
+
+    df = spark.range(1, 10_001).selectExpr("CAST(id AS DOUBLE) AS v")
+    out = quantile_sketch_contract(df, "v", [0.5, 0.9, 0.99]).collect()
+    assert [r["prob"] for r in out] == [0.5, 0.9, 0.99]
+    assert all(r["within_contract"] for r in out)
+    # exact percentile of 1..10000 at p is interpolated rank p*(n-1)+1
+    by_p = {r["prob"]: r["exact_val"] for r in out}
+    assert abs(by_p[0.5] - 5000.5) < 1e-6
+
+
+def test_quantile_contract_flags_a_broken_sketch(spark, monkeypatch):
+    # force the "sketch" to return garbage: the boolean must flip
+    from datacamp_etl_spark.operators import sketch as sk
+
+    df = spark.range(1, 1_001).selectExpr("CAST(id AS DOUBLE) AS v")
+    monkeypatch.setattr(
+        type(df), "approxQuantile", lambda self, c, ps, err: [1.0 for _ in ps]
+    )
+    out = sk.quantile_sketch_contract(df, "v", [0.9]).collect()
+    assert not out[0]["within_contract"]
+
+
+# ---------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------
+
+def test_mad_outliers_flags_planted_spikes(spark):
+    from datacamp_etl_spark.operators.profile import mad_outliers
+
+    base = [(i, "g", 100.0 + (i % 11) / 10.0) for i in range(1, 101)]
+    spikes = [(1001, "g", 10_000.0), (1002, "g", -10_000.0)]
+    df = spark.createDataFrame(base + spikes, "id long, grp string, v double")
+    [row] = mad_outliers(df, "v", "grp", id_col="id").collect()
+    assert row["n"] == 102
+    assert row["n_outliers"] == 2
+    assert abs(row["median_val"] - 100.5) < 1.0
+    assert row["mad"] > 0
+
+
+def test_mad_outliers_null_values_ignored_and_zero_mad(spark):
+    from datacamp_etl_spark.operators.profile import mad_outliers
+
+    # constant group: MAD = 0, the lone deviant is the only outlier;
+    # NULLs don't count toward n
+    rows = [(i, "c", 5.0) for i in range(10)] + [(99, "c", 6.0), (100, "c", None)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    [row] = mad_outliers(df, "v", "grp", id_col="id").collect()
+    assert row["n"] == 11
+    assert row["mad"] == 0.0
+    assert row["n_outliers"] == 1
