@@ -126,6 +126,10 @@ HEADLINE = [
     "dsir_weights",
     "c4_quality",
     "perplexity_buckets",
+    "source_overlap_minhash",
+    "weighted_sample_wor",
+    "approx_quantile_contract",
+    "mad_outliers",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

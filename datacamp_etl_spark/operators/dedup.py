@@ -1440,8 +1440,13 @@ def source_minhash_overlap(
     pairwise compare runs on |groups| x num_hashes rows, broadcast-size
     by construction. Never an all-pairs join over documents.
     """
-    sig = minhash_signature(
-        df, id_col=group_col, text_col=text_col, num_hashes=num_hashes, k=k
+    # the signature table is bounded (|groups| x num_hashes) but its
+    # lineage is the full corpus pass — cache it so the self-join's
+    # two sides don't each rescan the corpus
+    sig = scoped_cache(
+        minhash_signature(
+            df, id_col=group_col, text_col=text_col, num_hashes=num_hashes, k=k
+        )
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (

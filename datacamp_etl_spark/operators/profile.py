@@ -187,11 +187,16 @@ def mad_outliers(
 
     Scale shape: two partitioned-window passes (rank within group ->
     median; rank of |x - median| -> MAD) + one conditional count — all
-    shuffles keyed by the group, never a global sort. The margin
-    compare is pure IEEE double arithmetic in a fixed order, so the
-    counts replay exactly in any engine.
+    shuffles keyed by the group, never a global sort. The ranked
+    deviation table feeds both the MAD extraction and the final count,
+    so it is scoped_cache'd: without it Catalyst re-derives the whole
+    fact lineage for each consumer (3 source scans instead of 2). The
+    margin compare is pure IEEE double arithmetic in a fixed order, so
+    the counts replay exactly in any engine.
     """
     from pyspark.sql import Window as W
+
+    from datacamp_etl_spark.operators.spread import scoped_cache
 
     x = F.col(value_col).cast("double")
     wv = W.partitionBy(group_col).orderBy(value_col, id_col)
@@ -222,13 +227,15 @@ def mad_outliers(
         "__med",
     )
     wd = W.partitionBy(group_col).orderBy("__dev", "__id")
-    d = dev.select(
-        group_col,
-        "__x",
-        "__n",
-        "__dev",
-        "__med",
-        F.row_number().over(wd).alias("__dn"),
+    d = scoped_cache(
+        dev.select(
+            group_col,
+            "__x",
+            "__n",
+            "__dev",
+            "__med",
+            F.row_number().over(wd).alias("__dn"),
+        )
     )
     mad = (
         d.where((F.col("__dn") == lo) | (F.col("__dn") == hi))
@@ -237,7 +244,7 @@ def mad_outliers(
     )
     fence = F.lit(z) * F.lit(1.4826) * F.col("__mad")
     return (
-        dev.join(F.broadcast(mad), group_col)
+        d.join(F.broadcast(mad), group_col)
         .groupBy(group_col)
         .agg(
             F.max("__n").alias("n"),
