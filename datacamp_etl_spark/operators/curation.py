@@ -36,6 +36,8 @@ __all__ = [
     "percentile_trim_approx",
     "percentile_trim_grouped",
     "winsorize",
+    "length_bucket_batches",
+    "token_budget_cap",
 ]
 
 
@@ -170,4 +172,91 @@ def percentile_trim_grouped(
         df.withColumn("__q", F.ntile(buckets).over(w))
         .where(F.col("__q").between(keep_lo, keep_hi))
         .drop("__q")
+    )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    n_tokens_col: str,
+    batch_size: int,
+    *,
+    id_col: str = "doc_id",
+    edges: list[int] | None = None,
+) -> DataFrame:
+    """Length-bucketed batch assembly: assign every document to a
+    sequence-length band, then number fixed-size batches within each
+    band in deterministic (md5-hash, id) order — the classic
+    bucketing-by-length trick that keeps padding waste bounded by the
+    band width instead of the global max length, while the hash order
+    preserves the i.i.d.-like shuffle training wants.
+
+    Adds ``band`` (the inclusive lower edge of the row's length band)
+    and ``batch_id`` (0-based within the band). ``edges`` are integer
+    band lower bounds (default power-of-two bands 0/64/128/256/512/
+    1024) — integer comparisons only, so the assignment replays
+    exactly in any engine.
+
+    Scale shape: ONE shuffle keyed by the band (a window partitioned
+    by band, ordered by the hash key); batches never cross a band, so
+    batch numbering is embarrassingly parallel across bands. A hot
+    band is one window partition — split it by salting the band key
+    into (band, hash % s) sub-streams if a profile shows it; batch
+    ids stay dense within each sub-stream.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    lows = sorted(edges) if edges else [0, 64, 128, 256, 512, 1024]
+    n = F.col(n_tokens_col)
+    band = F.lit(lows[0])
+    for lo in lows[1:]:
+        band = F.when(n >= lo, F.lit(lo)).otherwise(band)
+    w = Window.partitionBy("band").orderBy(_order_hash(id_col), F.col(id_col))
+    return (
+        df.withColumn("band", band.cast("long"))
+        .withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+        )
+    )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    n_tokens_col: str,
+    budget_tokens: int,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source token-budget selection: walk each group's documents
+    in deterministic (md5-hash, id) order and keep rows while the
+    group's RUNNING token total stays within ``budget_tokens`` — the
+    "give every source at most B tokens of the mix" curation
+    primitive (:func:`cap_per_group` caps document COUNTS; training
+    budgets are set in tokens).
+
+    A document is kept iff the running total INCLUDING it is within
+    budget, so the kept set is a prefix of the hash order and
+    append-stable: new corpus arrivals sort after or between existing
+    docs and can only be rejected, never evict a previously kept doc
+    whose prefix sum was already within budget... strictly: a new doc
+    hashing into the prefix shifts later sums, so re-runs on a grown
+    corpus stay deterministic but not monotone — pin the selection by
+    snapshot when exact reproducibility across appends matters.
+
+    One group-keyed window (running sum + integer arithmetic only);
+    no global sort, no driver state.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(_order_hash(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(n_tokens_col).cast("long")).over(w)
+    return (
+        df.withColumn("__cum_tokens", running)
+        .where(F.col("__cum_tokens") <= budget_tokens)
+        .withColumnRenamed("__cum_tokens", "cum_tokens")
     )

@@ -440,3 +440,134 @@ def test_mad_outliers_null_values_ignored_and_zero_mad(spark):
     assert row["n"] == 11
     assert row["mad"] == 0.0
     assert row["n_outliers"] == 1
+
+
+# ---------------------------------------------------------------------
+# length_bucket_batches / token_budget_cap (curation; registry entries
+# planned for the next adjudication window)
+# ---------------------------------------------------------------------
+
+def test_length_bucket_batches_band_edges_and_density(spark):
+    from datacamp_etl_spark.operators.curation import length_bucket_batches
+
+    rows = [(i, int(t)) for i, t in enumerate(
+        [10, 63, 64, 100, 127, 128, 300, 600, 2000, 65, 70, 80, 90]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = length_bucket_batches(df, "n_tokens", batch_size=3).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["band"] == 0 and by_id[1]["band"] == 0
+    assert by_id[2]["band"] == 64 and by_id[4]["band"] == 64
+    assert by_id[5]["band"] == 128 and by_id[6]["band"] == 256
+    assert by_id[7]["band"] == 512 and by_id[8]["band"] == 1024
+    # batch ids are dense 0..ceil(k/3)-1 within each band, never cross
+    import collections
+    per_band = collections.defaultdict(list)
+    for r in out:
+        per_band[r["band"]].append(r["batch_id"])
+    for band, ids in per_band.items():
+        counts = collections.Counter(ids)
+        assert set(counts) == set(range(max(ids) + 1))
+        assert all(c <= 3 for c in counts.values())
+        # only the LAST batch may be partial
+        assert sum(1 for c in counts.values() if c < 3) <= 1
+
+
+def test_length_bucket_batches_layout_stable(spark):
+    from datacamp_etl_spark.operators.curation import length_bucket_batches
+
+    rows = [(i, 50 + i % 200) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    a = {(r["doc_id"]): (r["band"], r["batch_id"])
+         for r in length_bucket_batches(df, "n_tokens", 8).collect()}
+    b = {(r["doc_id"]): (r["band"], r["batch_id"])
+         for r in length_bucket_batches(df.repartition(13), "n_tokens", 8).collect()}
+    assert a == b
+
+
+def test_token_budget_cap_prefix_and_budget(spark):
+    from datacamp_etl_spark.operators.curation import token_budget_cap
+    from datacamp_etl_spark.operators.curation import _order_hash
+    import pyspark.sql.functions as F
+
+    rows = [(i, "s", 100) for i in range(1, 21)]  # 20 docs x 100 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = token_budget_cap(df, "n_tokens", 550).collect()
+    # 5 docs of 100 fit in 550; the 6th would overflow
+    assert len(out) == 5
+    assert max(r["cum_tokens"] for r in out) == 500
+    # kept set is exactly the hash-order prefix
+    ordered = [r["doc_id"] for r in df.select(
+        "doc_id", _order_hash("doc_id").alias("h")).orderBy("h", "doc_id").collect()]
+    assert {r["doc_id"] for r in out} == set(ordered[:5])
+
+
+def test_token_budget_cap_per_group_independent(spark):
+    from datacamp_etl_spark.operators.curation import token_budget_cap
+
+    rows = [(i, "a", 60) for i in range(10)] + [(100 + i, "b", 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = token_budget_cap(df, "n_tokens", 100).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["source"], 0)
+        got[r["source"]] += 1
+    assert got == {"a": 1, "b": 10}  # 60<=100 but 120>100; 10x10=100 fits
+
+
+def test_token_budget_cap_zero_budget_empty(spark):
+    from datacamp_etl_spark.operators.curation import token_budget_cap
+
+    df = spark.createDataFrame([(1, "s", 5)], "doc_id long, source string, n_tokens int")
+    assert token_budget_cap(df, "n_tokens", 0).count() == 0
+
+
+# ---------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------
+
+def test_pagerank_star_graph_center_dominates(spark):
+    from datacamp_etl_spark.operators.graph import pagerank
+
+    # spokes 1..5 all point at hub 0; hub is dangling
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 6)], "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conserved
+    assert ranks[0] > 0.5  # hub absorbs the graph's authority
+    spoke = [v for k, v in ranks.items() if k != 0]
+    assert max(spoke) - min(spoke) < 1e-9  # symmetric spokes tie
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    from datacamp_etl_spark.operators.graph import pagerank
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    ranks = [r["rank"] for r in pagerank(edges, iterations=15).collect()]
+    assert all(abs(v - 1.0 / n) < 1e-9 for v in ranks)
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from datacamp_etl_spark.operators.graph import pagerank
+
+    # small digraph incl. a dangling node (4) and a 2-cycle
+    E = [(1, 2), (1, 3), (2, 3), (3, 1), (2, 4)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=30).collect()}
+
+    # plain-python power iteration, same semantics
+    nodes = sorted({x for e in E for x in e})
+    N, d = len(nodes), 0.85
+    out = {u: [v for (a, v) in E if a == u] for u in nodes}
+    r = {u: 1.0 / N for u in nodes}
+    for _ in range(30):
+        dangling = sum(r[u] for u in nodes if not out[u])
+        nr = {}
+        for u in nodes:
+            in_mass = sum(r[v] / len(out[v]) for v in nodes if u in out[v])
+            nr[u] = (1 - d) / N + d * (dangling / N + in_mass)
+        r = nr
+    for u in nodes:
+        assert abs(got[u] - r[u]) < 1e-9, (u, got[u], r[u])
