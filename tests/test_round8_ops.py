@@ -571,3 +571,142 @@ def test_pagerank_matches_reference_power_iteration(spark):
         r = nr
     for u in nodes:
         assert abs(got[u] - r[u]) < 1e-9, (u, got[u], r[u])
+
+
+# ---------------------------------------------------------------------
+# Oracle-readiness parity: the three pytest-gated round-8 operators
+# (length_bucket_batches, token_budget_cap, pagerank) replayed in
+# DuckDB over the documents fixture, value-for-value. These are the
+# exact SQL bodies their registry entries will carry in the next
+# adjudication window — proving them hash-ready without consuming one
+# of this round's 50 window slots (10 new + 40 stale veterans).
+# ---------------------------------------------------------------------
+
+_BUCKET_SQL = (
+    "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), "
+        f"{i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+)
+
+
+def _duck(sf_dir, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def test_length_bucket_batches_duckdb_parity(spark, sf_dir):
+    from datacamp_etl_spark.operators.curation import length_bucket_batches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["band"], r["batch_id"])
+        for r in length_bucket_batches(
+            docs.withColumnRenamed("n_chars", "n_tokens"), "n_tokens", 32
+        ).select("doc_id", "band", "batch_id").collect()
+    )
+    want = sorted(_duck(sf_dir, f"""
+        WITH b AS (SELECT doc_id,
+                     CASE WHEN n_chars >= 1024 THEN 1024
+                          WHEN n_chars >= 512 THEN 512
+                          WHEN n_chars >= 256 THEN 256
+                          WHEN n_chars >= 128 THEN 128
+                          WHEN n_chars >= 64 THEN 64 ELSE 0 END AS band,
+                     {_BUCKET_SQL} AS h
+                   FROM documents)
+        SELECT doc_id, band,
+               (row_number() OVER (PARTITION BY band ORDER BY h, doc_id) - 1)
+                 // 32 AS batch_id
+        FROM b
+    """))
+    assert got == want
+
+
+def test_token_budget_cap_duckdb_parity(spark, sf_dir):
+    from datacamp_etl_spark.operators.curation import token_budget_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_cap(
+            docs.withColumnRenamed("n_chars", "n_tokens"),
+            "n_tokens",
+            50_000,
+            group_col="source",
+        ).select("doc_id", "cum_tokens").collect()
+    )
+    want = sorted(_duck(sf_dir, f"""
+        WITH b AS (SELECT doc_id, source, n_chars, {_BUCKET_SQL} AS h
+                   FROM documents),
+        c AS (SELECT doc_id,
+                     sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+              FROM b)
+        SELECT doc_id, CAST(cum AS BIGINT) FROM c WHERE cum <= 50000
+    """))
+    assert got == want
+
+
+def test_pagerank_duckdb_parity_fixed_iterations(spark, sf_dir):
+    """PageRank replayed as 3 chained CTE iterations in DuckDB over a
+    deterministic edge list derived from documents (doc_id -> the
+    smallest doc_id of its source, a star forest plus self-links
+    filtered out) — float sums differ only in addend order, so compare
+    at 9 decimals."""
+    from datacamp_etl_spark.operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    hub = docs.select(
+        "doc_id",
+        F.min("doc_id").over(W.partitionBy("source")).alias("hub"),
+    ).where("doc_id <> hub")
+    edges = hub.select(F.col("doc_id").alias("src"), F.col("hub").alias("dst"))
+    got = {
+        r["node"]: round(r["rank"], 9)
+        for r in pagerank(edges, iterations=3).collect()
+    }
+
+    it = """
+    SELECT n.node,
+           (SELECT (1 - 0.85) / (SELECT count(*) FROM nodes)
+                   + 0.85 * ((SELECT coalesce(sum(r.rank), 0) FROM {prev} r
+                              LEFT JOIN deg ON deg.src = r.node
+                              WHERE deg.src IS NULL)
+                             / (SELECT count(*) FROM nodes))) 
+           + 0.85 * coalesce((SELECT sum(p.rank / d.deg)
+                              FROM edges e
+                              JOIN {prev} p ON p.node = e.src
+                              JOIN deg d ON d.src = e.src
+                              WHERE e.dst = n.node), 0) AS rank
+    FROM nodes n
+    """
+    sql = f"""
+        WITH edges AS (
+          SELECT doc_id AS src,
+                 min(doc_id) OVER (PARTITION BY source) AS dst
+          FROM documents
+          QUALIFY doc_id <> dst),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS rank
+               FROM nodes),
+        r1 AS ({it.format(prev='r0')}),
+        r2 AS ({it.format(prev='r1')}),
+        r3 AS ({it.format(prev='r2')})
+        SELECT node, rank FROM r3
+    """
+    want = {n: round(v, 9) for n, v in _duck(sf_dir, sql)}
+    assert set(got) == set(want)
+    for n in got:
+        assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
