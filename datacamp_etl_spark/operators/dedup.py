@@ -50,6 +50,8 @@ __all__ = [
     "substring_dedup",
     "duplicate_text_fraction",
     "source_minhash_overlap",
+    "row_band_signatures",
+    "streaming_near_dup_filter",
 ]
 
 
@@ -1467,3 +1469,110 @@ def source_minhash_overlap(
             ).alias("est_jaccard")
         )
     )
+
+
+def row_band_signatures(
+    text_col: Column | str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> Column:
+    """LSH band keys computed entirely WITHIN the row — an
+    ``array<string>`` of ``bands`` md5 band signatures, value-identical
+    to :func:`band_signatures`' ``band_sig`` column (same shingle
+    hash, same universal-hash constants, same sorted-minhash digest),
+    but built from higher-order array functions instead of
+    explode + groupBy.
+
+    Being aggregation-free makes it legal in a STREAMING projection
+    (no state, no watermark needed — see
+    :func:`streaming_near_dup_filter`) and zero-shuffle in batch. The
+    explode+groupBy form stays the batch default: one md5 per
+    DISTINCT shingle with map-side combine beats per-row array
+    recomputation when documents are long; this form wins when rows
+    must stay rows.
+
+    Documents with no shingles (< k tokens) return NULL — never a
+    band key — so empty docs cannot collide with each other.
+    """
+    a, b = minhash_constants(num_hashes)
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    sh = shingles(text_col, k)
+    h = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME,
+    )
+    mins = [
+        F.array_min(
+            F.transform(h, lambda x: (F.lit(a[j]) * x + F.lit(b[j])) % MINHASH_PRIME)
+        )
+        for j in range(num_hashes)
+    ]
+    sigs = []
+    for bi in range(bands):
+        band = F.array(*mins[bi * rows_per_band : (bi + 1) * rows_per_band])
+        sigs.append(
+            F.md5(
+                F.array_join(
+                    F.transform(F.array_sort(band), lambda x: x.cast("string")),
+                    "|",
+                )
+            )
+        )
+    return F.when(F.size(sh) > 0, F.array(*sigs))
+
+
+def streaming_near_dup_filter(
+    stream: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming near-dup gate: pass through only the stream documents
+    whose LSH band keys collide with NO row of the persisted corpus
+    band index (the streaming analog of :func:`incremental_dedup`).
+
+    Entirely STATELESS: band keys come from
+    :func:`row_band_signatures` (a pure projection), and each band is
+    checked with one stream-static LEFT OUTER equi-join against the
+    distinct corpus keys for that band — no streaming aggregation, no
+    watermark, no state store. A document is dropped iff any of its
+    ``bands`` keys hits the index; NULL keys (< k tokens) match
+    nothing and pass through.
+
+    Scale shape: ``bands`` equi-joins against index slices that are
+    distinct-deduped (so left-outer can never multiply stream rows);
+    at 100 TB persist the index partitioned by band and bucketed by
+    band_sig so each probe is a co-located hash lookup. Works
+    identically on a batch frame (the joins are plain equi-joins).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    sigs = row_band_signatures(
+        F.col(text_col), num_hashes=num_hashes, bands=bands, k=k
+    )
+    out = stream.withColumn("__sigs", sigs)
+    hit_cols = []
+    for bi in range(bands):
+        idx = (
+            corpus_bands.where(F.col("band") == bi)
+            .select(F.col("band_sig").alias(f"__k{bi}"))
+            .distinct()
+            .withColumn(f"__hit{bi}", F.lit(1))
+        )
+        out = out.join(
+            idx, out["__sigs"][bi] == F.col(f"__k{bi}"), "left"
+        ).drop(f"__k{bi}")
+        hit_cols.append(f"__hit{bi}")
+    keep = F.lit(True)
+    for c in hit_cols:
+        keep = keep & F.col(c).isNull()
+    return out.where(keep).drop("__sigs", *hit_cols)

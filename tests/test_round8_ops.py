@@ -710,3 +710,85 @@ def test_pagerank_duckdb_parity_fixed_iterations(spark, sf_dir):
     assert set(got) == set(want)
     for n in got:
         assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
+
+
+# ---------------------------------------------------------------------
+# row_band_signatures / streaming_near_dup_filter
+# ---------------------------------------------------------------------
+
+def test_row_band_signatures_match_batch_band_signatures(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from datacamp_etl_spark.operators.dedup import (
+        band_signatures,
+        row_band_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    batch = {
+        (r["doc_id"], r["band"]): r["band_sig"]
+        for r in band_signatures(docs).collect()
+    }
+    per_row = docs.select(
+        "doc_id", F.posexplode(row_band_signatures("text")).alias("band", "sig")
+    ).collect()
+    assert per_row  # fixture docs are long enough to shingle
+    for r in per_row:
+        assert batch[(r["doc_id"], r["band"])] == r["sig"]
+
+
+def test_row_band_signatures_null_for_short_docs(spark):
+    from datacamp_etl_spark.operators.dedup import row_band_signatures
+
+    df = spark.createDataFrame([("a b",), ("",)], "text string")
+    vals = [r[0] for r in df.select(row_band_signatures("text")).collect()]
+    assert vals == [None, None]  # < k tokens -> no band keys, no collisions
+
+
+def test_streaming_near_dup_filter_drops_corpus_dups(spark, tmp_path):
+    from datacamp_etl_spark.operators.dedup import (
+        band_signatures,
+        incremental_dedup,
+        streaming_near_dup_filter,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "training data pipelines need deduplication at every single stage"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    index = band_signatures(corpus)
+
+    new_rows = [
+        # near-verbatim copy of corpus doc 1 -> must be dropped
+        (10, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        # novel -> must pass
+        (11, "completely unrelated sentence about databases and storage engines"),
+        # too short to shingle -> passes by construction
+        (12, "hi there"),
+    ]
+    src = str(tmp_path / "newdocs")
+    spark.createDataFrame(new_rows, "doc_id long, text string").write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    filtered = streaming_near_dup_filter(stream, index)
+    q = (
+        filtered.writeStream.format("memory")
+        .queryName("nd_filter")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    survivors = {r["doc_id"] for r in spark.sql("SELECT * FROM nd_filter").collect()}
+    assert survivors == {11, 12}
+
+    # parity with the batch path (modulo the short doc, which the
+    # batch path also keeps: it produces no band rows)
+    batch_survivors = {
+        r["doc_id"]
+        for r in incremental_dedup(
+            spark.createDataFrame(new_rows, "doc_id long, text string"), index
+        ).collect()
+    }
+    assert batch_survivors == survivors
