@@ -26,6 +26,7 @@ __all__ = [
     "exact_quantile_values",
     "global_row_number",
     "training_order",
+    "negative_pairs",
 ]
 
 
@@ -226,3 +227,79 @@ def training_order(df: DataFrame, key_cols: list[str], *, seed: int = 0) -> Colu
     changing ``seed``. Use as ``orderBy(training_order(df, [...]))``
     or as the range-partition key of a shuffled write."""
     return F.md5(F.concat_ws("\x1f", F.lit(str(seed)), *key_cols))
+
+
+def negative_pairs(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, ``k`` pseudo-random OTHER rows, emitted as
+    ``(anchor_id, neg_rank, negative_id)`` with ``neg_rank`` in
+    ``0..k-1``.
+
+    Construction: rows get contiguous positions ``0..n-1`` (md5-hash
+    order via :func:`assign_contiguous_ids` — append-shuffled, so ring
+    neighbors are unrelated rows), then negative ``j`` of the anchor
+    at position ``p`` sits at ``(p + step_j) % n`` where
+    ``step_j = 1 + (md5(anchor_id, j) % (n - 1))`` — a ring offset
+    that can never be 0, so an anchor never draws itself, and every
+    (anchor, j) draw is uniform over the other ``n - 1`` positions.
+    Collisions BETWEEN an anchor's k draws are possible (sampling with
+    replacement), vanishingly so for k << n.
+
+    Everything is md5-derived integers: the same pairs come out on any
+    engine, any layout, any run — resumable training without shipping
+    a pair manifest.
+
+    Scale shape: the position assignment is the two-pass
+    range-partition of assign_contiguous_ids; the draw itself is one
+    explode (k rows per anchor) + ONE equi-join on the contiguous
+    position — shuffle-heavy but linear in n*k, never a cross join.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pos = assign_contiguous_ids(
+        df.select(id_col),
+        [id_col],
+        id_col="__pos",
+        num_partitions=num_partitions,
+    )
+    # total row count rides along without a second scan: max position
+    # + 1 broadcast back via a scalar subquery-shaped crossJoin
+    n_row = pos.agg((F.max("__pos") + 1).alias("__n"))
+    anchors = pos.crossJoin(F.broadcast(n_row)).select(
+        F.col(id_col).alias("anchor_id"), "__pos", "__n"
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank")
+    drawn = anchors.select("anchor_id", "__pos", "__n", j)
+    step = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("anchor_id").cast("string"),
+                        F.col("neg_rank").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (F.col("__n") - 1)
+        + 1
+    )
+    probes = drawn.select(
+        "anchor_id",
+        "neg_rank",
+        ((F.col("__pos") + step) % F.col("__n")).alias("__neg_pos"),
+    )
+    return probes.join(
+        pos.select(F.col(id_col).alias("negative_id"), F.col("__pos").alias("__neg_pos")),
+        "__neg_pos",
+    ).select("anchor_id", "neg_rank", "negative_id")

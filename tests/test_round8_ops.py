@@ -792,3 +792,47 @@ def test_streaming_near_dup_filter_drops_corpus_dups(spark, tmp_path):
         ).collect()
     }
     assert batch_survivors == survivors
+
+
+# ---------------------------------------------------------------------
+# negative_pairs (deterministic contrastive negative sampling)
+# ---------------------------------------------------------------------
+
+def test_negative_pairs_shape_and_no_self_draws(spark):
+    from datacamp_etl_spark.operators.ids import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(1, 41)], "doc_id long")
+    out = negative_pairs(df, 3).collect()
+    assert len(out) == 40 * 3
+    by_anchor = {}
+    for r in out:
+        assert r["negative_id"] != r["anchor_id"]  # ring step never 0
+        by_anchor.setdefault(r["anchor_id"], set()).add(r["neg_rank"])
+    assert all(v == {0, 1, 2} for v in by_anchor.values())
+
+
+def test_negative_pairs_deterministic_across_layout(spark):
+    from datacamp_etl_spark.operators.ids import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "doc_id long")
+    a = sorted(map(tuple, negative_pairs(df, 2).collect()))
+    b = sorted(map(tuple, negative_pairs(df.repartition(9), 2).collect()))
+    assert a == b
+
+
+def test_negative_pairs_draws_spread_over_corpus(spark):
+    from datacamp_etl_spark.operators.ids import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(1, 201)], "doc_id long")
+    out = negative_pairs(df, 5).collect()
+    distinct_negatives = {r["negative_id"] for r in out}
+    # 1000 uniform draws over 200 ids: expect near-full coverage
+    assert len(distinct_negatives) > 150
+
+
+def test_negative_pairs_validates_k(spark):
+    from datacamp_etl_spark.operators.ids import negative_pairs
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        negative_pairs(df, 0)
