@@ -194,7 +194,10 @@ def length_bucket_batches(
     and ``batch_id`` (0-based within the band). ``edges`` are integer
     band lower bounds (default power-of-two bands 0/64/128/256/512/
     1024) — integer comparisons only, so the assignment replays
-    exactly in any engine.
+    exactly in any engine. Rows BELOW the smallest edge or with a
+    NULL length have no band (the "inclusive lower edge" claim would
+    be a lie for them) and are dropped — pass an explicit ``edges``
+    starting at 0 to make the lowest band a catch-all.
 
     Scale shape: ONE shuffle keyed by the band (a window partitioned
     by band, ordered by the hash key); batches never cross a band, so
@@ -207,12 +210,13 @@ def length_bucket_batches(
         raise ValueError("batch_size must be >= 1")
     lows = sorted(edges) if edges else [0, 64, 128, 256, 512, 1024]
     n = F.col(n_tokens_col)
-    band = F.lit(lows[0])
+    band = F.when(n >= lows[0], F.lit(lows[0]))  # NULL below the floor
     for lo in lows[1:]:
         band = F.when(n >= lo, F.lit(lo)).otherwise(band)
     w = Window.partitionBy("band").orderBy(_order_hash(id_col), F.col(id_col))
     return (
         df.withColumn("band", band.cast("long"))
+        .where(F.col("band").isNotNull())
         .withColumn(
             "batch_id",
             ((F.row_number().over(w) - 1) / batch_size).cast("long"),
@@ -245,10 +249,15 @@ def token_budget_cap(
     snapshot when exact reproducibility across appends matters.
 
     One group-keyed window (running sum + integer arithmetic only);
-    no global sort, no driver state.
+    no global sort, no driver state. Rows with a NULL token count are
+    dropped upfront — they have no defined budget cost, and keeping
+    them would make the keep/drop decision depend on where the NULL
+    lands in the hash order (sum() skips NULLs mid-stream but a
+    leading NULL poisons the running total).
     """
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
+    df = df.where(F.col(n_tokens_col).isNotNull())
     w = (
         Window.partitionBy(group_col)
         .orderBy(_order_hash(id_col), F.col(id_col))

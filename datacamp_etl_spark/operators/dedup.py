@@ -1562,7 +1562,12 @@ def streaming_near_dup_filter(
     out = stream.withColumn("__sigs", sigs)
     hit_cols = []
     for bi in range(bands):
-        idx = (
+        # the static side is re-read on EVERY micro-batch: cache each
+        # band's distinct key slice so a long-running stream doesn't
+        # re-scan + re-dedup the full corpus index per trigger (at
+        # scale, additionally persist the index pre-deduplicated and
+        # partitioned by band so this slice is a pruned read)
+        idx = scoped_cache(
             corpus_bands.where(F.col("band") == bi)
             .select(F.col("band_sig").alias(f"__k{bi}"))
             .distinct()

@@ -309,6 +309,8 @@ def pagerank(
     """
     if not 0 < damping < 1:
         raise ValueError("damping must be in (0, 1)")
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     nodes = (
         e.select(F.col("a").alias("node"))
@@ -317,16 +319,23 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))  # empty graph
     out_deg = e.groupBy("a").agg(F.count("*").alias("deg")).localCheckpoint()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
     for _ in range(iterations):
-        # mass each node sends per out-edge this round
-        send = ranks.join(out_deg, ranks.node == out_deg.a, "left").select(
-            "node",
-            "rank",
-            (F.col("rank") / F.col("deg")).alias("per_edge"),
-            F.col("deg").isNull().alias("dangling"),
+        # mass each node sends per out-edge this round; cached because
+        # TWO consumers read it (the dangling-mass aggregate and the
+        # contribution join) and recomputing means re-running the
+        # ranks-out_deg join every round
+        send = scoped_cache(
+            ranks.join(out_deg, ranks.node == out_deg.a, "left").select(
+                "node",
+                "rank",
+                (F.col("rank") / F.col("deg")).alias("per_edge"),
+                F.col("deg").isNull().alias("dangling"),
+            )
         )
         dangling_mass = (
             send.where("dangling").agg(F.sum("rank")).first()[0] or 0.0

@@ -263,14 +263,26 @@ def negative_pairs(
     if k < 1:
         raise ValueError("k must be >= 1")
     pos = assign_contiguous_ids(
-        df.select(id_col),
-        [id_col],
+        df.select(
+            id_col, F.md5(F.col(id_col).cast("string")).alias("__h")
+        ),
+        ["__h", id_col],
         id_col="__pos",
         num_partitions=num_partitions,
-    )
+    ).drop("__h")
     # total row count rides along without a second scan: max position
-    # + 1 broadcast back via a scalar subquery-shaped crossJoin
-    n_row = pos.agg((F.max("__pos") + 1).alias("__n"))
+    # + 1 broadcast back via a scalar subquery-shaped crossJoin; the
+    # ring needs >= 2 rows or `% (n-1)` is a modulo-by-zero that
+    # non-ANSI Spark would turn into a silently empty result
+    n_row = pos.agg(
+        F.when(
+            F.max("__pos") + 1 >= 2, F.max("__pos") + 1
+        )
+        .otherwise(
+            F.raise_error("negative_pairs needs >= 2 rows").cast("long")
+        )
+        .alias("__n")
+    )
     anchors = pos.crossJoin(F.broadcast(n_row)).select(
         F.col(id_col).alias("anchor_id"), "__pos", "__n"
     )

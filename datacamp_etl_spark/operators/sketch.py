@@ -242,10 +242,16 @@ def quantile_sketch_contract(
     replayable in any engine) and ``within_contract`` verifies the
     sketch's rank error from the data itself: the returned value's
     rank interval ``[count(x < v) + 1, count(x <= v)]`` must overlap
-    ``[p*N - N/accuracy, p*N + N/accuracy]``. The same gate pattern as
+    ``[floor((p - 1/accuracy)*N), ceil((p + 1/accuracy)*N)]`` — the
+    published approxQuantile guarantee VERBATIM, floor/ceil slack
+    included (a tighter un-floored bound would flag a sketch that
+    legally returns the ceil-edge element). The same gate pattern as
     ``hll_incremental_distinct``: the sketch binary is not replayable,
     its CONTRACT is — a drifting sketch flips the boolean and breaks
     the oracle hash.
+
+    An empty / all-NULL column returns zero rows (approxQuantile has
+    no values to return, so there is no contract to check).
 
     Scale shape: the sketch pass is Spark's own single-pass mergeable
     summary (bounded state per partition, merged on the driver — the
@@ -255,6 +261,13 @@ def quantile_sketch_contract(
     than a scalar agg.
     """
     vals = df.approxQuantile(col, list(probabilities), 1.0 / accuracy)
+    if not vals:
+        # empty/all-NULL column: no sketch values, no contract rows
+        return df.limit(0).select(
+            F.lit(0.0).alias("prob"),
+            F.lit(0.0).alias("exact_val"),
+            F.lit(False).alias("within_contract"),
+        )
     x = F.col(col).cast("double")
     aggs = [F.count(x).alias("__n")]
     for i, (p, v) in enumerate(zip(probabilities, vals)):
@@ -264,12 +277,14 @@ def quantile_sketch_contract(
             F.sum((x < F.lit(v)).cast("long")).alias(f"__lt{i}"),
         ]
     row = df.agg(*aggs)
-    eps = F.col("__n").cast("double") / accuracy
+    eps = 1.0 / accuracy
     out = []
     for i, p in enumerate(probabilities):
-        target = F.lit(p) * F.col("__n").cast("double")
-        within = (F.col(f"__le{i}").cast("double") >= target - eps) & (
-            (F.col(f"__lt{i}") + 1).cast("double") <= target + eps
+        nd = F.col("__n").cast("double")
+        lower = F.floor((F.lit(p) - eps) * nd)
+        upper = F.ceil((F.lit(p) + eps) * nd)
+        within = (F.col(f"__le{i}") >= lower) & (
+            (F.col(f"__lt{i}") + 1) <= upper
         )
         out.append(
             F.struct(

@@ -836,3 +836,55 @@ def test_negative_pairs_validates_k(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         negative_pairs(df, 0)
+
+
+# ---------------------------------------------------------------------
+# review-fix contracts (round-8 self-review)
+# ---------------------------------------------------------------------
+
+def test_length_bucket_batches_drops_below_floor_and_null(spark):
+    from datacamp_etl_spark.operators.curation import length_bucket_batches
+
+    rows = [(1, 50), (2, 150), (3, None), (4, 250)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = length_bucket_batches(df, "n_tokens", 2, edges=[100, 200]).collect()
+    got = {r["doc_id"]: r["band"] for r in out}
+    assert got == {2: 100, 4: 200}  # below-floor and NULL rows dropped
+
+
+def test_token_budget_cap_null_tokens_dropped(spark):
+    from datacamp_etl_spark.operators.curation import token_budget_cap
+
+    rows = [(1, "s", None), (2, "s", 40), (3, "s", 40), (4, "s", 40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = token_budget_cap(df, "n_tokens", 80).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 1 not in ids           # NULL cost: dropped, never poisons
+    assert len(ids) == 2          # exactly 80 tokens of the rest fit
+    assert all(r["cum_tokens"] <= 80 for r in out)
+
+
+def test_negative_pairs_single_row_raises(spark):
+    from datacamp_etl_spark.operators.ids import negative_pairs
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(Exception, match="negative_pairs needs >= 2 rows"):
+        negative_pairs(df, 1).collect()
+
+
+def test_quantile_contract_empty_column_returns_no_rows(spark):
+    from datacamp_etl_spark.operators.sketch import quantile_sketch_contract
+
+    df = spark.createDataFrame([], "v double")
+    out = quantile_sketch_contract(df, "v", [0.5])
+    assert out.count() == 0
+    assert out.columns == ["prob", "exact_val", "within_contract"]
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from datacamp_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges, iterations=2)
+    assert out.count() == 0
+    assert set(out.columns) == {"node", "rank"}
