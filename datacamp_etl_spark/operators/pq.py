@@ -33,7 +33,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk"]
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "ivfpq_topk",
+    "ivfpq_rerank",
+]
 
 
 def _slice(vec: Column, s: int, sub_dim: int) -> Column:
@@ -280,3 +286,63 @@ def ivfpq_topk(
     return pq_topk(
         codes, books, q, id_col=id_col, topk=topk, decimals=decimals
     )
+
+
+def ivfpq_rerank(
+    df: DataFrame,
+    query: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 10,
+    shortlist: int = 50,
+    num_cells: int = 16,
+    num_probes: int = 4,
+    m: int = 4,
+    k: int = 4,
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ search with exact re-ranking — the full production ANN
+    recipe (FAISS's refine stage / Jégou et al. 2011 §V.D): the
+    compressed-domain ADC scan shortlists ``shortlist`` candidates
+    cheaply, then ONLY those rows' real vectors are read for an exact
+    cosine ordering. ADC distance error (PQ quantization noise) decides
+    nothing final — it only has to keep the true neighbors inside a
+    shortlist a few times larger than ``topk``.
+
+    Returns ``(id, cos_sim)``, best first, id tie-break; zero-norm
+    vectors carry the -2.0 sentinel, consistent with
+    :func:`ivfpq_topk`'s cell assignment.
+
+    Scale shape: all the IVF-PQ savings of :func:`ivfpq_topk` for the
+    scan, plus one LEFT SEMI join on the id to fetch the ``shortlist``
+    full vectors (at scale: an id-bucketed point lookup, reading
+    ``shortlist`` rows of float data total) and a ``topk`` TakeOrdered
+    over ``shortlist`` rows — the exact stage's cost is independent of
+    the corpus size.
+    """
+    from datacamp_etl_spark.functions import cosine_similarity
+
+    short = ivfpq_topk(
+        df,
+        query,
+        id_col=id_col,
+        vec_col=vec_col,
+        topk=shortlist,
+        num_cells=num_cells,
+        num_probes=num_probes,
+        m=m,
+        k=k,
+        decimals=decimals,
+    )
+    q_arr = F.array(*[F.lit(float(x)) for x in query])
+    exact = df.join(short.select(id_col), id_col, "left_semi").select(
+        id_col,
+        F.round(
+            F.coalesce(
+                cosine_similarity(F.col(vec_col), q_arr), F.lit(-2.0)
+            ),
+            decimals,
+        ).alias("cos_sim"),
+    )
+    return exact.orderBy(F.desc("cos_sim"), id_col).limit(topk)

@@ -888,3 +888,90 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank(edges, iterations=2)
     assert out.count() == 0
     assert set(out.columns) == {"node", "rank"}
+
+
+def test_negative_pairs_duckdb_parity(spark, sf_dir):
+    """negative_pairs replayed in DuckDB over the documents fixture —
+    the exact SQL its registry entry will carry next round: positions
+    by row_number over (md5(id), id), ring step from md5(anchor:j)."""
+    from datacamp_etl_spark.operators.ids import negative_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    got = sorted(map(tuple, negative_pairs(docs, 2).collect()))
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    fold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(f"""
+        WITH pos AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                          doc_id) - 1 AS p,
+                       count(*) OVER () AS n
+                     FROM documents),
+        drawn AS (SELECT doc_id AS anchor_id, p, n, j.neg_rank
+                  FROM pos CROSS JOIN (VALUES (0), (1)) AS j(neg_rank)),
+        stepped AS (SELECT anchor_id, neg_rank, n,
+                      (p + 1 + (SELECT {fold} FROM (SELECT md5(CAST(anchor_id AS VARCHAR)
+                          || ':' || CAST(neg_rank AS VARCHAR)) AS h)) % (n - 1)
+                      ) % n AS neg_pos
+                    FROM drawn)
+        SELECT s.anchor_id, CAST(s.neg_rank AS BIGINT), pos.doc_id AS negative_id
+        FROM stepped s JOIN pos ON pos.p = s.neg_pos
+        """).fetchall(),
+        )
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------
+# ivfpq_rerank (exact refine stage on the ADC shortlist)
+# ---------------------------------------------------------------------
+
+def test_ivfpq_rerank_full_probe_matches_exact_topk(spark, sf_dir):
+    """With every cell probed and shortlist = corpus, the refine stage
+    degenerates to exact brute-force: results must match
+    brute_force_topk row-for-row."""
+    from datacamp_etl_spark.operators.pq import ivfpq_rerank
+    from datacamp_etl_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    query = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    got = ivfpq_rerank(
+        emb, query, topk=10, shortlist=n, num_cells=8, num_probes=8
+    ).collect()
+    want = brute_force_topk(emb, query, k=10).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    assert got[0]["vec_id"] == want[0]["vec_id"]
+    for g, w in zip(got, want):
+        assert abs(g["cos_sim"] - w["cosine"]) < 1e-6
+
+
+def test_ivfpq_rerank_subset_of_shortlist_and_exact_order(spark, sf_dir):
+    from datacamp_etl_spark.operators.pq import ivfpq_rerank, ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    short_ids = {
+        r["vec_id"]
+        for r in ivfpq_topk(emb, query, topk=30, num_probes=2).collect()
+    }
+    got = ivfpq_rerank(
+        emb, query, topk=10, shortlist=30, num_probes=2
+    ).collect()
+    assert len(got) == 10
+    assert {r["vec_id"] for r in got} <= short_ids  # refine never invents
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)  # exact order, best first
