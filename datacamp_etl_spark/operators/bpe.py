@@ -50,6 +50,9 @@ __all__ = [
     "bpe_encode",
     "bpe_apply_word",
     "bpe_decode_expr",
+    "wordpiece_train",
+    "wordpiece_word",
+    "wordpiece_encode",
 ]
 
 
@@ -253,3 +256,189 @@ FIXTURE_MERGES_V1: list[tuple[str, str]] = [
     ("d", "ata"), ("t", "able"), ("u", "p"), ("a", "g"), ("ag", "g"),
     ("a", "lu"), ("alu", "e"), ("v", "alue"), ("e", "y"), ("k", "ey"),
 ]
+
+
+# ---------------------------------------------------------------------
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer family)
+# ---------------------------------------------------------------------
+
+def wordpiece_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    vocab_size: int = 256,
+    max_words: int = 50_000,
+) -> list[str]:
+    """Learn a WordPiece vocabulary; returns the piece list (word-
+    initial pieces plain, continuations ``##``-prefixed), single
+    characters first, then merges in learned order.
+
+    Same 100 TB shape as :func:`bpe_train` — ONE distributed
+    word-count shuffle, bounded top-``max_words`` collect, driver-side
+    loop over the frequency dict — but the merge criterion is
+    WordPiece's LIKELIHOOD score ``freq(ab) / (freq(a) * freq(b))``
+    (merge the pair that most increases unigram-LM corpus likelihood,
+    Schuster & Nakajima 2012) instead of BPE's raw pair count; higher
+    score wins, raw count then lexicographic pair break ties
+    deterministically. Stops at ``vocab_size`` pieces or when no
+    adjacent pair remains.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    norm = docs.select(normalize_text(F.col(text_col)).alias("__norm"))
+    counts = (
+        norm.where(F.col("__norm") != "")
+        .select(F.explode(F.split(F.col("__norm"), " ")).alias("word"))
+        .groupBy("word")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+    # word-initial char plain, continuations ##-prefixed
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in counts:
+        w = r["word"]
+        syms = tuple([w[0]] + [f"##{c}" for c in w[1:]])
+        vocab[syms] = vocab.get(syms, 0) + int(r["count"])
+
+    pieces: list[str] = []
+    seen: set[str] = set()
+    for syms in sorted(vocab):  # deterministic char inventory
+        for s in syms:
+            if s not in seen:
+                seen.add(s)
+                pieces.append(s)
+    pieces.sort()
+
+    def _join(a: str, b: str) -> str:
+        return a + b[2:] if b.startswith("##") else a + b
+
+    while len(pieces) < vocab_size:
+        pair_freq: dict[tuple[str, str], int] = {}
+        sym_freq: dict[str, int] = {}
+        for syms, freq in vocab.items():
+            for s in syms:
+                sym_freq[s] = sym_freq.get(s, 0) + freq
+            for a, b in zip(syms, syms[1:]):
+                pair_freq[(a, b)] = pair_freq.get((a, b), 0) + freq
+        if not pair_freq:
+            break
+        # likelihood score; exact integer cross-multiplication compare
+        # via fractions is overkill — float ratio + count + lex pair
+        # tie-break is deterministic (same floats everywhere, Python
+        # driver-side only)
+        best = min(
+            pair_freq.items(),
+            key=lambda kv: (
+                -(kv[1] / (sym_freq[kv[0][0]] * sym_freq[kv[0][1]])),
+                -kv[1],
+                kv[0],
+            ),
+        )[0]
+        merged = _join(best[0], best[1])
+        pieces.append(merged)
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return pieces
+
+
+def wordpiece_word(word: str, vocab: set[str], unk: str = "[UNK]") -> list[str]:
+    """Tokenize one word with WordPiece's greedy LONGEST-MATCH-FIRST:
+    take the longest vocab piece that prefixes the remainder (##-form
+    after the first piece); if none matches, the WHOLE word is
+    ``unk`` (BERT semantics — no partial fallback)."""
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        j = n
+        piece = None
+        while j > i:
+            cand = word[i:j] if i == 0 else f"##{word[i:j]}"
+            if cand in vocab:
+                piece = cand
+                break
+            j -= 1
+        if piece is None:
+            return [unk]
+        out.append(piece)
+        i = j
+    return out
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    pieces: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Encode each document with a (pre-trained) WordPiece vocabulary;
+    returns ``(id, *carry_cols, n_words, n_tokens, n_unk,
+    tokens_str)``. Same execution shape as :func:`bpe_encode`: JVM-side
+    normalization, then one embarrassingly parallel Arrow kernel with
+    the vocab broadcast and a per-task word memo (zipfian corpora make
+    the memo hit rate approach 1). Greedy longest-match runs at most
+    O(len(word)^2) string probes per DISTINCT word per task.
+    """
+    vocab = set(pieces)
+    prepared = docs.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in carry_cols],
+        normalize_text(F.col(text_col)).alias("__norm"),
+    )
+    dtypes = dict(docs.dtypes)
+    out_schema = ", ".join(
+        [f"{id_col} {dtypes[id_col]}"]
+        + [f"{c} {dtypes[c]}" for c in carry_cols]
+        + ["n_words bigint", "n_tokens bigint", "n_unk bigint",
+           "tokens_str string"]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            n_words, n_tokens, n_unks, strs = [], [], [], []
+            for norm in pdf["__norm"]:
+                words = norm.split(" ") if norm else []
+                toks: list[str] = []
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = wordpiece_word(w, vocab, unk)
+                        memo[w] = enc
+                    toks.extend(enc)
+                n_words.append(len(words))
+                n_tokens.append(len(toks))
+                n_unks.append(sum(1 for t in toks if t == unk))
+                strs.append(" ".join(toks))
+            out = {id_col: pdf["__id"]}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            out["n_words"] = n_words
+            out["n_tokens"] = n_tokens
+            out["n_unk"] = n_unks
+            out["tokens_str"] = strs
+            yield pd.DataFrame(out)
+
+    return prepared.mapInPandas(kernel, out_schema)

@@ -84,3 +84,94 @@ def test_encode_rejects_duplicate_merges(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="duplicate"):
         B.bpe_encode(docs, [("a", "b"), ("a", "b")])
+
+
+# ---------------------------------------------------------------------
+# WordPiece (round-8): likelihood-scored training + greedy
+# longest-match encode
+# ---------------------------------------------------------------------
+
+def test_wordpiece_train_uses_likelihood_not_raw_count(spark):
+    """The pair with the HIGHEST likelihood score must merge first even
+    when another pair has a higher raw count — the criterion that
+    separates WordPiece from BPE."""
+    from datacamp_etl_spark.operators.bpe import bpe_train, wordpiece_train
+
+    rows = (
+        [(i, "ab") for i in range(10)]          # pair (a,##b): count 10
+        + [(100 + i, "xy") for i in range(2)]   # pair (x,##y): count 2
+        + [(200 + i, "a") for i in range(20)]   # inflate a's unigram freq
+        + [(300 + i, "b") for i in range(20)]   # inflate b's... (plain b)
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # char inventory = {##b, ##y, a, b, x} (5 pieces); merges follow
+    pieces = wordpiece_train(docs, vocab_size=7)
+    # score(x,##y) = 2/(2*2) = 0.5 >> score(a,##b) = 10/(30*10)
+    assert pieces[5] == "xy"   # first merge: highest likelihood
+    assert pieces[6] == "ab"   # second: the higher-count pair
+    # BPE on the same corpus merges the higher-COUNT pair first
+    assert bpe_train(docs, num_merges=1) == [("a", "b")]
+
+
+def test_wordpiece_word_greedy_longest_match():
+    from datacamp_etl_spark.operators.bpe import wordpiece_word
+
+    vocab = {"a", "ab", "b", "##b", "##c", "##bc"}
+    assert wordpiece_word("abc", vocab) == ["ab", "##c"]   # longest first
+    assert wordpiece_word("abbc", vocab) == ["ab", "##bc"]
+    assert wordpiece_word("ad", vocab) == ["[UNK]"]        # whole-word UNK
+
+
+def test_wordpiece_encode_counts_and_roundtrip(spark):
+    from datacamp_etl_spark.operators.bpe import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    rows = [
+        (1, "hello hello world"),
+        (2, "hello world world"),
+        (3, "unseenqz hello"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pieces = wordpiece_train(docs, vocab_size=40)
+    out = {r["doc_id"]: r for r in wordpiece_encode(docs, pieces).collect()}
+    assert out[1]["n_words"] == 3 and out[1]["n_unk"] == 0
+    # every char of the corpus is in the inventory -> no UNK anywhere
+    assert all(r["n_unk"] == 0 for r in out.values())
+    # stripping ## and re-joining words reconstructs the normalized text
+    for did, text in [(1, "hello hello world"), (2, "hello world world")]:
+        toks = out[did]["tokens_str"].split(" ")
+        words, cur = [], ""
+        for t in toks:
+            if t.startswith("##"):
+                cur += t[2:]
+            else:
+                if cur:
+                    words.append(cur)
+                cur = t
+        words.append(cur)
+        assert " ".join(words) == text
+    # with a tiny vocab the rare word goes [UNK] but known words don't
+    char_only = wordpiece_train(docs.where("doc_id < 3"), vocab_size=1)
+    out3 = {
+        r["doc_id"]: r
+        for r in wordpiece_encode(docs, char_only).collect()
+    }
+    assert out3[3]["n_unk"] >= 1
+
+
+def test_wordpiece_encode_layout_deterministic(spark):
+    from datacamp_etl_spark.operators.bpe import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    rows = [(i, f"token{i % 7} shared words here") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pieces = wordpiece_train(docs, vocab_size=60)
+    a = sorted(map(tuple, wordpiece_encode(docs, pieces).collect()))
+    b = sorted(
+        map(tuple, wordpiece_encode(docs.repartition(11), pieces).collect())
+    )
+    assert a == b
