@@ -50,6 +50,8 @@ __all__ = [
     "substring_dedup",
     "duplicate_text_fraction",
     "source_minhash_overlap",
+    "shingle_hashes",
+    "band_sigs_from_hashes",
     "row_band_signatures",
     "streaming_near_dup_filter",
 ]
@@ -1471,44 +1473,46 @@ def source_minhash_overlap(
     )
 
 
-def row_band_signatures(
-    text_col: Column | str,
+def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:
+    """``array<long>`` of the md5-folded 60-bit shingle hashes of one
+    row's text — the per-row form of :func:`minhash_signature`'s
+    shingle hashing (identical fold, identical prime reduction)."""
+    return F.transform(
+        shingles(text_col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME,
+    )
+
+
+def band_sigs_from_hashes(
+    h_col: Column,
     *,
     num_hashes: int = 16,
     bands: int = 4,
-    k: int = 3,
 ) -> Column:
-    """LSH band keys computed entirely WITHIN the row — an
-    ``array<string>`` of ``bands`` md5 band signatures, value-identical
-    to :func:`band_signatures`' ``band_sig`` column (same shingle
-    hash, same universal-hash constants, same sorted-minhash digest),
-    but built from higher-order array functions instead of
-    explode + groupBy.
+    """Band keys from a PRE-MATERIALIZED shingle-hash array (the
+    output of :func:`shingle_hashes`): the ``num_hashes`` universal-
+    hash minima and the ``bands`` sorted-minima md5 digests are cheap
+    integer/string ops over the array — the expensive md5-per-shingle
+    work must already sit in ``h_col``.
 
-    Being aggregation-free makes it legal in a STREAMING projection
-    (no state, no watermark needed — see
-    :func:`streaming_near_dup_filter`) and zero-shuffle in batch. The
-    explode+groupBy form stays the batch default: one md5 per
-    DISTINCT shingle with map-side combine beats per-row array
-    recomputation when documents are long; this form wins when rows
-    must stay rows.
-
-    Documents with no shingles (< k tokens) return NULL — never a
-    band key — so empty docs cannot collide with each other.
+    Split from the hashing on purpose: Catalyst's CollapseProject
+    inlines a projected expression into every downstream use, so
+    composing hashing + minima in ONE column recomputes the md5 fold
+    ``num_hashes`` times per shingle (measured 10x slower than the
+    batch path at sf0.1). Materialize ``h_col`` behind a projection
+    barrier first — :func:`streaming_near_dup_filter` uses
+    ``spread.evaluate_once`` for exactly this.
     """
     a, b = minhash_constants(num_hashes)
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    sh = shingles(text_col, k)
-    h = F.transform(
-        sh,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        % MINHASH_PRIME,
-    )
     mins = [
         F.array_min(
-            F.transform(h, lambda x: (F.lit(a[j]) * x + F.lit(b[j])) % MINHASH_PRIME)
+            F.transform(
+                h_col, lambda x: (F.lit(a[j]) * x + F.lit(b[j])) % MINHASH_PRIME
+            )
         )
         for j in range(num_hashes)
     ]
@@ -1523,7 +1527,42 @@ def row_band_signatures(
                 )
             )
         )
-    return F.when(F.size(sh) > 0, F.array(*sigs))
+    return F.when(F.size(h_col) > 0, F.array(*sigs))
+
+
+def row_band_signatures(
+    text_col: Column | str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> Column:
+    """LSH band keys computed entirely WITHIN the row — an
+    ``array<string>`` of ``bands`` md5 band signatures, value-identical
+    to :func:`band_signatures`' ``band_sig`` column (same shingle
+    hash, same universal-hash constants, same sorted-minhash digest),
+    but built from higher-order array functions instead of
+    explode + groupBy. Aggregation-free, hence legal in a STREAMING
+    projection and zero-shuffle in batch.
+
+    PERFORMANCE CAVEAT: as a single inline Column, CollapseProject
+    duplicates the md5-per-shingle work into all ``num_hashes``
+    minima (~10x the batch path's cost). For anything beyond one-off
+    parity checks, materialize :func:`shingle_hashes` behind
+    ``spread.evaluate_once`` and apply :func:`band_sigs_from_hashes`
+    — the decomposition :func:`streaming_near_dup_filter` uses.
+    Measured with the barrier (sf1, 50k docs): 1.9 s vs the
+    explode+groupBy :func:`band_signatures`'s 13.2 s — the zero-
+    shuffle row form wins whenever rows can stay rows; keep
+    ``band_signatures`` for producing the exploded ``(id, band, sig)``
+    index shape itself.
+
+    Documents with no shingles (< k tokens) return NULL — never a
+    band key — so empty docs cannot collide with each other.
+    """
+    return band_sigs_from_hashes(
+        shingle_hashes(text_col, k), num_hashes=num_hashes, bands=bands
+    )
 
 
 def streaming_near_dup_filter(
@@ -1556,10 +1595,21 @@ def streaming_near_dup_filter(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    sigs = row_band_signatures(
-        F.col(text_col), num_hashes=num_hashes, bands=bands, k=k
+    from datacamp_etl_spark.operators.spread import evaluate_once
+
+    # materialize the md5 shingle hashes ONCE per row behind a
+    # projection barrier, then derive the 16 minima from the array —
+    # inlining both in one column makes CollapseProject recompute the
+    # md5 fold num_hashes times per shingle (measured 10x slower)
+    hashed = evaluate_once(
+        stream, {"__harr": shingle_hashes(F.col(text_col), k)}
     )
-    out = stream.withColumn("__sigs", sigs)
+    out = hashed.withColumn(
+        "__sigs",
+        band_sigs_from_hashes(
+            F.col("__harr"), num_hashes=num_hashes, bands=bands
+        ),
+    ).drop("__harr")
     hit_cols = []
     for bi in range(bands):
         # the static side is re-read on EVERY micro-batch: cache each
