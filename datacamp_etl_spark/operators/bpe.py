@@ -56,6 +56,42 @@ __all__ = [
 ]
 
 
+def _word_counts(docs, text_col: str, max_words: int):
+    """Shared trainer front-end: ONE distributed word-count shuffle,
+    bounded top-``max_words`` collect (count desc, word asc — the tie
+    order makes training deterministic across partitionings). Both
+    tokenizer trainers consume this; nothing after the collect touches
+    the cluster."""
+    norm = docs.select(normalize_text(F.col(text_col)).alias("__norm"))
+    return (
+        norm.where(F.col("__norm") != "")
+        .select(F.explode(F.split(F.col("__norm"), " ")).alias("word"))
+        .groupBy("word")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+
+
+def _merge_pair_in_syms(
+    syms: tuple, best: tuple, merged: str
+) -> tuple:
+    """Replace every adjacent ``best`` pair in one symbol tuple with
+    ``merged`` (left-to-right, non-overlapping) — the training-side
+    merge application both trainers share."""
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
 def bpe_train(
     docs: DataFrame,
     *,
@@ -77,16 +113,7 @@ def bpe_train(
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
-    norm = docs.select(normalize_text(F.col(text_col)).alias("__norm"))
-    counts = (
-        norm.where(F.col("__norm") != "")
-        .select(F.explode(F.split(F.col("__norm"), " ")).alias("word"))
-        .groupBy("word")
-        .count()
-        .orderBy(F.col("count").desc(), F.col("word"))
-        .limit(max_words)
-        .collect()
-    )
+    counts = _word_counts(docs, text_col, max_words)
     vocab: dict[tuple[str, ...], int] = {
         tuple(r["word"]): int(r["count"]) for r in counts
     }
@@ -104,20 +131,8 @@ def bpe_train(
         merged = best[0] + best[1]
         new_vocab: dict[tuple[str, ...], int] = {}
         for syms, freq in vocab.items():
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if (
-                    i + 1 < len(syms)
-                    and syms[i] == best[0]
-                    and syms[i + 1] == best[1]
-                ):
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+            key = _merge_pair_in_syms(syms, best, merged)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
         vocab = new_vocab
     return merges
 
@@ -285,16 +300,7 @@ def wordpiece_train(
     """
     if vocab_size < 1:
         raise ValueError("vocab_size must be >= 1")
-    norm = docs.select(normalize_text(F.col(text_col)).alias("__norm"))
-    counts = (
-        norm.where(F.col("__norm") != "")
-        .select(F.explode(F.split(F.col("__norm"), " ")).alias("word"))
-        .groupBy("word")
-        .count()
-        .orderBy(F.col("count").desc(), F.col("word"))
-        .limit(max_words)
-        .collect()
-    )
+    counts = _word_counts(docs, text_col, max_words)
     # word-initial char plain, continuations ##-prefixed
     vocab: dict[tuple[str, ...], int] = {}
     for r in counts:
@@ -302,14 +308,7 @@ def wordpiece_train(
         syms = tuple([w[0]] + [f"##{c}" for c in w[1:]])
         vocab[syms] = vocab.get(syms, 0) + int(r["count"])
 
-    pieces: list[str] = []
-    seen: set[str] = set()
-    for syms in sorted(vocab):  # deterministic char inventory
-        for s in syms:
-            if s not in seen:
-                seen.add(s)
-                pieces.append(s)
-    pieces.sort()
+    pieces: list[str] = sorted({s for syms in vocab for s in syms})
 
     def _join(a: str, b: str) -> str:
         return a + b[2:] if b.startswith("##") else a + b
@@ -340,20 +339,7 @@ def wordpiece_train(
         pieces.append(merged)
         new_vocab: dict[tuple[str, ...], int] = {}
         for syms, freq in vocab.items():
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if (
-                    i + 1 < len(syms)
-                    and syms[i] == best[0]
-                    and syms[i + 1] == best[1]
-                ):
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            key = tuple(out)
+            key = _merge_pair_in_syms(syms, best, merged)
             new_vocab[key] = new_vocab.get(key, 0) + freq
         vocab = new_vocab
     return pieces

@@ -310,9 +310,12 @@ def ivfpq_rerank(
     nothing final — it only has to keep the true neighbors inside a
     shortlist a few times larger than ``topk``.
 
-    Returns ``(id, cos_sim)``, best first, id tie-break; zero-norm
-    vectors carry the -2.0 sentinel, consistent with
-    :func:`ivfpq_topk`'s cell assignment.
+    Returns ``(id, cos_sim)``, best first, id tie-break. Zero-norm
+    vectors may enter the SHORTLIST (ivfpq_topk's -2.0 cell-assignment
+    sentinel keeps them scannable) but are DROPPED by the exact stage,
+    matching ``brute_force_topk``'s contract — an unscoreable vector
+    must not fill a final top-k slot that a rank/fusion stage would
+    credit.
 
     Scale shape: all the IVF-PQ savings of :func:`ivfpq_topk` for the
     scan, plus one LEFT SEMI join on the id to fetch the ``shortlist``
@@ -323,6 +326,10 @@ def ivfpq_rerank(
     """
     from datacamp_etl_spark.functions import cosine_similarity
 
+    if shortlist < topk:
+        raise ValueError(
+            f"shortlist ({shortlist}) must be >= topk ({topk})"
+        )
     short = ivfpq_topk(
         df,
         query,
@@ -336,13 +343,14 @@ def ivfpq_rerank(
         decimals=decimals,
     )
     q_arr = F.array(*[F.lit(float(x)) for x in query])
-    exact = df.join(short.select(id_col), id_col, "left_semi").select(
-        id_col,
-        F.round(
-            F.coalesce(
-                cosine_similarity(F.col(vec_col), q_arr), F.lit(-2.0)
-            ),
-            decimals,
-        ).alias("cos_sim"),
+    exact = (
+        df.join(short.select(id_col), id_col, "left_semi")
+        .select(
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), q_arr), decimals
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim").isNotNull())
     )
     return exact.orderBy(F.desc("cos_sim"), id_col).limit(topk)

@@ -975,3 +975,21 @@ def test_ivfpq_rerank_subset_of_shortlist_and_exact_order(spark, sf_dir):
     assert {r["vec_id"] for r in got} <= short_ids  # refine never invents
     sims = [r["cos_sim"] for r in got]
     assert sims == sorted(sims, reverse=True)  # exact order, best first
+
+
+def test_ivfpq_rerank_drops_zero_norm_and_validates_shortlist(spark):
+    from datacamp_etl_spark.operators.pq import ivfpq_rerank
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(8)] + [
+        (100 + i, [0.0] * 8) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivfpq_rerank(
+        df, [1.0] * 8, topk=10, shortlist=12, num_cells=4, num_probes=4,
+        m=4, k=2,
+    ).collect()
+    ids = [r["vec_id"] for r in out]
+    assert all(i < 100 for i in ids)  # zero-norm rows never fill a slot
+    assert len(ids) == 8              # only the scoreable rows
+    with pytest.raises(ValueError, match="shortlist"):
+        ivfpq_rerank(df, [1.0] * 8, topk=10, shortlist=5)
