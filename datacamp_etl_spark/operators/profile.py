@@ -25,7 +25,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["column_profile", "numeric_histogram", "psi_drift", "mad_outliers"]
+__all__ = [
+    "column_profile",
+    "numeric_histogram",
+    "psi_drift",
+    "mad_outliers",
+    "robust_scale",
+]
 
 
 def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -252,4 +258,48 @@ def mad_outliers(
             F.round(F.max("__mad"), 6).alias("mad"),
             F.sum((F.col("__dev") > fence).cast("long")).alias("n_outliers"),
         )
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    id_col: str,
+    out_col: str = "robust_z",
+) -> DataFrame:
+    """Per-group robust standardization: append
+    ``out_col = (x - median) / (1.4826 * MAD)`` — the outlier-immune
+    analog of z-scoring (mean/std move with the outliers they are
+    supposed to expose; median/MAD have a 50% breakdown point). The
+    feature-conditioning counterpart of :func:`mad_outliers`, and a
+    composition over it: the per-group (median, MAD) frame is exactly
+    mad_outliers' bounded output, broadcast back onto the rows.
+
+    Rows with NULL measurements pass through with a NULL score (they
+    were excluded from the statistics); a zero-MAD group (constant
+    values) scores NULL rather than ±inf — flag those with
+    :func:`mad_outliers`' n_outliers instead.
+
+    Scale shape: mad_outliers' two group-keyed window passes produce a
+    |groups|-row stats table; the scaling itself is a broadcast join +
+    narrow projection over the fact — no extra shuffle.
+    """
+    stats = mad_outliers(df, value_col, group_col, id_col=id_col).select(
+        group_col, "median_val", "mad"
+    )
+    x = F.col(value_col).cast("double")
+    z = F.when(
+        F.col("mad") > 0,
+        F.round(
+            (x - F.col("median_val"))
+            / (F.lit(1.4826) * F.col("mad")),
+            6,
+        ),
+    )
+    return (
+        df.join(F.broadcast(stats), group_col, "left")
+        .withColumn(out_col, z)
+        .drop("median_val", "mad")
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket", "gapfill_counts", "locf"]
+__all__ = ["time_bucket", "gapfill_counts", "locf", "rolling_distinct"]
 
 
 def time_bucket(ts: Column | str, width: str = "1 hour") -> Column:
@@ -93,3 +93,62 @@ def locf(
     for c in fill_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Sliding-window distinct count — the DAU/WAU/MAU metric: for
+    every calendar day in the data's range, the number of DISTINCT
+    entities seen in the ``window_days`` ending that day (inclusive).
+
+    Window functions cannot express this (``count(DISTINCT)`` over a
+    frame is unsupported in every SQL engine, and collect_set frames
+    buffer the raw column); the scalable shape is the three-step
+    factorization:
+
+    1. dedup to (day, entity) pairs — ONE map-side-combined distinct,
+       output bounded by days x daily-actives, not by event volume;
+    2. EXPLODE each pair into the ``window_days`` days it contributes
+       to (``[day, day + window_days - 1]``) and count distinct per
+       target day — a pure equi aggregation, no range join and hence
+       no BroadcastNestedLoopJoin in the plan; the shuffle carries
+       the deduped pairs exactly ``window_days`` times, never the raw
+       events;
+    3. left-join the (tiny, generated) day spine so gap days report 0
+       when their whole trailing window is empty.
+
+    Returns ``(day, n_distinct)`` for every day in [min_day, max_day]
+    (a gap day still counts the entities of its trailing window —
+    a day with no events of its own has a defined WAU).
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    pairs = (
+        df.select(
+            F.to_date(ts_col).alias("__day"), F.col(entity_col).alias("__e")
+        )
+        .distinct()
+    )
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("__day"),
+                F.date_add(F.col("__day"), window_days - 1),
+            )
+        ).alias("day"),
+        "__e",
+    )
+    counts = contrib.groupBy("day").agg(
+        F.countDistinct("__e").alias("__n")
+    )
+    spine = pairs.agg(
+        F.min("__day").alias("lo"), F.max("__day").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    return spine.join(counts, "day", "left").select(
+        "day", F.coalesce("__n", F.lit(0)).alias("n_distinct")
+    )

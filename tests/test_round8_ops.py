@@ -993,3 +993,99 @@ def test_ivfpq_rerank_drops_zero_norm_and_validates_shortlist(spark):
     assert len(ids) == 8              # only the scoreable rows
     with pytest.raises(ValueError, match="shortlist"):
         ivfpq_rerank(df, [1.0] * 8, topk=10, shortlist=5)
+
+
+# ---------------------------------------------------------------------
+# rolling_distinct / robust_scale (staged for the next window)
+# ---------------------------------------------------------------------
+
+def test_rolling_distinct_window_semantics(spark):
+    from datacamp_etl_spark.operators.timeseries import rolling_distinct
+
+    rows = [
+        ("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 1),  # dup same day
+        ("2024-01-02 10:00:00", 2),
+        ("2024-01-05 10:00:00", 1),
+        # gap: 2024-01-03 / 04 have no events
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "user_id"
+    )
+    out = {str(r["day"]): r["n_distinct"]
+           for r in rolling_distinct(df, "ts", "user_id", window_days=3).collect()}
+    assert out == {
+        "2024-01-01": 1,          # {1}
+        "2024-01-02": 2,          # {1, 2}
+        "2024-01-03": 2,          # window 01-03: {1, 2}
+        "2024-01-04": 1,          # window 02-04: {2}  (gap day still defined)
+        "2024-01-05": 1,          # window 03-05: {1}
+    }
+
+
+def test_rolling_distinct_duckdb_parity(spark, sf_dir):
+    from datacamp_etl_spark.queries import t
+    from datacamp_etl_spark.operators.timeseries import rolling_distinct
+
+    ev = t(spark, sf_dir, "events")
+    got = sorted(
+        (str(r["day"]), r["n_distinct"])
+        for r in rolling_distinct(ev, "ts", "user_id", window_days=7).collect()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        (str(d), int(n))
+        for d, n in con.execute("""
+        WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS du, user_id
+                       FROM events),
+        spine AS (SELECT unnest(generate_series(min(du), max(du),
+                         INTERVAL 1 DAY))::DATE AS day FROM pairs),
+        c AS (SELECT du + INTERVAL (j.j) DAY AS day, user_id
+              FROM pairs CROSS JOIN (SELECT unnest(range(7)) AS j) j)
+        SELECT s.day, count(DISTINCT c.user_id) AS n
+        FROM spine s LEFT JOIN c ON c.day = s.day
+        GROUP BY s.day
+        """).fetchall()
+    )
+    assert got == want
+
+
+def test_rolling_distinct_plan_has_no_bnlj(spark, sf_dir):
+    from datacamp_etl_spark.queries import t
+    from datacamp_etl_spark.operators.timeseries import rolling_distinct
+
+    df = rolling_distinct(t(spark, sf_dir, "events"), "ts", "user_id")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "CartesianProduct" not in phys
+
+
+def test_robust_scale_composes_with_mad_outliers(spark):
+    from datacamp_etl_spark.operators.profile import robust_scale
+
+    base = [(i, "g", float(i)) for i in range(1, 10)] + [
+        (99, "g", 1000.0), (100, "g", None),
+    ]
+    # 10 values 1..9 + 1000: median 5.5, MAD 2.5
+    df = spark.createDataFrame(base, "id long, grp string, v double")
+    out = {r["id"]: r["robust_z"] for r in
+           robust_scale(df, "v", "grp", id_col="id").collect()}
+    assert out[100] is None                # NULL measurement -> NULL score
+    assert out[99] > 3.5                   # the planted spike scores huge
+    assert abs(out[4] + out[7]) < 1e-9     # symmetric around the median
+    assert abs(out[5] - (-0.5 / (1.4826 * 2.5))) < 1e-6  # closed form
+
+
+def test_robust_scale_zero_mad_is_null(spark):
+    from datacamp_etl_spark.operators.profile import robust_scale
+
+    df = spark.createDataFrame(
+        [(i, "c", 5.0) for i in range(5)], "id long, grp string, v double"
+    )
+    out = robust_scale(df, "v", "grp", id_col="id").collect()
+    assert all(r["robust_z"] is None for r in out)  # constant group: no scale
