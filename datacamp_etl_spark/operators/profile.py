@@ -173,32 +173,20 @@ def psi_drift(
     )
 
 
-def mad_outliers(
-    df: DataFrame,
-    value_col: str,
-    group_col: str,
-    *,
-    id_col: str,
-    z: float = 3.5,
-) -> DataFrame:
-    """Robust per-group outlier profile via the median/MAD rule
-    (Iglewicz & Hoaglin's modified z-score): a row is an outlier when
-    ``|x - median| > z * 1.4826 * MAD`` — unlike mean/stddev fences,
-    the estimator itself is immune to the outliers it hunts (50%
-    breakdown point), which is what a data-quality monitor needs.
+def _group_median_mad(
+    df: DataFrame, value_col: str, group_col: str, id_col: str
+):
+    """Shared robust-statistics core: per-group exact median and MAD,
+    UNROUNDED (display rounding belongs to :func:`mad_outliers`'
+    report; :func:`robust_scale` divides by these, where rounding a
+    small-scale MAD to 6 decimals would zero it out).
 
-    Returns one row per group: ``(group, n, median_val, mad,
-    n_outliers)``, medians exact (middle-of-two interpolation, ties
-    broken by ``id_col`` so both engines rank identically).
-
-    Scale shape: two partitioned-window passes (rank within group ->
-    median; rank of |x - median| -> MAD) + one conditional count — all
-    shuffles keyed by the group, never a global sort. The ranked
-    deviation table feeds both the MAD extraction and the final count,
-    so it is scoped_cache'd: without it Catalyst re-derives the whole
-    fact lineage for each consumer (3 source scans instead of 2). The
-    margin compare is pure IEEE double arithmetic in a fixed order, so
-    the counts replay exactly in any engine.
+    Returns ``(d, med, mad)``: the scoped_cache'd ranked-deviation
+    frame (group, __x, __n, __dev, __med, __dn) and the two bounded
+    per-group frames (group, __med) / (group, __mad). Rows with NULL
+    measurements or a NULL group key are excluded up front — a NULL
+    measurement has no deviation (and engines disagree on NULL sort
+    placement), and a NULL key names no group.
     """
     from pyspark.sql import Window as W
 
@@ -207,9 +195,9 @@ def mad_outliers(
     x = F.col(value_col).cast("double")
     wv = W.partitionBy(group_col).orderBy(value_col, id_col)
     wc = W.partitionBy(group_col)
-    # NULL measurements have no deviation — and engines disagree on
-    # default NULL sort placement, so they never enter the ranking.
-    df = df.where(F.col(value_col).isNotNull())
+    df = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
     r = df.select(group_col, value_col, id_col).select(
         group_col,
         x.alias("__x"),
@@ -248,6 +236,41 @@ def mad_outliers(
         .groupBy(group_col)
         .agg(F.avg("__dev").alias("__mad"))
     )
+    return d, med, mad
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    id_col: str,
+    z: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier profile via the median/MAD rule
+    (Iglewicz & Hoaglin's modified z-score): a row is an outlier when
+    ``|x - median| > z * 1.4826 * MAD`` — unlike mean/stddev fences,
+    the estimator itself is immune to the outliers it hunts (50%
+    breakdown point), which is what a data-quality monitor needs.
+
+    Returns one row per group: ``(group, n, median_val, mad,
+    n_outliers)``, medians exact (middle-of-two interpolation, ties
+    broken by ``id_col`` so both engines rank identically). Rows with
+    a NULL measurement or a NULL group key are excluded (a NULL key
+    names no group). Note MAD = 0 whenever >= 50% of a group's values
+    EQUAL the median — not only for constant groups — in which case
+    every non-median value is an outlier by the fence.
+
+    Scale shape: two partitioned-window passes (rank within group ->
+    median; rank of |x - median| -> MAD) + one conditional count — all
+    shuffles keyed by the group, never a global sort. The ranked
+    deviation table feeds both the MAD extraction and the final count,
+    so it is scoped_cache'd: without it Catalyst re-derives the whole
+    fact lineage for each consumer (3 source scans instead of 2). The
+    margin compare is pure IEEE double arithmetic in a fixed order, so
+    the counts replay exactly in any engine.
+    """
+    d, med, mad = _group_median_mad(df, value_col, group_col, id_col)
     fence = F.lit(z) * F.lit(1.4826) * F.col("__mad")
     return (
         d.join(F.broadcast(mad), group_col)
@@ -273,33 +296,47 @@ def robust_scale(
     ``out_col = (x - median) / (1.4826 * MAD)`` — the outlier-immune
     analog of z-scoring (mean/std move with the outliers they are
     supposed to expose; median/MAD have a 50% breakdown point). The
-    feature-conditioning counterpart of :func:`mad_outliers`, and a
-    composition over it: the per-group (median, MAD) frame is exactly
-    mad_outliers' bounded output, broadcast back onto the rows.
+    feature-conditioning counterpart of :func:`mad_outliers`, built on
+    the same shared statistics core: the bounded per-group (median,
+    MAD) frame broadcast back onto the rows.
 
-    Rows with NULL measurements pass through with a NULL score (they
-    were excluded from the statistics); a zero-MAD group (constant
-    values) scores NULL rather than ±inf — flag those with
-    :func:`mad_outliers`' n_outliers instead.
+    Rows with a NULL measurement or a NULL group key score NULL (they
+    are excluded from the statistics — a NULL key names no group); a
+    zero-MAD group also scores NULL rather than ±inf. Note MAD = 0
+    whenever >= 50% of a group's values equal the median — not only
+    for constant groups — so pair this with :func:`mad_outliers`'
+    n_outliers when such groups matter.
 
-    Scale shape: mad_outliers' two group-keyed window passes produce a
+    The statistics are the UNROUNDED internals (mad_outliers' report
+    rounds to 6 decimals for display; dividing by a rounded MAD would
+    zero out small-scale features entirely). Only the final score is
+    rounded.
+
+    Scale shape: the shared two group-keyed window passes produce a
     |groups|-row stats table; the scaling itself is a broadcast join +
     narrow projection over the fact — no extra shuffle.
     """
-    stats = mad_outliers(df, value_col, group_col, id_col=id_col).select(
-        group_col, "median_val", "mad"
+    _, med, mad = _group_median_mad(df, value_col, group_col, id_col)
+    stats = (
+        med.join(mad, group_col)
+        .select(
+            F.col(group_col).alias("__rs_g"),
+            F.col("__med").alias("__rs_med"),
+            F.col("__mad").alias("__rs_mad"),
+        )
     )
     x = F.col(value_col).cast("double")
     z = F.when(
-        F.col("mad") > 0,
+        F.col("__rs_mad") > 0,
         F.round(
-            (x - F.col("median_val"))
-            / (F.lit(1.4826) * F.col("mad")),
+            (x - F.col("__rs_med")) / (F.lit(1.4826) * F.col("__rs_mad")),
             6,
         ),
     )
     return (
-        df.join(F.broadcast(stats), group_col, "left")
+        df.join(
+            F.broadcast(stats), df[group_col] == F.col("__rs_g"), "left"
+        )
         .withColumn(out_col, z)
-        .drop("median_val", "mad")
+        .drop("__rs_g", "__rs_med", "__rs_mad")
     )

@@ -128,11 +128,15 @@ def rolling_distinct(
     """
     if window_days < 1:
         raise ValueError("window_days must be >= 1")
-    pairs = (
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
+    # two consumers (the explode aggregation and the spine bounds) —
+    # cache the deduped pairs so the fact scan + distinct shuffle run
+    # once, not once per consumer
+    pairs = scoped_cache(
         df.select(
             F.to_date(ts_col).alias("__day"), F.col(entity_col).alias("__e")
-        )
-        .distinct()
+        ).distinct()
     )
     contrib = pairs.select(
         F.explode(

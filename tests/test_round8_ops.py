@@ -1089,3 +1089,28 @@ def test_robust_scale_zero_mad_is_null(spark):
     )
     out = robust_scale(df, "v", "grp", id_col="id").collect()
     assert all(r["robust_z"] is None for r in out)  # constant group: no scale
+
+
+def test_mad_and_robust_scale_exclude_null_groups_consistently(spark):
+    from datacamp_etl_spark.operators.profile import mad_outliers, robust_scale
+
+    rows = [(1, "g", 1.0), (2, "g", 2.0), (3, "g", 3.0), (4, None, 9.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    groups = {r["grp"] for r in mad_outliers(df, "v", "grp", id_col="id").collect()}
+    assert groups == {"g"}  # a NULL key names no group
+    out = {r["id"]: r["robust_z"]
+           for r in robust_scale(df, "v", "grp", id_col="id").collect()}
+    assert out[4] is None           # same exclusion, NULL score
+    assert out[2] == 0.0            # real group still scales
+
+
+def test_robust_scale_small_scale_features_not_zeroed(spark):
+    # the stats are UNROUNDED: a 1e-6-scale feature must still scale
+    from datacamp_etl_spark.operators.profile import robust_scale
+
+    rows = [(i, "g", i * 1e-6) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = {r["id"]: r["robust_z"]
+           for r in robust_scale(df, "v", "grp", id_col="id").collect()}
+    assert out[5] == 0.0
+    assert out[9] is not None and out[9] > 1.0  # not NULLed by rounding
