@@ -309,6 +309,7 @@ def wordpiece_train(
         vocab[syms] = vocab.get(syms, 0) + int(r["count"])
 
     pieces: list[str] = sorted({s for syms in vocab for s in syms})
+    piece_set = set(pieces)
 
     def _join(a: str, b: str) -> str:
         return a + b[2:] if b.startswith("##") else a + b
@@ -336,7 +337,13 @@ def wordpiece_train(
             ),
         )[0]
         merged = _join(best[0], best[1])
-        pieces.append(merged)
+        # two different merge paths can yield the same surface string
+        # (('a','##bc') and ('ab','##c') both produce 'abc'); without
+        # this guard the duplicate would count toward vocab_size and
+        # silently shrink the effective vocabulary
+        if merged not in piece_set:
+            pieces.append(merged)
+            piece_set.add(merged)
         new_vocab: dict[tuple[str, ...], int] = {}
         for syms, freq in vocab.items():
             key = _merge_pair_in_syms(syms, best, merged)

@@ -309,8 +309,6 @@ def pagerank(
     """
     if not 0 < damping < 1:
         raise ValueError("damping must be in (0, 1)")
-    from datacamp_etl_spark.operators.spread import scoped_cache
-
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     nodes = (
         e.select(F.col("a").alias("node"))
@@ -328,15 +326,16 @@ def pagerank(
         # mass each node sends per out-edge this round; cached because
         # TWO consumers read it (the dangling-mass aggregate and the
         # contribution join) and recomputing means re-running the
-        # ranks-out_deg join every round
-        send = scoped_cache(
-            ranks.join(out_deg, ranks.node == out_deg.a, "left").select(
-                "node",
-                "rank",
-                (F.col("rank") / F.col("deg")).alias("per_edge"),
-                F.col("deg").isNull().alias("dangling"),
-            )
-        )
+        # ranks-out_deg join every round. Cached DIRECTLY (not via
+        # scoped_cache) and unpersisted at the bottom of the loop: a
+        # scoped handle would stay pinned until release_engine_caches,
+        # holding `iterations` node-sized frames simultaneously.
+        send = ranks.join(out_deg, ranks.node == out_deg.a, "left").select(
+            "node",
+            "rank",
+            (F.col("rank") / F.col("deg")).alias("per_edge"),
+            F.col("deg").isNull().alias("dangling"),
+        ).cache()
         dangling_mass = (
             send.where("dangling").agg(F.sum("rank")).first()[0] or 0.0
         )
@@ -357,4 +356,7 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        # the eager localCheckpoint above just materialized everything
+        # downstream of `send`; only one cached frame is live at a time
+        send.unpersist()
     return ranks

@@ -258,7 +258,11 @@ def quantile_sketch_contract(
     values collected are ``len(probabilities)`` floats, nothing more);
     the verification pass is ONE conditional aggregation over the
     column (map-side combined). Two scans total, no shuffle wider
-    than a scalar agg.
+    than a scalar agg. Caveat: the EXACT-percentile verification leg
+    uses Spark's ``percentile`` aggregate, which buffers the column's
+    values per partition (memory proportional to partition size,
+    unlike the bounded-state sketch pass) — the gate is a fixture/
+    audit tool; the production quantile path is the sketch itself.
     """
     vals = df.approxQuantile(col, list(probabilities), 1.0 / accuracy)
     if not vals:
@@ -272,7 +276,10 @@ def quantile_sketch_contract(
     aggs = [F.count(x).alias("__n")]
     for i, (p, v) in enumerate(zip(probabilities, vals)):
         aggs += [
-            F.expr(f"percentile({col}, CAST({p!r} AS DOUBLE))").alias(f"__ex{i}"),
+            # typed API, not f-string SQL: a column name needing
+            # backticks would break (or silently re-parse as an
+            # expression) under F.expr interpolation
+            F.percentile(x, F.lit(float(p))).alias(f"__ex{i}"),
             F.sum((x <= F.lit(v)).cast("long")).alias(f"__le{i}"),
             F.sum((x < F.lit(v)).cast("long")).alias(f"__lt{i}"),
         ]

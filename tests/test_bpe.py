@@ -113,6 +113,27 @@ def test_wordpiece_train_uses_likelihood_not_raw_count(spark):
     assert bpe_train(docs, num_merges=1) == [("a", "b")]
 
 
+def test_wordpiece_train_never_emits_duplicate_pieces(spark):
+    """Two different merge paths can produce the same surface string
+    (('a','##bc') and ('ab','##c') both yield 'abc'); the trainer must
+    skip the duplicate so len(pieces) reflects the EFFECTIVE
+    vocabulary, not an inflated count."""
+    from datacamp_etl_spark.operators.bpe import wordpiece_train
+
+    # 'abc' + heavy standalone prefixes/suffixes push both merge
+    # orders into play across vocab sizes; whatever order wins, the
+    # piece list must stay duplicate-free
+    rows = (
+        [(i, "abc abc") for i in range(8)]
+        + [(100 + i, "ab") for i in range(4)]
+        + [(200 + i, "bc") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for size in (6, 8, 10, 12, 16):
+        pieces = wordpiece_train(docs, vocab_size=size)
+        assert len(pieces) == len(set(pieces)), pieces
+
+
 def test_wordpiece_word_greedy_longest_match():
     from datacamp_etl_spark.operators.bpe import wordpiece_word
 
