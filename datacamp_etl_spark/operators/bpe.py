@@ -46,6 +46,7 @@ from datacamp_etl_spark.operators.text import normalize_text
 
 __all__ = [
     "FIXTURE_MERGES_V1",
+    "FIXTURE_WORDPIECE_V1",
     "bpe_train",
     "bpe_encode",
     "bpe_apply_word",
@@ -276,6 +277,34 @@ FIXTURE_MERGES_V1: list[tuple[str, str]] = [
 # ---------------------------------------------------------------------
 # WordPiece (Schuster & Nakajima 2012; the BERT tokenizer family)
 # ---------------------------------------------------------------------
+
+#: Pinned WordPiece vocabulary for the registered wordpiece_encode
+#: query: wordpiece_train(sf0.001 documents, vocab_size=160) frozen as
+#: a literal (training converged at 139 pieces — every fixture word
+#: fully merged). Like FIXTURE_MERGES_V1, pinning lets the oracle SQL
+#: embed the identical piece list; at sf0.01 unseen word-initial
+#: characters exercise the whole-word [UNK] path. tests/test_bpe.py
+#: re-derives it from the fixture to guard rot.
+FIXTURE_WORDPIECE_V1: list[str] = [
+    "##a", "##b", "##c", "##d", "##e", "##g", "##h", "##i", "##k",
+    "##l", "##m", "##n", "##o", "##p", "##r", "##s", "##t", "##u",
+    "##w", "##y", "a", "b", "c", "d", "f", "g", "h", "j", "k", "l",
+    "m", "o", "p", "q", "r", "s", "t", "v", "w", "wi", "li", "qu",
+    "win", "wind", "lin", "th", "##sh", "##ch", "fi", "bi", "##in",
+    "big", "ag", "agg", "fil", "##bl", "##up", "sp", "##us", "cus",
+    "##lu", "##lum", "##lumn", "##ll", "sl", "sc", "##ct", "filt",
+    "##st", "##tch", "cust", "##ow", "window", "slow", "row",
+    "##olumn", "column", "##oin", "join", "##cto", "custo", "##oup",
+    "dup", "custom", "so", "sm", "st", "##an", "scan", "pa", "##alu",
+    "valu", "##ash", "hash", "##am", "##ast", "fast", "##atch",
+    "batch", "spa", "##abl", "tabl", "##all", "small", "da", "##ta",
+    "data", "##rt", "sort", "part", "##rd", "ord", "##rg", "##roup",
+    "group", "##ctor", "str", "##rk", "spark", "##ry", "##er",
+    "order", "filter", "customer", "value", "line", "##ey", "key",
+    "##erg", "merg", "merge", "##ery", "query", "##ector", "vector",
+    "##eam", "stream", "the", "table",
+]
+
 
 def wordpiece_train(
     docs: DataFrame,

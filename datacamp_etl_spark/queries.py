@@ -7167,6 +7167,508 @@ ORACLE["source_overlap_minhash"] = ORACLE["source_overlap_minhash"].replace(
 
 
 # =====================================================================
+# [EXT] Round-9 registrations: the round-8 staged operators, oracle-
+# gated (VERDICT r8 item #1). Each entry lifts the DuckDB replay its
+# round-8 pytest already proved hash-ready.
+# =====================================================================
+
+_BAND_SIG_CTE = f"""
+    {_SHINGLES_CTE},
+    {_minhash_sig_cte()},
+    bs AS (SELECT doc_id, seed // 4 AS band,
+                  md5(array_to_string(list_sort(list(minhash)), '|')) AS band_sig
+           FROM sig GROUP BY doc_id, seed // 4)
+"""
+
+
+@register(
+    "row_band_signatures",
+    f"""
+    {_BAND_SIG_CTE}
+    SELECT doc_id, CAST(band AS BIGINT) AS band, band_sig FROM bs
+    """,
+)
+def q_row_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-row LSH band keys (dedup.row_band_signatures):
+    the aggregation-free, streaming-legal form of band_signatures —
+    shingle hashes materialized ONCE behind an evaluate_once
+    projection barrier (without it CollapseProject re-inlines the md5
+    fold into all 16 minhash minima, measured 10x slower), then the
+    4 band digests derived in-row and posexploded to the same
+    (doc_id, band, band_sig) shape the batch index writes. ZERO
+    shuffles — the scan partitions carry everything; docs with < k
+    tokens emit no band key (NULL array, posexplode drops it). The
+    oracle is the batch band-signature SQL, so row and batch paths
+    are pinned value-identical by the driver, not just by pytest."""
+    from datacamp_etl_spark.operators.dedup import (
+        band_sigs_from_hashes,
+        shingle_hashes,
+    )
+    from datacamp_etl_spark.operators.spread import evaluate_once
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = evaluate_once(docs, {"__harr": shingle_hashes(F.col("text"), 3)})
+    sigs = hashed.select(
+        "doc_id",
+        band_sigs_from_hashes(F.col("__harr"), num_hashes=16, bands=4)
+        .alias("__sigs"),
+    )
+    return sigs.select(
+        "doc_id", F.posexplode("__sigs").alias("band", "band_sig")
+    ).select("doc_id", F.col("band").cast("long").alias("band"), "band_sig")
+
+
+@register(
+    "streaming_near_dup_filter",
+    f"""
+    {_BAND_SIG_CTE},
+    hits AS (SELECT DISTINCT b.doc_id
+             FROM bs b JOIN bs c ON b.band = c.band AND b.band_sig = c.band_sig
+             WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def q_streaming_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] streaming near-dup gate (dedup.streaming_near_dup_filter):
+    odd-id documents arrive as a file stream and pass only if none of
+    their 4 in-row LSH band keys collides with the persisted index of
+    the even-id corpus (band_signatures). Entirely STATELESS — band
+    keys are a projection, each band one stream-static left-outer
+    equi-join against that band's distinct cached index slice; no
+    watermark, no state store. AvailableNow drain into a memory sink;
+    survivors' ids are compared against the batch anti-join replay in
+    DuckDB (same gate shape as incremental_dedup_against_corpus). At
+    scale the index is a pre-deduped table partitioned by band,
+    bucketed by band_sig — each probe a co-located hash lookup."""
+    import tempfile
+
+    from datacamp_etl_spark.operators.dedup import (
+        band_signatures,
+        streaming_near_dup_filter,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    idx = band_signatures(corpus)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+    )
+    filtered = streaming_near_dup_filter(stream, idx)
+    _STREAM_RUN[0] += 1
+    sink = f"stream_near_dup_{_STREAM_RUN[0]}"
+    q = (
+        filtered.select("doc_id")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("doc_id")
+
+
+@register(
+    "rolling_distinct",
+    """
+    WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS du, user_id
+                   FROM events),
+    spine AS (SELECT CAST(g.d AS DATE) AS day
+              FROM (SELECT unnest(generate_series(min(du), max(du),
+                           INTERVAL 1 DAY)) AS d FROM pairs) g),
+    c AS (SELECT CAST(du + INTERVAL (j.j) DAY AS DATE) AS day, user_id
+          FROM pairs CROSS JOIN (SELECT unnest(range(7)) AS j) j)
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_distinct
+    FROM spine s LEFT JOIN c ON c.day = s.day
+    GROUP BY s.day
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sliding-window distinct count — the DAU/WAU metric
+    (timeseries.rolling_distinct): distinct users in the trailing
+    7 days of every calendar day in the events range, gap days
+    included. Window frames cannot express count(DISTINCT); the scale
+    shape is dedup-to-(day, user) pairs (ONE map-side-combined
+    distinct, bounded by days x daily actives, not event volume),
+    EXPLODE each pair into the 7 target days it serves (pure equi
+    aggregation — no range join, no BroadcastNestedLoopJoin), then a
+    generated day spine left-join so empty-window days report 0."""
+    from datacamp_etl_spark.operators.timeseries import rolling_distinct
+
+    out = rolling_distinct(
+        t(spark, sf_dir, "events"), "ts", "user_id", window_days=7
+    )
+    # DATE -> midnight TIMESTAMP for the cross-engine compare (DuckDB
+    # DATE surfaces as a pandas Timestamp; Spark DATE as datetime.date)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"), "n_distinct"
+    )
+
+
+@register(
+    "robust_scale",
+    """
+    WITH r AS (SELECT event_type AS grp,
+                      CAST(value AS DOUBLE) AS x, event_id AS id,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    med AS (SELECT grp, avg(x) AS med FROM r
+            WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY grp),
+    dev AS (SELECT r.grp, r.x, r.id, r.n, abs(r.x - med.med) AS dv
+            FROM r JOIN med USING (grp)),
+    d AS (SELECT grp, dv, n,
+                 row_number() OVER (PARTITION BY grp ORDER BY dv, id) AS dn
+          FROM dev),
+    mad AS (SELECT grp, avg(dv) AS mad FROM d
+            WHERE dn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY grp),
+    s AS (SELECT med.grp, med.med, mad.mad
+          FROM med JOIN mad USING (grp))
+    SELECT e.event_id,
+           CASE WHEN e.value IS NOT NULL AND s.mad > 0
+                THEN round((CAST(e.value AS DOUBLE) - s.med)
+                           / (CAST(1.4826 AS DOUBLE) * s.mad), 6)
+           END AS robust_z
+    FROM events e LEFT JOIN s ON e.event_type = s.grp
+    """,
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] robust standardization (profile.robust_scale): per-event-
+    type modified z-score (x - median) / (1.4826 * MAD) appended to
+    every event row — the outlier-immune feature conditioner sharing
+    mad_outliers' statistics core. Stats are the UNROUNDED internals
+    (dividing by a display-rounded MAD would zero small-scale
+    features); NULL measurement, NULL group key, and zero-MAD groups
+    score NULL. Two group-keyed window passes build the bounded
+    |groups|-row stats table; the scaling is a broadcast join + narrow
+    projection — no extra shuffle over the fact."""
+    from datacamp_etl_spark.operators.profile import robust_scale
+
+    return robust_scale(
+        t(spark, sf_dir, "events"), "value", "event_type",
+        id_col="event_id",
+    ).select("event_id", "robust_z")
+
+
+_ORDER_HASH_SQL = (
+    "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), "
+        f"{i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+)
+
+
+@register(
+    "length_bucket_batches",
+    f"""
+    WITH b AS (SELECT doc_id,
+                 CASE WHEN n_chars >= 1024 THEN 1024
+                      WHEN n_chars >= 512 THEN 512
+                      WHEN n_chars >= 256 THEN 256
+                      WHEN n_chars >= 128 THEN 128
+                      WHEN n_chars >= 64 THEN 64 ELSE 0 END AS band,
+                 {_ORDER_HASH_SQL} AS h
+               FROM documents)
+    SELECT doc_id, CAST(band AS BIGINT) AS band,
+           (row_number() OVER (PARTITION BY band ORDER BY h, doc_id) - 1)
+             // 32 AS batch_id
+    FROM b
+    """,
+)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] length-bucketed batch assembly
+    (curation.length_bucket_batches): documents binned into power-of-
+    two length bands (on n_chars as the token proxy), then numbered
+    into dense 32-row batches within each band in deterministic
+    (md5-hash, id) order — padding waste bounded by the band width,
+    hash order preserving the i.i.d.-like mix training wants. ONE
+    shuffle keyed by the band; batches never cross bands, so
+    numbering is embarrassingly parallel across bands."""
+    from datacamp_etl_spark.operators.curation import length_bucket_batches
+
+    docs = t(spark, sf_dir, "documents").withColumnRenamed(
+        "n_chars", "n_tokens"
+    )
+    return length_bucket_batches(docs, "n_tokens", 32).select(
+        "doc_id", "band", "batch_id"
+    )
+
+
+@register(
+    "token_budget_cap",
+    f"""
+    WITH b AS (SELECT doc_id, source, n_chars, {_ORDER_HASH_SQL} AS h
+               FROM documents),
+    c AS (SELECT doc_id, source,
+                 sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+          FROM b)
+    SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 50000
+    """,
+)
+def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-source token-budget selection
+    (curation.token_budget_cap): walk each source's documents in
+    deterministic (md5-hash, id) order, keep rows while the RUNNING
+    token total (n_chars as the proxy) stays within 50k — the "at
+    most B tokens per source" mixture primitive; cap_per_group caps
+    COUNTS, budgets are set in tokens. ONE group-keyed running-sum
+    window, integer arithmetic only — no global sort, no driver
+    state."""
+    from datacamp_etl_spark.operators.curation import token_budget_cap
+
+    docs = t(spark, sf_dir, "documents").withColumnRenamed(
+        "n_chars", "n_tokens"
+    )
+    return token_budget_cap(
+        docs, "n_tokens", 50_000, group_col="source"
+    ).select("doc_id", "source", "cum_tokens")
+
+
+_NEG_FOLD_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "negative_pairs",
+    f"""
+    WITH pos AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                      doc_id) - 1 AS p,
+                   count(*) OVER () AS n
+                 FROM documents),
+    drawn AS (SELECT doc_id AS anchor_id, p, n, j.neg_rank
+              FROM pos CROSS JOIN (VALUES (0), (1)) AS j(neg_rank)),
+    stepped AS (SELECT anchor_id, neg_rank, n,
+                  (p + 1 + (SELECT {_NEG_FOLD_SQL} FROM
+                      (SELECT md5(CAST(anchor_id AS VARCHAR)
+                          || ':' || CAST(neg_rank AS VARCHAR)) AS h))
+                      % (n - 1)
+                  ) % n AS neg_pos
+                FROM drawn)
+    SELECT s.anchor_id, CAST(s.neg_rank AS BIGINT) AS neg_rank,
+           pos.doc_id AS negative_id
+    FROM stepped s JOIN pos ON pos.p = s.neg_pos
+    """,
+)
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] deterministic contrastive negative sampling
+    (ids.negative_pairs): 2 pseudo-random OTHER documents per anchor
+    via md5-ordered contiguous positions + an md5-derived ring step
+    that can never be 0 — same pairs on any engine, any layout, any
+    run (resumable training without a pair manifest). The position
+    assignment is assign_contiguous_ids' two-pass range partition (no
+    single-task stage); the draw is one explode + ONE equi-join on
+    position — linear in n*k, never a cross join."""
+    from datacamp_etl_spark.operators.ids import negative_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return negative_pairs(docs, 2).select(
+        "anchor_id",
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        "negative_id",
+    )
+
+
+def _pagerank_iter_sql(prev: str) -> str:
+    """One DuckDB PageRank round: uniform teleport + damped
+    (dangling-mass spread + in-edge contributions), prev = the
+    previous round's rank CTE."""
+    return f"""
+    SELECT n.node,
+           (SELECT (1 - 0.85) / (SELECT count(*) FROM nodes)
+                   + 0.85 * ((SELECT coalesce(sum(r.rank), 0) FROM {prev} r
+                              LEFT JOIN deg ON deg.src = r.node
+                              WHERE deg.src IS NULL)
+                             / (SELECT count(*) FROM nodes)))
+           + 0.85 * coalesce((SELECT sum(p.rank / d.deg)
+                              FROM edges e
+                              JOIN {prev} p ON p.node = e.src
+                              JOIN deg d ON d.src = e.src
+                              WHERE e.dst = n.node), 0) AS rank
+    FROM nodes n
+    """
+
+
+@register(
+    "pagerank",
+    f"""
+    WITH edges AS (
+      SELECT doc_id AS src,
+             min(doc_id) OVER (PARTITION BY source) AS dst
+      FROM documents
+      QUALIFY doc_id <> dst),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM nodes)
+               AS rank FROM nodes),
+    r1 AS ({_pagerank_iter_sql('r0')}),
+    r2 AS ({_pagerank_iter_sql('r1')}),
+    r3 AS ({_pagerank_iter_sql('r2')})
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PageRank (graph.pagerank, Brin & Page 1998) over the
+    deterministic star forest doc_id -> min(doc_id) of its source
+    (hubs are dangling, so the dangling-mass redistribution is
+    exercised), 3 fixed iterations replayed as 3 chained CTE rounds in
+    DuckDB. Each Spark iteration is ONE shuffle (ranks join edges on
+    src, groupBy dst) + a scalar dangling-mass aggregate; the rank
+    frame is localCheckpoint'd per round to keep the plan flat. Ranks
+    conserve to 1 and are compared at 6 decimals (both engines sum
+    the same IEEE doubles; the addend-order difference is ~1e-15)."""
+    from datacamp_etl_spark.operators.graph import pagerank
+
+    docs = t(spark, sf_dir, "documents")
+    hub = docs.select(
+        "doc_id",
+        F.min("doc_id").over(W.partitionBy("source")).alias("hub"),
+    ).where("doc_id <> hub")
+    edges = hub.select(
+        F.col("doc_id").alias("src"), F.col("hub").alias("dst")
+    )
+    pr = pagerank(edges, iterations=3)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "ivfpq_rerank",
+    """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+    FROM embeddings e, q
+    WHERE list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                  x -> x * x)) <> 0
+      AND list_sum(list_transform(CAST(q.embedding AS DOUBLE[]),
+                                  x -> x * x)) <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] IVF-PQ search with exact re-ranking (pq.ivfpq_rerank,
+    FAISS refine / Jégou et al. 2011 §V.D): the compressed-domain ADC
+    scan shortlists candidates, then ONLY the shortlist's real vectors
+    are read for an exact cosine ordering — the exact stage's cost is
+    independent of corpus size (a left-semi id lookup + TakeOrdered
+    over `shortlist` rows). Gated in the DEGENERATE configuration
+    (every cell probed, shortlist = corpus), where refine provably
+    equals brute-force exact top-k — the SQL-replayable contract; the
+    production probe path's recall is separately gated by
+    ann_recall_eval, and the pytest suite pins the subset/ordering
+    invariants of partial probing."""
+    from datacamp_etl_spark.operators.pq import ivfpq_rerank
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    n = emb.count()
+    return ivfpq_rerank(
+        emb, q, topk=10, shortlist=n, num_cells=8, num_probes=8
+    )
+
+
+def _wordpiece_vocab_sql() -> str:
+    from datacamp_etl_spark.operators.bpe import FIXTURE_WORDPIECE_V1
+
+    return "[" + ", ".join(f"'{p}'" for p in FIXTURE_WORDPIECE_V1) + "]"
+
+
+@register(
+    "wordpiece_encode",
+    f"""
+    WITH RECURSIVE
+    n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    w AS (SELECT doc_id, u.i AS wpos, u.w AS word
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(len(string_split(norm, ' '))),
+                    i -> {{'i': i, 'w': string_split(norm, ' ')[i + 1]}})) AS u
+                FROM n WHERE norm <> '')),
+    uw AS (SELECT DISTINCT word FROM w),
+    st AS (
+      SELECT word, 0 AS i, []::VARCHAR[] AS toks FROM uw
+      UNION ALL
+      SELECT word,
+             CASE WHEN L IS NULL THEN len(word) ELSE i + L END AS i,
+             CASE WHEN L IS NULL THEN ['[UNK]']
+                  ELSE toks || [CASE WHEN i = 0 THEN substr(word, 1, L)
+                                ELSE '##' || substr(word, i + 1, L) END]
+             END AS toks
+      FROM (
+        SELECT word, i, toks,
+          list_max(list_filter(list_transform(range(1, len(word) - i + 1),
+            L -> CASE WHEN list_contains({_wordpiece_vocab_sql()},
+                          CASE WHEN i = 0 THEN substr(word, 1, L)
+                               ELSE '##' || substr(word, i + 1, L) END)
+                 THEN L END),
+            x -> x IS NOT NULL)) AS L
+        FROM st WHERE i < len(word))),
+    fin AS (SELECT word, toks FROM st WHERE i = len(word)),
+    enc AS (SELECT w.doc_id,
+                   count(*) AS n_words,
+                   sum(len(f.toks)) AS n_tokens,
+                   sum(len(list_filter(f.toks, t -> t = '[UNK]'))) AS n_unk,
+                   string_agg(array_to_string(f.toks, ' '), ' '
+                              ORDER BY w.wpos) AS tstr
+            FROM w JOIN fin f USING (word) GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(e.n_unk, 0) AS BIGINT) AS n_unk,
+           md5(coalesce(e.tstr, '')) AS tokens_md5
+    FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+    """,
+)
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] WordPiece tokenization (bpe.wordpiece_encode) under the
+    pinned FIXTURE_WORDPIECE_V1 vocabulary: per-document counts
+    (words, pieces, whole-word [UNK]s) plus an md5 over the full
+    space-joined piece sequence — the oracle replays BERT's greedy
+    longest-match-first segmentation as a DuckDB recursive CTE over
+    DISTINCT words, so the exact piece STREAM is gated, not just its
+    length. Execution is bpe_encode's shape: JVM normalization + one
+    embarrassingly parallel Arrow kernel with the vocab broadcast and
+    a per-task word memo (zipfian corpora drive the hit rate to 1);
+    no shuffle at any scale."""
+    from datacamp_etl_spark.operators.bpe import (
+        FIXTURE_WORDPIECE_V1,
+        wordpiece_encode,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    enc = wordpiece_encode(docs, FIXTURE_WORDPIECE_V1)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        "n_unk",
+        F.md5(F.col("tokens_str")).alias("tokens_md5"),
+    )
+
+
+# =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================
 # The round driver oracle-checks the FIRST-50 prefix of this registry
@@ -7188,13 +7690,28 @@ ORACLE["source_overlap_minhash"] = ORACLE["source_overlap_minhash"].replace(
 
 from datacamp_etl_spark.adjudication import LAST_ADJUDICATED  # noqa: E402
 
+#: Manual front-loads: entries whose LATEST driver row is non-green
+#: (fix shipped, but their ledger rank would defer re-adjudication
+#: past the next round). They slot right after the never-adjudicated
+#: block, ahead of the plain staleness rotation. Round 9:
+#: hll_incremental_distinct's r7 row is `err: no_oracle` (the oracle
+#: gate shipped in r8 and is selfcheck-green); rank 7 would otherwise
+#: defer its driver re-check to round 10 (VERDICT r8 item #2).
+PINNED_FRONT: list[str] = ["hll_incremental_distinct"]
+
 
 def _rotation_order() -> list[str]:
     reg_idx = {n: i for i, n in enumerate(QUERIES)}
-    return sorted(
-        QUERIES,
-        key=lambda n: (LAST_ADJUDICATED.get(n, -1), reg_idx[n]),
-    )
+    pin = {n: i for i, n in enumerate(PINNED_FRONT)}
+
+    def key(n: str):
+        if n not in LAST_ADJUDICATED:
+            return (0, 0, reg_idx[n])
+        if n in pin:
+            return (1, pin[n], 0)
+        return (2, LAST_ADJUDICATED[n], reg_idx[n])
+
+    return sorted(QUERIES, key=key)
 
 
 def _apply_order(ordered: list[str]) -> None:

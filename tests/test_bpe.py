@@ -134,6 +134,19 @@ def test_wordpiece_train_never_emits_duplicate_pieces(spark):
         assert len(pieces) == len(set(pieces)), pieces
 
 
+def test_fixture_wordpiece_vocab_matches_training(spark):
+    """FIXTURE_WORDPIECE_V1 is wordpiece_train(sf0.001 documents,
+    vocab_size=160) frozen as a literal for the registered query's
+    oracle; re-derive it so the pinned copy cannot rot."""
+    from datacamp_etl_spark.operators.bpe import (
+        FIXTURE_WORDPIECE_V1,
+        wordpiece_train,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert wordpiece_train(docs, vocab_size=160) == FIXTURE_WORDPIECE_V1
+
+
 def test_wordpiece_word_greedy_longest_match():
     from datacamp_etl_spark.operators.bpe import wordpiece_word
 

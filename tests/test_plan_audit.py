@@ -59,6 +59,10 @@ ALLOWED_BNLJ = {
     "source_kl_divergence": "1-row corpus-total token count "
     "crossJoined onto the per-(source, token) aggregate as a "
     "single-row literal",
+    "negative_pairs": "1-row corpus-size scalar (max position + 1, "
+    "with the >= 2-rows raise_error guard) crossJoined onto the "
+    "anchor stream so the ring modulus rides along without a second "
+    "scan; the draw itself is an equi-join on position",
 }
 
 #: Partitionless-Window allowlist: query -> why the window's input is

@@ -13,7 +13,7 @@ update, rotation accidentally dropped) fails loudly.
 from __future__ import annotations
 
 from datacamp_etl_spark.adjudication import LAST_ADJUDICATED
-from datacamp_etl_spark.queries import ORACLE, QUERIES
+from datacamp_etl_spark.queries import ORACLE, PINNED_FRONT, QUERIES
 
 WINDOW = 50
 
@@ -23,20 +23,36 @@ def test_new_entries_lead_the_registry():
     front, inside the adjudication window."""
     names = list(QUERIES)
     new = [n for n in names if n not in LAST_ADJUDICATED]
-    assert len(new) <= WINDOW, (
-        f"{len(new)} never-adjudicated entries exceed the {WINDOW}-slot "
-        "window; stagger additions across rounds"
+    assert len(new) + len(PINNED_FRONT) <= WINDOW, (
+        f"{len(new)} never-adjudicated + {len(PINNED_FRONT)} pinned "
+        f"entries exceed the {WINDOW}-slot window; stagger additions"
     )
     assert names[: len(new)] == new, (
         "never-adjudicated entries are not front-loaded: rotation broken"
     )
 
 
+def test_pinned_entries_follow_the_new_block():
+    """Manual front-loads (latest driver row non-green, fix shipped)
+    slot right after the never-adjudicated block so the driver
+    re-checks them THIS round instead of at their ledger rank."""
+    names = list(QUERIES)
+    new = [n for n in names if n not in LAST_ADJUDICATED]
+    pinned = [p for p in PINNED_FRONT if p in LAST_ADJUDICATED]
+    assert names[len(new) : len(new) + len(pinned)] == pinned, (
+        "pinned entries are not immediately after the new block"
+    )
+
+
 def test_rotation_is_least_recently_adjudicated_first():
-    """After the new entries, staleness must be non-decreasing: the
-    window always holds the entries the driver has seen least
-    recently."""
-    rounds = [LAST_ADJUDICATED[n] for n in QUERIES if n in LAST_ADJUDICATED]
+    """After the new + pinned entries, staleness must be
+    non-decreasing: the window always holds the entries the driver
+    has seen least recently."""
+    rounds = [
+        LAST_ADJUDICATED[n]
+        for n in QUERIES
+        if n in LAST_ADJUDICATED and n not in PINNED_FRONT
+    ]
     assert rounds == sorted(rounds), (
         "adjudicated entries are not ordered by last-checked round"
     )
