@@ -208,9 +208,16 @@ def hybrid_search_rrf(
             .drop("s")
         )
 
-    lex = bm25_search(docs, query_terms, id_col=id_col, top_k=pool)
+    # cache each pooled retrieval (<= pool rows — trivially bounded)
+    # BEFORE the rank self-join: without the pin, the a/b sides of
+    # _rank_pool re-execute the whole retrieval, i.e. the BM25 leg's
+    # two corpus-tokenize passes and the brute-force vector scan each
+    # run TWICE (measured ~2x standalone wall at sf0.1)
+    lex = scoped_cache(
+        bm25_search(docs, query_terms, id_col=id_col, top_k=pool)
+    )
     lex_r = _rank_pool(lex, id_col, "score", "lex_rank")
-    vec = brute_force_topk(embeddings, query_vec, k=pool)
+    vec = scoped_cache(brute_force_topk(embeddings, query_vec, k=pool))
     vec_r = _rank_pool(vec, vec_id_col, "cosine", "vec_rank")
     fused = lex_r.join(vec_r, "id", "full_outer").select(
         "id",
