@@ -49,6 +49,8 @@ __all__ = [
     "containment_pairs",
     "substring_dedup",
     "duplicate_text_fraction",
+    "intra_doc_repeats",
+    "intra_doc_repeat_fraction",
     "source_minhash_overlap",
     "shingle_hashes",
     "band_sigs_from_hashes",
@@ -1414,6 +1416,129 @@ def duplicate_text_fraction(
                 6,
             ).alias("dup_fraction"),
         )
+    )
+
+
+def intra_doc_repeats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """WITHIN-document repetition detection — the Lee et al. 2022
+    (arXiv:2107.06499) intra-doc variant of :func:`substring_dedup`:
+    maximal token spans whose content verbatim-repeats EARLIER text of
+    the SAME document, at span length >= ``min_tokens``. Generated
+    pages and scraped boilerplate often repeat a template inside one
+    document; whole-doc near-dup scoring never sees it, and cross-doc
+    substring dedup explicitly requires >= 2 documents.
+
+    Same anchor machinery as :func:`substring_dedup`, keyed by
+    (document, k-gram hash) instead of the hash alone:
+
+    1. every token position emits the md5 of its k-token window;
+    2. a position is REPEATED iff the same window content occurred at
+       a smaller position of the same document (min-over-(id, hash)
+       window — keep-FIRST semantics; the shuffle key is (id, hash),
+       so skew is bounded by one document's anchor count, and anchors
+       never leave their document);
+    3. repeated positions merge into maximal spans per document
+       (gaps-and-islands, window partitioned by id).
+
+    Contract note: "repeated" is decided per WINDOW START — a span
+    covers ``[start, last_repeated_start + k)``. For periodic text
+    (``(A)*m``, ``|A| <= k``) every window start past the leading
+    period duplicates the start ``|A|`` positions earlier, so all but
+    the first period (plus the rotations inside the first window) is
+    reported — aggressive, but exact and deterministic: the fixed
+    point of keep-first removal.
+
+    Returns ``(id_col, span_start, span_len, cluster)``, one row per
+    maximal repeated span, ``cluster`` = md5 of the span's own text
+    (same key space as substring_dedup, so cross- and intra-doc span
+    tables union cleanly).
+    """
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    k = min_tokens
+    toks = tokens(text_col)
+    base = scoped_cache(
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .where(F.size("__toks") >= k)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - k),
+        lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, k), " ")),
+    )
+    anchors = base.select("id", F.posexplode(grams).alias("pos", "__h"))
+    wh = Window.partitionBy("id", "__h")
+    rep = anchors.select(
+        "id", "pos", F.min("pos").over(wh).alias("__mn")
+    ).where(F.col("pos") > F.col("__mn"))
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = rep.select(
+        "id",
+        "pos",
+        F.sum(
+            F.when(
+                F.col("pos") - F.lag("pos", 1, -k - 1).over(w) > k, 1
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("__island"),
+    )
+    spans = islands.groupBy("id", "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k - F.min("pos")).alias("span_len"),
+    )
+    return spans.join(base, "id").select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_len",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "__toks", F.col("span_start") + 1, F.col("span_len")
+                ),
+                " ",
+            )
+        ).alias("cluster"),
+    )
+
+
+def intra_doc_repeat_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Per-document fraction of tokens inside WITHIN-doc repeated
+    spans — the intra-doc counterpart of
+    :func:`duplicate_text_fraction`, and the filter signal for
+    template-stuffed or generation-looped documents. Composes
+    :func:`intra_doc_repeats` (maximal islands are non-overlapping
+    per doc, so ``sum(span_len)`` is exact coverage); EVERY input
+    document reports — zero-token and repeat-free docs emit 0.0,
+    never NULL."""
+    spans = intra_doc_repeats(df, id_col, text_col, min_tokens=min_tokens)
+    per_doc = spans.groupBy(id_col).agg(F.sum("span_len").alias("__rep"))
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("n_tokens")
+    )
+    rep = F.coalesce(F.col("__rep"), F.lit(0))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        rep.cast("long").alias("repeat_tokens"),
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                rep / F.col("n_tokens")
+            ),
+            6,
+        ).alias("repeat_fraction"),
     )
 
 

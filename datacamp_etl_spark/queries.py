@@ -7668,6 +7668,96 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k = 3 for the registered entries: the synthetic fixture's word salad
+# contains no >= 5-token intra-doc repeats at sf0.01, and a 0-row gate
+# pins nothing — at k = 3 dozens of docs carry real repeated spans, so
+# the anchor/min-position/island pipeline is value-checked end to end
+# (the operator's production default stays min_tokens=10).
+_INTRA_K = 3
+_INTRA_SPANS_SQL = f"""
+    {_TOKS_CTE},
+    p AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - {_INTRA_K})) AS pos
+          FROM tk WHERE len(toks) >= {_INTRA_K}),
+    g AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+                 md5(array_to_string(toks[(pos + 1):(pos + {_INTRA_K})], ' '))
+                     AS h
+          FROM p),
+    rep AS (SELECT doc_id, pos FROM
+              (SELECT doc_id, pos,
+                      min(pos) OVER (PARTITION BY doc_id, h) AS mn
+               FROM g)
+            WHERE pos > mn),
+    i AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos, 1, -{_INTRA_K + 1})
+                          OVER (PARTITION BY doc_id ORDER BY pos) > {_INTRA_K}
+                      THEN 1 ELSE 0 END AS brk
+          FROM rep),
+    isl AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS island
+            FROM i),
+    s AS (SELECT doc_id, min(pos) AS span_start,
+                 max(pos) + {_INTRA_K} - min(pos) AS span_len
+          FROM isl GROUP BY doc_id, island)
+"""
+
+
+@register(
+    "intra_doc_repeats",
+    _INTRA_SPANS_SQL + """
+    SELECT s.doc_id, CAST(span_start AS INT) AS span_start,
+           CAST(span_len AS INT) AS span_len,
+           md5(array_to_string(
+               tk.toks[(span_start + 1):(span_start + span_len)], ' '))
+               AS cluster
+    FROM s JOIN tk USING (doc_id)
+    """,
+)
+def q_intra_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] within-document repetition detection
+    (dedup.intra_doc_repeats, the Lee et al. 2022 intra-doc variant):
+    maximal token spans verbatim-repeating EARLIER text of the same
+    document (keep-first), via the substring_dedup anchor machinery
+    keyed by (doc, k-gram hash) — anchors never leave their document,
+    the min-position window shuffles on (id, hash), and the island
+    merge is doc-partitioned, so skew is bounded by one document's
+    length at any corpus size."""
+    from datacamp_etl_spark.operators.dedup import intra_doc_repeats
+
+    return intra_doc_repeats(
+        t(spark, sf_dir, "documents"), min_tokens=_INTRA_K
+    )
+
+
+@register(
+    "intra_doc_repeat_fraction",
+    _INTRA_SPANS_SQL + """
+    , pd AS (SELECT doc_id, sum(span_len) AS rep FROM s GROUP BY doc_id)
+    SELECT tk.doc_id,
+           CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(pd.rep, 0) AS BIGINT) AS repeat_tokens,
+           round(CASE WHEN len(tk.toks) = 0 THEN 0.0
+                 ELSE coalesce(pd.rep, 0) / len(tk.toks) END,
+                 6) AS repeat_fraction
+    FROM tk LEFT JOIN pd USING (doc_id)
+    """,
+)
+def q_intra_doc_repeat_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-document within-doc repeated-token fraction
+    (dedup.intra_doc_repeat_fraction) — the filter signal for
+    template-stuffed or generation-looped documents, composing
+    intra_doc_repeats' non-overlapping maximal islands; EVERY
+    document reports (zero-token and repeat-free docs emit 0.0,
+    never NULL), so a downstream threshold filter cannot silently
+    drop rows."""
+    from datacamp_etl_spark.operators.dedup import intra_doc_repeat_fraction
+
+    return intra_doc_repeat_fraction(
+        t(spark, sf_dir, "documents"), min_tokens=_INTRA_K
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================
