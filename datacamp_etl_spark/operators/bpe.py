@@ -54,6 +54,11 @@ __all__ = [
     "wordpiece_train",
     "wordpiece_word",
     "wordpiece_encode",
+    "FIXTURE_UNIGRAM_V1",
+    "UNIGRAM_COST_SCALE",
+    "unigram_train",
+    "unigram_word",
+    "unigram_encode",
 ]
 
 
@@ -453,6 +458,289 @@ def wordpiece_encode(
                 n_words.append(len(words))
                 n_tokens.append(len(toks))
                 n_unks.append(sum(1 for t in toks if t == unk))
+                strs.append(" ".join(toks))
+            out = {id_col: pdf["__id"]}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            out["n_words"] = n_words
+            out["n_tokens"] = n_tokens
+            out["n_unk"] = n_unks
+            out["tokens_str"] = strs
+            yield pd.DataFrame(out)
+
+    return prepared.mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------
+# Unigram LM (Kudo 2018, arXiv:1804.10959; the SentencePiece family)
+# ---------------------------------------------------------------------
+
+#: Fixed-point scale for unigram piece costs: cost = round(-ln(p) *
+#: UNIGRAM_COST_SCALE) as an INTEGER. The Viterbi DP then runs in pure
+#: integer arithmetic, so the same (pieces, costs) table produces the
+#: same segmentation in ANY engine — the property the oracle-gated
+#: encode entry needs (float log-prob sums could tie-break differently
+#: across engines at the last ulp).
+UNIGRAM_COST_SCALE = 1_000_000
+
+#: Blocked-prefix sentinel (no vocab path reaches this position).
+#: Far above any real path cost (30 chars x ~28e6 max piece cost
+#: ~ 1e9) yet small enough that the packed comparison key below
+#: stays inside int64.
+_UNIGRAM_INF = 1 << 50
+
+
+def _unigram_key(cost: int, ntok: int, L: int) -> int:
+    """Pack the Viterbi candidate ordering into ONE integer:
+    minimize total cost, then token count, then PREFER the longer
+    last piece. ntok and L are < 64 by construction (normalized
+    fixture words are far shorter); the packed compare is exact
+    integer arithmetic, replayed verbatim in the oracle SQL."""
+    return ((cost * 64) + ntok) * 64 + (63 - L)
+
+
+#: Pinned unigram-LM vocabulary for the registered unigram_encode
+#: query: unigram_train(sf0.001 documents, vocab_size=44) frozen as a
+#: (piece, integer cost) literal — small enough that frequent fixture
+#: words stay whole pieces while rarer words fall back to sub-piece /
+#: character Viterbi paths, so the gate exercises every branch of the
+#: DP. tests/test_round9_ops.py re-derives it to guard rot.
+FIXTURE_UNIGRAM_V1: list[tuple[str, int]] = [
+    ("a", 2191306), ("agg", 4086064), ("b", 3044241), ("c", 3451186),
+    ("column", 4060196), ("d", 4115854), ("e", 3044611),
+    ("f", 10946728), ("fast", 4128897), ("filter", 4124531),
+    ("g", 4154384), ("group", 4106182), ("h", 3439587),
+    ("hash", 4118016), ("i", 4154384), ("j", 10946728),
+    ("join", 4104045), ("k", 4132185), ("key", 4094485),
+    ("l", 3045721), ("line", 4093429), ("m", 3457875),
+    ("merge", 4105113), ("n", 10946728), ("o", 3475934),
+    ("order", 4063265), ("p", 4100848), ("part", 4075637),
+    ("q", 10946728), ("query", 4106182), ("r", 3058394),
+    ("s", 3046462), ("scan", 4054086), ("slow", 4120183),
+    ("sort", 4064291), ("stream", 4122354), ("t", 2532897),
+    ("u", 4123442), ("v", 10946728), ("value", 4089214),
+    ("vector", 4109395), ("w", 4181689), ("window", 4062241),
+    ("y", 10946728),
+]
+
+
+def unigram_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    vocab_size: int = 128,
+    max_words: int = 50_000,
+    max_piece_len: int = 8,
+    seed_factor: int = 4,
+    em_rounds: int = 2,
+    shrink: float = 0.75,
+) -> list[tuple[str, int]]:
+    """Learn a unigram-LM vocabulary (Kudo 2018): seed with frequent
+    substrings, alternate Viterbi-EM (hard-EM — each word re-segmented
+    under current piece costs, pieces re-scored by usage) with
+    likelihood-greedy PRUNING (drop the least-used multi-char pieces,
+    ``shrink`` of the surplus per round) until ``vocab_size`` pieces
+    remain, then ``em_rounds`` final EM passes. Single characters are
+    never pruned, so every training word stays segmentable.
+
+    Returns ``[(piece, cost)]`` sorted by piece, where ``cost =
+    round(-ln((count + 1) / (total + |V|)) * UNIGRAM_COST_SCALE)`` —
+    add-one smoothing keeps every kept piece's cost finite, and the
+    integer fixed-point makes downstream Viterbi engine-portable.
+
+    Same 100 TB shape as the BPE/WordPiece trainers: ONE distributed
+    word-count shuffle, bounded top-``max_words`` collect, driver-side
+    loop over the frequency dict (documented zipf-head contract); the
+    cluster never sees the EM loop.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    if max_piece_len < 1:
+        raise ValueError("max_piece_len must be >= 1")
+    words = {
+        r["word"]: int(r["count"])
+        for r in _word_counts(docs, text_col, max_words)
+    }
+
+    # seed inventory: every substring up to max_piece_len, scored by
+    # corpus occurrence frequency x length (long frequent pieces are
+    # the valuable ones — same heuristic family as SentencePiece's
+    # suffix-array seed)
+    from collections import Counter
+
+    sub_freq: Counter = Counter()
+    chars: set[str] = set()
+    for w, c in sorted(words.items()):
+        for i in range(len(w)):
+            chars.add(w[i])
+            for L in range(1, min(max_piece_len, len(w) - i) + 1):
+                sub_freq[w[i : i + L]] += c
+    multi = sorted(
+        (p for p in sub_freq if len(p) > 1),
+        key=lambda p: (-sub_freq[p] * len(p), p),
+    )
+    seed_budget = max(vocab_size * seed_factor - len(chars), 0)
+    pieces = sorted(chars) + multi[:seed_budget]
+    counts = {p: sub_freq[p] for p in pieces}
+
+    def _em_pass(current: dict[str, int]) -> dict[str, int]:
+        """One hard-EM pass: Viterbi-segment every word under costs
+        derived from ``current``, return piece usage counts."""
+        total = sum(current.values()) or 1
+        import math
+
+        cost = {
+            p: max(
+                1,
+                round(-math.log(c / total) * UNIGRAM_COST_SCALE),
+            )
+            for p, c in current.items()
+            if c > 0
+        }
+        # single chars always survive with at least a floor count so
+        # every word segments
+        for ch in chars:
+            cost.setdefault(ch, _UNIGRAM_INF // (1 << 20))
+        used: Counter = Counter()
+        for w, c in sorted(words.items()):
+            for piece in unigram_word(w, cost, max_piece_len):
+                used[piece] += c
+        return dict(used)
+
+    def _keep_chars(cnt: dict[str, int]) -> dict[str, int]:
+        # single characters are never pruned (every training word must
+        # stay segmentable) — an EM pass that didn't USE a char would
+        # otherwise silently drop it from the model
+        for ch in chars:
+            cnt.setdefault(ch, 0)
+        return cnt
+
+    target = max(vocab_size, len(chars))
+    while True:
+        counts = _keep_chars(_em_pass(counts))
+        counts = {p: c for p, c in counts.items() if c > 0 or len(p) == 1}
+        n_over = len(counts) - target
+        if n_over <= 0:
+            break
+        # prune the least-used multi-char pieces, `shrink` of the
+        # surplus at a time (ties: lexicographic — deterministic)
+        droppable = sorted(
+            (p for p in counts if len(p) > 1),
+            key=lambda p: (counts[p], p),
+        )
+        n_drop = max(1, int(n_over * shrink))
+        for p in droppable[:n_drop]:
+            del counts[p]
+    for _ in range(em_rounds):
+        counts = _keep_chars(_em_pass(counts))
+    counts = {p: c for p, c in counts.items() if c > 0 or len(p) == 1}
+
+    import math
+
+    total = sum(counts.values())
+    v = len(counts)
+    return sorted(
+        (
+            p,
+            max(
+                1,
+                round(
+                    -math.log((c + 1) / (total + v)) * UNIGRAM_COST_SCALE
+                ),
+            ),
+        )
+        for p, c in counts.items()
+    )
+
+
+def unigram_word(
+    word: str, cost: dict[str, int], max_piece_len: int
+) -> list[str]:
+    """Viterbi-segment one word under integer piece costs: the
+    segmentation minimizing ``(sum of costs, token count, shorter
+    last pieces last)`` via the packed :func:`_unigram_key` compare —
+    exact integer DP, so any engine replays it bit-for-bit. A prefix
+    no vocab path reaches makes the WHOLE word ``[UNK]`` (the repo's
+    wordpiece contract; with single characters in the vocab this only
+    happens for characters unseen in training)."""
+    n = len(word)
+    INF_KEY = _unigram_key(_UNIGRAM_INF, 0, 0)
+    best = [INF_KEY] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = _unigram_key(0, 0, 0)
+    for j in range(1, n + 1):
+        for L in range(1, min(j, max_piece_len) + 1):
+            c = cost.get(word[j - L : j])
+            if c is None or best[j - L] >= INF_KEY:
+                continue
+            prev_cost = best[j - L] // 4096
+            prev_ntok = (best[j - L] // 64) % 64
+            cand = _unigram_key(prev_cost + c, prev_ntok + 1, L)
+            if cand < best[j]:
+                best[j] = cand
+                back[j] = L
+    if best[n] >= INF_KEY:
+        return ["[UNK]"]
+    out: list[str] = []
+    j = n
+    while j > 0:
+        L = back[j]
+        out.append(word[j - L : j])
+        j -= L
+    out.reverse()
+    return out
+
+
+def unigram_encode(
+    docs: DataFrame,
+    pieces: list[tuple[str, int]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode each document with a (pre-trained) unigram-LM vocabulary
+    via integer-cost Viterbi; returns ``(id, *carry_cols, n_words,
+    n_tokens, n_unk, tokens_str)`` — the same surface as
+    :func:`wordpiece_encode`, and the same execution shape: JVM-side
+    normalization, then ONE embarrassingly parallel Arrow kernel with
+    the (piece -> cost) dict broadcast and a per-task word memo. No
+    shuffle at any scale. Unigram pieces are plain substrings (no
+    continuation marker), so ``concat(tokens of word) == word``
+    whenever the word segmented (round-trip property)."""
+    cost = dict(pieces)
+    max_len = max((len(p) for p in cost), default=1)
+    prepared = docs.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in carry_cols],
+        normalize_text(F.col(text_col)).alias("__norm"),
+    )
+    dtypes = dict(docs.dtypes)
+    out_schema = ", ".join(
+        [f"{id_col} {dtypes[id_col]}"]
+        + [f"{c} {dtypes[c]}" for c in carry_cols]
+        + ["n_words bigint", "n_tokens bigint", "n_unk bigint",
+           "tokens_str string"]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            n_words, n_tokens, n_unks, strs = [], [], [], []
+            for norm in pdf["__norm"]:
+                words = norm.split(" ") if norm else []
+                toks: list[str] = []
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = unigram_word(w, cost, max_len)
+                        memo[w] = enc
+                    toks.extend(enc)
+                n_words.append(len(words))
+                n_tokens.append(len(toks))
+                n_unks.append(sum(1 for t in toks if t == "[UNK]"))
                 strs.append(" ".join(toks))
             out = {id_col: pdf["__id"]}
             for c in carry_cols:

@@ -7758,6 +7758,110 @@ def q_intra_doc_repeat_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_oracle_sql() -> str:
+    """DuckDB replay of bpe.unigram_encode under FIXTURE_UNIGRAM_V1:
+    the integer-cost Viterbi DP as a recursive CTE (one iteration per
+    character position; the packed (cost, ntok, 63-L) comparison key
+    is exact BIGINT arithmetic, replayed verbatim from
+    bpe._unigram_key), then a second recursive CTE walking the
+    backpointers — recoverable from the winning key itself, since the
+    key encodes the chosen piece length — to the piece sequence."""
+    from datacamp_etl_spark.operators.bpe import (
+        _UNIGRAM_INF,
+        _unigram_key,
+        FIXTURE_UNIGRAM_V1,
+    )
+
+    pieces = "[" + ", ".join(f"'{p}'" for p, _ in FIXTURE_UNIGRAM_V1) + "]"
+    costs = "[" + ", ".join(str(c) for _, c in FIXTURE_UNIGRAM_V1) + "]"
+    max_len = max(len(p) for p, _ in FIXTURE_UNIGRAM_V1)
+    inf_key = _unigram_key(_UNIGRAM_INF, 0, 0)
+    return f"""
+    WITH RECURSIVE
+    n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    w AS (SELECT doc_id, u.i AS wpos, u.w AS word
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(len(string_split(norm, ' '))),
+                    i -> {{'i': i, 'w': string_split(norm, ' ')[i + 1]}})) AS u
+                FROM n WHERE norm <> '')),
+    uw AS (SELECT DISTINCT word FROM w),
+    dp AS (
+      SELECT word, 0 AS j, [CAST(63 AS BIGINT)] AS keys FROM uw
+      UNION ALL
+      SELECT word, j + 1,
+             keys || [coalesce(list_min(list_filter(
+               list_transform(range(1, least(j + 1, {max_len}) + 1),
+                 L -> CASE WHEN list_position({pieces},
+                               substr(word, j + 2 - L, L)) > 0
+                            AND keys[j + 2 - L] < {inf_key}
+                      THEN ((keys[j + 2 - L] // 4096
+                             + {costs}[list_position({pieces},
+                                   substr(word, j + 2 - L, L))]) * 64
+                            + ((keys[j + 2 - L] // 64) % 64) + 1) * 64
+                           + (63 - L)
+                      END),
+               x -> x IS NOT NULL)), {inf_key})]
+      FROM dp WHERE j < len(word)),
+    done AS (SELECT word, keys FROM dp WHERE j = len(word)),
+    bt AS (
+      SELECT word, keys, len(word) AS j, []::VARCHAR[] AS toks
+      FROM done WHERE keys[len(word) + 1] < {inf_key}
+      UNION ALL
+      SELECT word, keys, j - (63 - (keys[j + 1] % 64)),
+             [substr(word, j - (63 - (keys[j + 1] % 64)) + 1,
+                     63 - (keys[j + 1] % 64))] || toks
+      FROM bt WHERE j > 0),
+    seg AS (SELECT word, toks FROM bt WHERE j = 0
+            UNION ALL
+            SELECT word, ['[UNK]'] FROM done
+            WHERE keys[len(word) + 1] >= {inf_key}),
+    enc AS (SELECT w.doc_id,
+                   count(*) AS n_words,
+                   sum(len(f.toks)) AS n_tokens,
+                   sum(len(list_filter(f.toks, t -> t = '[UNK]'))) AS n_unk,
+                   string_agg(array_to_string(f.toks, ' '), ' '
+                              ORDER BY w.wpos) AS tstr
+            FROM w JOIN seg f USING (word) GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(e.n_unk, 0) AS BIGINT) AS n_unk,
+           md5(coalesce(e.tstr, '')) AS tokens_md5
+    FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+    """
+
+
+@register("unigram_encode", None)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] unigram-LM tokenization (bpe.unigram_encode, Kudo 2018 /
+    the SentencePiece family) under the pinned FIXTURE_UNIGRAM_V1
+    vocabulary: per-document counts (words, pieces, whole-word
+    [UNK]s) plus an md5 over the full space-joined piece sequence.
+    Viterbi runs on INTEGER fixed-point costs (round(-ln p * 1e6)),
+    so the DP — including its (cost, token-count, longest-last-piece)
+    tie-break, packed into one BIGINT compare — replays bit-for-bit
+    in the DuckDB oracle's recursive CTE. Execution is the tokenizer
+    family's shape: JVM normalization + one embarrassingly parallel
+    Arrow kernel, vocab broadcast, per-task word memo, no shuffle."""
+    from datacamp_etl_spark.operators.bpe import (
+        FIXTURE_UNIGRAM_V1,
+        unigram_encode,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    enc = unigram_encode(docs, FIXTURE_UNIGRAM_V1)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        "n_unk",
+        F.md5(F.col("tokens_str")).alias("tokens_md5"),
+    )
+
+
+ORACLE["unigram_encode"] = _unigram_oracle_sql()
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

@@ -120,3 +120,105 @@ def test_plan_shape(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+# ---------------------------------------------------------------------
+# unigram-LM tokenizer (Kudo 2018 / SentencePiece family)
+# ---------------------------------------------------------------------
+
+
+def test_unigram_word_prefers_low_cost_path():
+    from datacamp_etl_spark.operators.bpe import unigram_word
+
+    # 'abc' as one piece is cheaper than any composition
+    cost = {"a": 10, "b": 10, "c": 10, "ab": 15, "abc": 12}
+    assert unigram_word("abc", cost, 3) == ["abc"]
+    # without the whole-word piece, 'ab'+'c' (25) beats a+b+c (30)
+    cost2 = {"a": 10, "b": 10, "c": 10, "ab": 15}
+    assert unigram_word("abc", cost2, 3) == ["ab", "c"]
+
+
+def test_unigram_word_tie_breaks_fewest_then_longest():
+    from datacamp_etl_spark.operators.bpe import unigram_word
+
+    # equal total cost (20): 'ab'+'cd' (2 tokens) must beat
+    # 'a'+'b'+'cd' (3 tokens, cost 20 too)
+    cost = {"a": 5, "b": 5, "ab": 10, "cd": 10}
+    assert unigram_word("abcd", cost, 2) == ["ab", "cd"]
+    # equal cost AND equal token count: prefer the LONGER last piece
+    # 'a'+'bcd' vs 'ab'+'cd' both cost 20, 2 tokens -> 'bcd' wins
+    cost2 = {"a": 10, "ab": 10, "bcd": 10, "cd": 10}
+    assert unigram_word("abcd", cost2, 3) == ["a", "bcd"]
+
+
+def test_unigram_word_unseen_char_is_whole_word_unk():
+    from datacamp_etl_spark.operators.bpe import unigram_word
+
+    cost = {"a": 1, "b": 1}
+    assert unigram_word("axb", cost, 2) == ["[UNK]"]
+
+
+def test_unigram_train_chars_survive_and_words_segment(spark):
+    from datacamp_etl_spark.operators.bpe import unigram_train, unigram_word
+
+    rows = [(i, "banana bandana cabana") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pieces = unigram_train(docs, vocab_size=8)
+    vocab = {p for p, _ in pieces}
+    # every corpus character survives pruning
+    assert {"a", "b", "c", "d", "n"} <= vocab
+    cost = dict(pieces)
+    ml = max(len(p) for p in cost)
+    for w in ("banana", "bandana", "cabana"):
+        toks = unigram_word(w, cost, ml)
+        assert toks != ["[UNK]"]
+        assert "".join(toks) == w  # plain-substring round-trip
+
+
+def test_unigram_fixture_matches_training(spark):
+    """FIXTURE_UNIGRAM_V1 is unigram_train(sf0.001 documents,
+    vocab_size=44) frozen as a literal; re-derive it so the pinned
+    copy (and the oracle embedding it) cannot rot."""
+    from datacamp_etl_spark.operators.bpe import (
+        FIXTURE_UNIGRAM_V1,
+        unigram_train,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert unigram_train(docs, vocab_size=44) == FIXTURE_UNIGRAM_V1
+
+
+def test_unigram_encode_counts_and_roundtrip(spark):
+    from datacamp_etl_spark.operators.bpe import (
+        FIXTURE_UNIGRAM_V1,
+        unigram_encode,
+    )
+
+    rows = [
+        (1, "window scan window"),
+        (2, "zzz"),         # unseen char z -> whole-word UNK
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_encode(docs, FIXTURE_UNIGRAM_V1).collect()}
+    assert out[1]["n_words"] == 3 and out[1]["n_unk"] == 0
+    assert out[1]["tokens_str"] == "window scan window"
+    assert out[2]["n_unk"] == 1 and out[2]["tokens_str"] == "[UNK]"
+    assert out[3]["n_words"] == 0 and out[3]["tokens_str"] == ""
+
+
+def test_unigram_encode_layout_deterministic(spark):
+    from datacamp_etl_spark.operators.bpe import (
+        FIXTURE_UNIGRAM_V1,
+        unigram_encode,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, unigram_encode(docs, FIXTURE_UNIGRAM_V1).collect()))
+    b = sorted(
+        map(
+            tuple,
+            unigram_encode(docs.repartition(7), FIXTURE_UNIGRAM_V1).collect(),
+        )
+    )
+    assert a == b
