@@ -130,6 +130,22 @@ HEADLINE = [
     "weighted_sample_wor",
     "approx_quantile_contract",
     "mad_outliers",
+    # round-9 additions: the round-8 staged operators (now oracle-
+    # gated), intra-doc repetition, unigram-LM tokenizer. Streaming
+    # entries stay out of the bench by convention (AvailableNow drains
+    # measure sink plumbing, not operator compute).
+    "pagerank",
+    "negative_pairs",
+    "ivfpq_rerank",
+    "wordpiece_encode",
+    "unigram_encode",
+    "rolling_distinct",
+    "robust_scale",
+    "length_bucket_batches",
+    "token_budget_cap",
+    "row_band_signatures",
+    "intra_doc_repeats",
+    "intra_doc_repeat_fraction",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap
