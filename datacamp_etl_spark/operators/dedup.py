@@ -51,6 +51,8 @@ __all__ = [
     "duplicate_text_fraction",
     "intra_doc_repeats",
     "intra_doc_repeat_fraction",
+    "remove_spans",
+    "substring_dedup_apply",
     "source_minhash_overlap",
     "shingle_hashes",
     "band_sigs_from_hashes",
@@ -1540,6 +1542,92 @@ def intra_doc_repeat_fraction(
             6,
         ).alias("repeat_fraction"),
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut token ranges out of each document's normalized token
+    stream — the APPLY half of span-level dedup (Lee et al. 2022 cut
+    the duplicated text; finding spans without removing them fixes
+    nothing). ``spans`` carries ``(id_col, span_start, span_len)``
+    rows (0-based token offsets, e.g. from :func:`substring_dedup` or
+    :func:`intra_doc_repeats` — whose per-doc islands are
+    non-overlapping by construction).
+
+    Returns ``(id_col, n_tokens, n_removed, cleaned_text)`` for EVERY
+    input document (span-free docs report 0 removed and their
+    normalized text unchanged).
+
+    Scale shape: spans aggregate to ONE array per document (bounded by
+    document length), broadcast-join back, and the cut itself is a
+    higher-order-function filter over the token array — pure JVM
+    expressions, no UDF, no extra shuffle beyond the per-doc span
+    groupBy."""
+    from datacamp_etl_spark.operators.spread import evaluate_once
+
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("__spans")
+    )
+    # materialize the tokenization ONCE per row behind a projection
+    # barrier — n_tokens, the filter, and n_removed all read it, and
+    # CollapseProject would otherwise re-run the normalize regex per
+    # reference
+    base = evaluate_once(docs, {"__toks": tokens(text_col)})
+    joined = base.join(sp, id_col, "left").withColumn(
+        "__spans", F.coalesce("__spans", F.array())
+    )
+    indexed = F.transform(
+        F.col("__toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            "__spans",
+            lambda r: (s["i"] >= r["span_start"])
+            & (s["i"] < r["span_start"] + r["span_len"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda s: s["t"]), " "
+        ).alias("cleaned_text"),
+    )
+
+
+def substring_dedup_apply(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """End-to-end exact substring dedup (Lee et al. 2022 find + CUT):
+    detect cross-document verbatim spans with
+    :func:`substring_dedup`, keep each span cluster's FIRST occurrence
+    (smallest ``(doc_id, span_start)`` — deterministic on any engine),
+    and :func:`remove_spans` every other occurrence from its
+    document's token stream.
+
+    Returns ``(id_col, n_tokens, n_removed, cleaned_text)`` for every
+    document. The keep-first ranking is a window partitioned by the
+    span's content cluster (fine-grained key — a cluster holds one row
+    per occurrence, so skew is bounded by a single passage's
+    duplication count, the quantity this operator exists to bound)."""
+    spans = substring_dedup(df, id_col, text_col, min_tokens=min_tokens)
+    w = Window.partitionBy("cluster").orderBy(id_col, "span_start")
+    removable = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(id_col, "span_start", "span_len")
+    )
+    return remove_spans(df, removable, id_col, text_col)
 
 
 def source_minhash_overlap(

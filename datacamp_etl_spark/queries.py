@@ -7862,6 +7862,107 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["unigram_encode"] = _unigram_oracle_sql()
 
 
+def _cut_sql(rem_cte: str) -> str:
+    """Shared DuckDB replay of dedup.remove_spans over a removable-
+    spans CTE named ``rem`` (doc_id, span_start, span_len): aggregate
+    spans per doc, filter token positions with the same struct-lambda
+    the Spark side runs, emit (n_tokens, n_removed, cleaned md5).
+    Leading comma: callers append this to a span CTE chain that ends
+    without one."""
+    return f"""
+    , {rem_cte},
+    agg AS (SELECT doc_id,
+                   list({{'s': span_start, 'l': span_len}}) AS spans
+            FROM rem GROUP BY doc_id),
+    res AS (SELECT tk.doc_id, tk.toks,
+                   coalesce(a.spans, []) AS spans
+            FROM tk LEFT JOIN agg a USING (doc_id)),
+    cut AS (SELECT doc_id, len(toks) AS n,
+                   list_filter(
+                     list_transform(range(len(toks)),
+                       i -> {{'i': i, 't': toks[i + 1]}}),
+                     x -> NOT len(list_filter(spans,
+                         r -> x.i >= r.s AND x.i < r.s + r.l)) > 0)
+                     AS keptl
+            FROM res)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n - len(keptl) AS BIGINT) AS n_removed,
+           md5(coalesce(
+               array_to_string(list_transform(keptl, x -> x.t), ' '),
+               '')) AS cleaned_md5
+    FROM cut
+    """
+
+
+@register(
+    "substring_dedup_apply",
+    _SUBSTR_SPANS_SQL + _cut_sql("""
+    spc AS (SELECT s.doc_id, s.span_start, s.span_len,
+                   md5(array_to_string(
+                       tk.toks[(span_start + 1):(span_start + span_len)],
+                       ' ')) AS cluster
+            FROM s JOIN tk USING (doc_id)),
+    rem AS (SELECT doc_id, span_start, span_len FROM
+              (SELECT spc.*, row_number() OVER (PARTITION BY cluster
+                   ORDER BY doc_id, span_start) AS rn FROM spc)
+            WHERE rn > 1)
+    """.strip().rstrip(",")),
+)
+def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact substring dedup, find + CUT
+    (dedup.substring_dedup_apply): cross-doc verbatim spans >= 10
+    tokens are detected (substring_dedup), each content cluster keeps
+    its FIRST occurrence (min (doc_id, span_start) — a window over the
+    fine-grained cluster key), and every other occurrence is removed
+    from its document's token stream by remove_spans — a pure
+    higher-order-function filter, no UDF. EVERY document reports
+    (n_tokens, n_removed, cleaned text md5); untouched docs carry
+    their normalized text hash."""
+    from datacamp_etl_spark.operators.dedup import substring_dedup_apply
+
+    out = substring_dedup_apply(
+        t(spark, sf_dir, "documents"), min_tokens=10
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    )
+
+
+@register(
+    "intra_doc_apply",
+    _INTRA_SPANS_SQL + _cut_sql(
+        "rem AS (SELECT doc_id, span_start, span_len FROM s)"
+    ),
+)
+def q_intra_doc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] within-doc repetition removal (intra_doc_repeats +
+    remove_spans): every span that verbatim-repeats earlier text of
+    the same document is cut (keep-first is inherent — the first
+    occurrence is never in the span table). Same report shape as
+    substring_dedup_apply; the whole pipeline is anchors ->
+    (doc, hash)-keyed min -> doc-keyed islands -> per-doc array cut,
+    never leaving the document's own partition keys."""
+    from datacamp_etl_spark.operators.dedup import (
+        intra_doc_repeats,
+        remove_spans,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    spans = intra_doc_repeats(docs, min_tokens=_INTRA_K).select(
+        "doc_id", "span_start", "span_len"
+    )
+    out = remove_spans(docs, spans)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

@@ -222,3 +222,89 @@ def test_unigram_encode_layout_deterministic(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# remove_spans / substring_dedup_apply (the CUT half of span dedup)
+# ---------------------------------------------------------------------
+
+
+def test_remove_spans_cuts_exact_ranges(spark):
+    from datacamp_etl_spark.operators.dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 3)], "doc_id long, span_start int, span_len int"
+    )
+    out = {r["doc_id"]: r for r in remove_spans(docs, spans).collect()}
+    assert out[1]["cleaned_text"] == "a b f g h"
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (8, 3)
+    # span-free doc passes through normalized, 0 removed
+    assert out[2]["cleaned_text"] == "x y z"
+    assert out[2]["n_removed"] == 0
+
+
+def test_remove_spans_multiple_disjoint_spans(spark):
+    from datacamp_etl_spark.operators.dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 0, 2), (1, 5, 3)], "doc_id long, span_start int, span_len int"
+    )
+    [r] = remove_spans(docs, spans).collect()
+    assert r["cleaned_text"] == "t2 t3 t4 t8 t9"
+    assert r["n_removed"] == 5
+
+
+def test_substring_dedup_apply_keeps_first_occurrence(spark):
+    from datacamp_etl_spark.operators.dedup import substring_dedup_apply
+
+    p = "one two three four five six"
+    rows = [
+        (1, f"alpha beta {p} gamma delta"),
+        (2, f"zeta {p} eta theta iota"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup_apply(docs, min_tokens=4).collect()
+    }
+    # doc 1 holds the cluster's first occurrence -> untouched
+    assert out[1]["n_removed"] == 0
+    assert out[1]["cleaned_text"] == f"alpha beta {p} gamma delta"
+    # doc 2's copy is cut
+    assert out[2]["n_removed"] == 6
+    assert out[2]["cleaned_text"] == "zeta eta theta iota"
+
+
+def test_substring_dedup_apply_reports_every_doc(spark):
+    from datacamp_etl_spark.operators.dedup import substring_dedup_apply
+
+    rows = [(1, "totally unique text one"), (2, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup_apply(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["n_tokens"] == 0 and out[2]["cleaned_text"] == ""
+
+
+def test_intra_apply_composes_with_intra_repeats(spark):
+    from datacamp_etl_spark.operators.dedup import (
+        intra_doc_repeats,
+        remove_spans,
+    )
+
+    p = "one two three four"
+    docs = spark.createDataFrame(
+        [(1, f"{p} aa bb cc dd {p}")], "doc_id long, text string"
+    )
+    spans = intra_doc_repeats(docs, min_tokens=4).select(
+        "doc_id", "span_start", "span_len"
+    )
+    [r] = remove_spans(docs, spans).collect()
+    assert r["cleaned_text"] == f"{p} aa bb cc dd"
+    assert r["n_removed"] == 4
