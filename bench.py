@@ -146,6 +146,11 @@ HEADLINE = [
     "row_band_signatures",
     "intra_doc_repeats",
     "intra_doc_repeat_fraction",
+    "substring_dedup_apply",
+    "ks_drift_events",
+    "anomaly_zscore_events",
+    "kmv_users_set_ops",
+    "event_transitions",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

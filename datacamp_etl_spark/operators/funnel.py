@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "funnel_counts", "cohort_retention"]
+__all__ = [
+    "funnel",
+    "funnel_counts",
+    "cohort_retention",
+    "event_transitions",
+]
 
 
 def funnel(
@@ -131,4 +136,50 @@ def cohort_retention(
         active.join(cohorts, user_col)
         .groupBy("cohort", off.alias("period_offset"))
         .agg(F.count("*").cast("long").alias("n_active"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered pair of event types, how often does
+    ``next`` immediately follow ``prev`` in the SAME user's stream,
+    and what fraction of ``prev``'s outgoing transitions is that —
+    the behavioral fingerprint funnels are hypotheses about (a funnel
+    step list is one path through this matrix).
+
+    ``p_next`` is an exact rational (pair count / prev's outgoing
+    total) rounded once — no float accumulation, so the identical SQL
+    replays bit-for-bit. Sequence order must be made total for
+    engine-portable results: pass tie-breaking ``order_cols``
+    (default ``[ts, event_id]``).
+
+    Scale shape: ONE window pass partitioned by user (per-user
+    streams are short and numerous — never a global sort), then a
+    map-side-combined groupBy on (prev, next) down to |types|^2 rows;
+    the outgoing totals come from a window over THAT bounded table,
+    not from a second fact pass. Returns
+    ``(prev_type, next_type, n, p_next)``.
+    """
+    from pyspark.sql import Window as W
+
+    order_cols = order_cols or ["ts", "event_id"]
+    w = W.partitionBy(user_col).orderBy(*order_cols)
+    steps = events.select(
+        F.col(type_col).alias("prev_type"),
+        F.lead(type_col).over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    wout = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wout), 6).alias("p_next"),
     )

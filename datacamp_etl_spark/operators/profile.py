@@ -29,6 +29,7 @@ __all__ = [
     "column_profile",
     "numeric_histogram",
     "psi_drift",
+    "ks_drift",
     "mad_outliers",
     "robust_scale",
 ]
@@ -170,6 +171,87 @@ def psi_drift(
         F.max("__ta").cast("long").alias("n_a"),
         F.max("__tb").cast("long").alias("n_b"),
         F.round(F.sum((p - q) * F.log(p / q)), decimals).alias("psi"),
+    )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    *,
+    group_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two
+    snapshots of a numeric column — the non-parametric complement to
+    :func:`psi_drift`: no binning choice, sensitive to ANY shape
+    difference, ``D = sup_v |F_a(v) - F_b(v)|`` over the empirical
+    CDFs (rule of thumb: reject "same distribution" at alpha=0.05
+    when ``D > 1.358 * sqrt((n_a+n_b)/(n_a*n_b))``).
+
+    Exactness contract: the supremum is tracked as the INTEGER
+    numerator ``max |c_a*n_b - c_b*n_a|`` over per-distinct-value
+    cumulative counts, divided once at the end — a single exact
+    rational, so the identical SQL oracle hash-matches (no float
+    accumulation). NULLs are dropped (no order position).
+
+    Scale shape: one map-side-combined count aggregate per
+    ``(group, value)`` — the fact tables are never sorted, only the
+    bounded distinct-value table is — then ONE cumulative window per
+    group over that aggregated table (partitioned by group; the
+    plan-audit no-partitionless-window gate is why ``group_col=None``
+    uses a constant partition key over the ALREADY-AGGREGATED
+    distinct-value table, bounded by value cardinality, not rows).
+    Returns ``(group_col?, n_a, n_b, ks_d)``.
+    """
+    from pyspark.sql import Window as W
+
+    gcols = [group_col] if group_col else []
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.where(F.col(col).isNotNull())
+            .groupBy(*gcols, F.col(col).alias("__v"))
+            .agg(F.count("*").alias(name))
+        )
+
+    merged = (
+        counts(df_a, "__ca")
+        .join(counts(df_b, "__cb"), [*gcols, "__v"], "full")
+        .select(
+            *gcols,
+            "__v",
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+    )
+    part = gcols if gcols else [F.lit(0)]
+    wcum = (
+        W.partitionBy(*part)
+        .orderBy("__v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy(*part)
+    cum = merged.select(
+        *gcols,
+        F.sum("__ca").over(wcum).alias("__fa"),
+        F.sum("__cb").over(wcum).alias("__fb"),
+    ).select(
+        *gcols,
+        "__fa",
+        "__fb",
+        F.max("__fa").over(wtot).alias("__na"),
+        F.max("__fb").over(wtot).alias("__nb"),
+    )
+    return cum.groupBy(*gcols).agg(
+        F.max("__fa").cast("long").alias("n_a"),
+        F.max("__fb").cast("long").alias("n_b"),
+        F.round(
+            F.max(F.abs(F.col("__fa") * F.col("__nb")
+                        - F.col("__fb") * F.col("__na")))
+            / (F.max("__fa") * F.max("__fb")),
+            decimals,
+        ).alias("ks_d"),
     )
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "hash32",
     "kmv_distinct",
     "kmv_distinct_by",
+    "kmv_set_ops",
     "cm_sketch",
     "cm_estimate_counts",
     "approx_distinct",
@@ -303,4 +304,107 @@ def quantile_sketch_contract(
     return (
         row.select(F.explode(F.array(*out)).alias("s"))
         .select("s.prob", "s.exact_val", "s.within_contract")
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise SET OPERATIONS on per-group KMV sketches — union /
+    intersection cardinality estimates and Jaccard between every pair
+    of groups, from ONE pass over the facts. Mergability is the whole
+    point of a sketch at warehouse scale: per-group k-minima are
+    computed once (map-side combinable, O(k) state per group) and any
+    pair's union sketch is just the k smallest of the two minima sets
+    — no second fact scan, ever (Beyer et al. 2007, "On synopses for
+    distinct-value estimation under multiset operations").
+
+    Estimators, all exact integer arithmetic so the identical SQL
+    oracle hash-matches: ``est_union`` is the standard KMV estimate on
+    the merged sketch ((k-1)*2^32 div kth, exact when the union has
+    < k distinct hashes); ``matches`` = hashes present in BOTH group
+    sketches that survive into the union sketch; ``jaccard`` =
+    matches / |union sketch| (the minwise-resemblance estimator);
+    ``est_intersection`` = matches * est_union div |union sketch|.
+
+    Scale shape: one ``distinct (group, hash)`` shuffle over the
+    facts, a per-group rank window capped at k, then EVERYTHING runs
+    on the bounded |groups| x k minima table; the pair scaffold is
+    |groups|^2 / 2 rows — label-domain cardinality, not data size.
+    Returns ``(group_a, group_b, est_a, est_b, est_union,
+    est_intersection, jaccard)`` for ``group_a < group_b``.
+    """
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
+    # NULL group names no set; NULL values hash to NULL, and engines
+    # disagree on NULL placement in the rank window — drop both
+    minima = scoped_cache(
+        df.select(F.col(group_col).alias("g"), hash32(col).alias("h"))
+        .where(F.col("g").isNotNull() & F.col("h").isNotNull())
+        .distinct()
+        .withColumn("__rn", F.row_number().over(W.partitionBy("g").orderBy("h")))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    n = F.count("*")
+    per_group = minima.groupBy("g").agg(
+        n.alias("n_min"),
+        F.when(n < k, n)
+        .otherwise(F.expr(f"{(k - 1) * HASH_SPACE} div max(h)"))
+        .alias("est"),
+    )
+    pairs = (
+        per_group.select(
+            F.col("g").alias("ga"), F.col("est").alias("est_a")
+        )
+        .join(
+            F.broadcast(
+                per_group.select(
+                    F.col("g").alias("gb"), F.col("est").alias("est_b")
+                )
+            ),
+            F.col("ga") < F.col("gb"),
+        )
+    )
+    # two equi-joins (never an OR-condition nested loop): each group's
+    # minima rows fan out to the pairs they sit on the a-side / b-side of
+    key = pairs.select("ga", "gb")
+    sides = minima.join(
+        F.broadcast(key), F.col("g") == F.col("ga")
+    ).select("ga", "gb", "h").unionByName(
+        minima.join(
+            F.broadcast(key), F.col("g") == F.col("gb")
+        ).select("ga", "gb", "h")
+    )
+    per_hash = sides.groupBy("ga", "gb", "h").agg(
+        (F.count("*") == 2).alias("__both")
+    )
+    wu = W.partitionBy("ga", "gb").orderBy("h")
+    union_sk = per_hash.withColumn(
+        "__rn", F.row_number().over(wu)
+    ).where(F.col("__rn") <= k)
+    nu = F.count("*")
+    merged = union_sk.groupBy("ga", "gb").agg(
+        nu.alias("n_u"),
+        F.when(nu < k, nu)
+        .otherwise(F.expr(f"{(k - 1) * HASH_SPACE} div max(h)"))
+        .alias("est_union"),
+        F.sum(F.col("__both").cast("long")).alias("matches"),
+    )
+    return (
+        merged.join(F.broadcast(pairs), ["ga", "gb"])
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            F.col("est_a").cast("long").alias("est_a"),
+            F.col("est_b").cast("long").alias("est_b"),
+            F.col("est_union").cast("long").alias("est_union"),
+            F.expr("matches * est_union div n_u").cast("long")
+            .alias("est_intersection"),
+            F.round(F.col("matches") / F.col("n_u"), 6).alias("jaccard"),
+        )
     )

@@ -7963,6 +7963,201 @@ def q_intra_doc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ks_drift_events",
+    """
+    WITH tsn AS (SELECT event_type, value, epoch_us(ts) AS us
+                 FROM events),
+    mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM tsn),
+    c AS (SELECT event_type, value,
+                 sum(CASE WHEN us < (SELECT m FROM mid)
+                     THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN us >= (SELECT m FROM mid)
+                     THEN 1 ELSE 0 END) AS cb
+          FROM tsn WHERE value IS NOT NULL GROUP BY 1, 2),
+    cum AS (SELECT event_type,
+                   sum(ca) OVER w AS fa, sum(cb) OVER w AS fb
+            FROM c WINDOW w AS (PARTITION BY event_type ORDER BY value
+                                ROWS UNBOUNDED PRECEDING)),
+    tot AS (SELECT event_type, fa, fb,
+                   max(fa) OVER (PARTITION BY event_type) AS na,
+                   max(fb) OVER (PARTITION BY event_type) AS nb
+            FROM cum)
+    SELECT event_type,
+           CAST(max(fa) AS BIGINT) AS n_a,
+           CAST(max(fb) AS BIGINT) AS n_b,
+           round(max(abs(fa * nb - fb * na))
+                 / (max(fa) * max(fb)), 6) AS ks_d
+    FROM tot GROUP BY event_type
+    """,
+)
+def q_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] two-sample Kolmogorov-Smirnov drift monitor
+    (profile.ks_drift): per event type, the KS statistic between the
+    `value` distributions of the first and second temporal half of
+    the events table (same exact integer-microsecond midpoint split
+    as psi_drift_events — the binned and bin-free monitors read the
+    same snapshots). The supremum is tracked as an integer numerator
+    over per-distinct-value cumulative counts and divided once, so
+    the statistic is an exact rational both engines round
+    identically. Facts are never sorted — only the aggregated
+    (group, value) table is, partitioned by group."""
+    from datacamp_etl_spark.operators.profile import ks_drift
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
+    ev = scoped_cache(
+        t(spark, sf_dir, "events").select(
+            "event_type", "value", F.unix_micros(F.col("ts")).alias("__us")
+        )
+    )
+    mid = ev.agg(
+        ((F.min("__us") + F.max("__us")) / F.lit(2)).cast("long").alias("m")
+    )
+    ev = ev.crossJoin(F.broadcast(mid))
+    pre = ev.where(F.col("__us") < F.col("m"))
+    post = ev.where(F.col("__us") >= F.col("m"))
+    return ks_drift(pre, post, "value", group_col="event_type")
+
+
+@register(
+    "anomaly_zscore_events",
+    """
+    WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+               FROM events WHERE value IS NOT NULL),
+    w AS (SELECT event_id, user_id, us, x,
+                 count(x) OVER win AS n, sum(x) OVER win AS s,
+                 sum(x * x) OVER win AS q
+          FROM e WINDOW win AS (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN 20 PRECEDING
+                                         AND 1 PRECEDING))
+    SELECT event_id, user_id, us, x AS value_c,
+           CAST(n AS BIGINT) AS n_ref,
+           CASE WHEN n * x - s > 0 THEN 'high' ELSE 'low' END
+               AS direction
+    FROM w
+    WHERE n >= 8
+      AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+    """,
+)
+def q_anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] rolling z-score anomaly detector
+    (timeseries.anomaly_zscore): flag events whose `value` sits more
+    than 3 population standard deviations from the mean of the same
+    user's trailing 20 observations (current row excluded, >= 8 of
+    history required). Values are fixed-pointed to integer cents and
+    the test runs on BIGINT window sums via
+    (n*x - s)^2 > 9*(n*ssq - s^2) — zero float accumulation, so the
+    SQL replay is bit-exact. One window pass partitioned by user
+    (per-user streams: short and numerous), output filtered to the
+    flagged rows."""
+    from datacamp_etl_spark.operators.timeseries import anomaly_zscore
+
+    out = anomaly_zscore(
+        t(spark, sf_dir, "events"),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        lookback=20,
+        min_history=8,
+        threshold=3,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("value_c"),
+        "n_ref",
+        "direction",
+    )
+
+
+def _kmv_set_ops_sql(k: int = 128) -> str:
+    est = (
+        f"CASE WHEN count(*) < {k} THEN count(*) "
+        f"ELSE {(k - 1) * (1 << 32)} // max(h) END"
+    )
+    return f"""
+    WITH m0 AS (SELECT DISTINCT event_type AS g,
+                       {_hash32_sql("CAST(user_id AS VARCHAR)")} AS h
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    mr AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+               AS rn FROM m0),
+    m AS (SELECT g, h FROM mr WHERE rn <= {k}),
+    pg AS (SELECT g, {est} AS est FROM m GROUP BY g),
+    pairs AS (SELECT a.g AS ga, b.g AS gb, a.est AS est_a, b.est AS est_b
+              FROM pg a JOIN pg b ON a.g < b.g),
+    sides AS (SELECT ga, gb, h FROM m JOIN pairs ON m.g = pairs.ga
+              UNION ALL
+              SELECT ga, gb, h FROM m JOIN pairs ON m.g = pairs.gb),
+    ph AS (SELECT ga, gb, h, count(*) = 2 AS is_both
+           FROM sides GROUP BY 1, 2, 3),
+    u AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h)
+              AS rn FROM ph),
+    mg AS (SELECT ga, gb, count(*) AS n_u, {est} AS est_union,
+                  sum(CASE WHEN is_both THEN 1 ELSE 0 END) AS matches
+           FROM u WHERE rn <= {k} GROUP BY 1, 2)
+    SELECT ga AS group_a, gb AS group_b,
+           CAST(est_a AS BIGINT) AS est_a,
+           CAST(est_b AS BIGINT) AS est_b,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST(matches * est_union // n_u AS BIGINT)
+               AS est_intersection,
+           round(matches / n_u, 6) AS jaccard
+    FROM mg JOIN pairs USING (ga, gb)
+    """
+
+
+@register("kmv_users_set_ops", _kmv_set_ops_sql())
+def q_kmv_users_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] KMV sketch SET OPERATIONS (sketch.kmv_set_ops): per
+    event type, a k=128 KMV sketch of the distinct user set, then for
+    every pair of event types the union / intersection cardinality
+    estimates and Jaccard — from ONE fact pass; any pair's union
+    sketch is the k smallest of the two minima sets (Beyer et al.
+    2007 multiset-operation synopses). All estimators are exact
+    integer arithmetic on the md5-prefix hash space, so the SQL
+    oracle replays the estimates bit-for-bit. The pair scaffold is
+    |event types|^2 rows — label-domain bounded."""
+    from datacamp_etl_spark.operators.sketch import kmv_set_ops
+
+    return kmv_set_ops(
+        t(spark, sf_dir, "events"), "event_type", "user_id", k=128
+    )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH s AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          AS next_type
+               FROM events),
+    c AS (SELECT event_type AS prev_type, next_type, count(*) AS n
+          FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p_next
+    FROM c
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] first-order Markov transition matrix
+    (funnel.event_transitions): per ordered pair of event types, how
+    often `next` immediately follows `prev` within one user's stream
+    (total order: ts, event_id) and the row-normalized transition
+    probability — an exact rational rounded once. One user-partitioned
+    window pass, then a map-side-combined groupBy down to |types|^2
+    rows; the normalizing totals come from a window over that bounded
+    table, never a second fact pass."""
+    from datacamp_etl_spark.operators.funnel import event_transitions
+
+    return event_transitions(t(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

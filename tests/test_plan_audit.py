@@ -59,6 +59,13 @@ ALLOWED_BNLJ = {
     "source_kl_divergence": "1-row corpus-total token count "
     "crossJoined onto the per-(source, token) aggregate as a "
     "single-row literal",
+    "ks_drift_events": "1-row temporal-midpoint scalar broadcast "
+    "(min/max ts aggregate) into the pre/post split — same bounded "
+    "shape as psi_drift_events",
+    "kmv_users_set_ops": "group-pairs scaffold: a `<` self-join over "
+    "the per-group sketch-summary table (|event types| rows — "
+    "label-domain cardinality, not data size); every fact-sized "
+    "input reaches it only through the O(k)-per-group minima",
     "negative_pairs": "1-row corpus-size scalar (max position + 1, "
     "with the >= 2-rows raise_error guard) crossJoined onto the "
     "anchor stream so the ring modulus rides along without a second "

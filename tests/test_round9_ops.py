@@ -308,3 +308,139 @@ def test_intra_apply_composes_with_intra_repeats(spark):
     [r] = remove_spans(docs, spans).collect()
     assert r["cleaned_text"] == f"{p} aa bb cc dd"
     assert r["n_removed"] == 4
+
+
+# ---------------------------------------------------------------------
+# ks_drift / anomaly_zscore / kmv_set_ops / event_transitions
+# ---------------------------------------------------------------------
+
+
+def test_ks_drift_identical_and_disjoint(spark):
+    from datacamp_etl_spark.operators.profile import ks_drift
+
+    a = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4)], "grp string, v double"
+    )
+    # same sample -> D = 0
+    [r] = ks_drift(a, a, "v", group_col="grp").collect()
+    assert (r["n_a"], r["n_b"], r["ks_d"]) == (4, 4, 0.0)
+    # disjoint supports -> D = 1
+    b = spark.createDataFrame(
+        [("g", float(v)) for v in (10, 11)], "grp string, v double"
+    )
+    [r] = ks_drift(a, b, "v", group_col="grp").collect()
+    assert (r["n_a"], r["n_b"], r["ks_d"]) == (4, 2, 1.0)
+
+
+def test_ks_drift_known_value(spark):
+    from datacamp_etl_spark.operators.profile import ks_drift
+
+    # F_a jumps to 1 at 1,2; F_b at 2,3 -> sup gap at v in [1,2) is
+    # |1/2 - 0| ... exact D = 1/2
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    [r] = ks_drift(a, b, "v").collect()
+    assert r["ks_d"] == 0.5
+
+
+def test_anomaly_zscore_flags_spike_only(spark):
+    from datacamp_etl_spark.operators.timeseries import anomaly_zscore
+
+    # 10 steady readings then one spike; lookback covers the steady
+    # run, so only the spike row is flagged (constant history ->
+    # zero variance -> any deviation flags)
+    rows = [(1, i, 5.0) for i in range(10)] + [(1, 10, 50.0)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    out = anomaly_zscore(
+        df, "k", ["seq"], "v", lookback=20, min_history=8
+    ).collect()
+    assert [(r["seq"], r["direction"]) for r in out] == [(10, "high")]
+
+
+def test_anomaly_zscore_respects_min_history_and_threshold(spark):
+    from datacamp_etl_spark.operators.timeseries import anomaly_zscore
+
+    # same spike but only 5 rows of history -> below min_history,
+    # nothing flagged
+    rows = [(1, i, 5.0) for i in range(5)] + [(1, 5, 50.0)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    assert (
+        anomaly_zscore(df, "k", ["seq"], "v", min_history=8).count() == 0
+    )
+    # noisy-but-inside readings are not flagged: alternating 4/6 has
+    # stdev 1, value 6 is z=1 from mean 5
+    rows = [(1, i, 4.0 + (i % 2) * 2) for i in range(12)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    assert anomaly_zscore(df, "k", ["seq"], "v").count() == 0
+
+
+def test_anomaly_zscore_low_direction(spark):
+    from datacamp_etl_spark.operators.timeseries import anomaly_zscore
+
+    rows = [(1, i, 100.0 + (i % 2)) for i in range(10)] + [(1, 10, 1.0)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    out = anomaly_zscore(df, "k", ["seq"], "v").collect()
+    assert [(r["seq"], r["direction"]) for r in out] == [(10, "low")]
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    from datacamp_etl_spark.operators.sketch import kmv_set_ops
+
+    # below k the sketches are the full hash sets -> every estimate
+    # is EXACT: |A|=60, |B|=60, |A ∩ B| = 20 (ids 40..59)
+    rows = [("a", i) for i in range(60)] + [("b", i) for i in range(40, 100)]
+    df = spark.createDataFrame(rows, "g string, u long")
+    [r] = kmv_set_ops(df, "g", "u", k=256).collect()
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert (r["est_a"], r["est_b"], r["est_union"]) == (60, 60, 100)
+    assert r["est_intersection"] == 20
+    assert r["jaccard"] == 0.2
+
+
+def test_kmv_set_ops_pairs_and_nulls(spark):
+    from datacamp_etl_spark.operators.sketch import kmv_set_ops
+
+    rows = (
+        [("a", i) for i in range(10)]
+        + [("b", i) for i in range(10)]
+        + [("c", 999)]
+        + [(None, 1), ("a", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_set_ops(df, "g", "u", k=64).collect()
+    }
+    # 3 groups -> 3 ordered pairs; NULL group/value rows dropped
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")]["jaccard"] == 1.0
+    assert out[("a", "c")]["est_intersection"] == 0
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from datacamp_etl_spark.operators.funnel import event_transitions
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: A -> B -> A -> C ; user 2: A -> B
+    for u, seq in ((1, "ABAC"), (2, "AB")):
+        for i, ev in enumerate(seq):
+            rows.append((u * 100 + i, t0 + dt.timedelta(minutes=i), u, ev))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in event_transitions(df).collect()
+    }
+    assert out[("A", "B")]["n"] == 2
+    assert out[("A", "C")]["n"] == 1
+    assert out[("B", "A")]["n"] == 1
+    # A's outgoing: 2x ->B, 1x ->C
+    assert out[("A", "B")]["p_next"] == round(2 / 3, 6)
+    assert out[("A", "C")]["p_next"] == round(1 / 3, 6)
+    assert out[("B", "A")]["p_next"] == 1.0
+    # no cross-user transition (user 2's B has no successor)
+    assert ("C", "A") not in out and len(out) == 3
