@@ -151,6 +151,7 @@ HEADLINE = [
     "anomaly_zscore_events",
     "kmv_users_set_ops",
     "event_transitions",
+    "image_dhash_near_pairs",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

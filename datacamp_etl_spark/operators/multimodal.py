@@ -65,6 +65,9 @@ __all__ = [
     "audio_features",
     "resample_audio",
     "synthetic_wav_media",
+    "synthetic_bmp_media",
+    "image_dhash",
+    "dhash_near_pairs",
 ]
 
 #: Canonical media-row schema: opaque bytes + typed metadata.
@@ -954,4 +957,201 @@ def synthetic_wav_media(
     )
     return media.select(
         "media_id", F.lit("audio").alias("kind"), "content"
+    )
+
+
+def _encode_bmp(gray_rows) -> bytes:
+    """Minimal 24bpp bottom-up BMP encoder (BITMAPINFOHEADER) from a
+    row-major top-down grayscale matrix — each gray value g becomes
+    BGR (g, g, g), whose ITU-R 601 luma is exactly g again, so the
+    encode -> :func:`_decode_bmp` round trip is the identity on the
+    gray plane (integer arithmetic end to end)."""
+    import struct
+
+    h = len(gray_rows)
+    w = len(gray_rows[0])
+    stride = ((w * 3) + 3) & ~3
+    body = bytearray()
+    for row in reversed(gray_rows):  # bottom-up, positive height
+        line = bytearray()
+        for g in row:
+            line += bytes((g, g, g))
+        line += b"\x00" * (stride - len(line))
+        body += line
+    off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", off + len(body), 0, 0, off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(body)
+
+
+def synthetic_bmp_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    classes: int = 50,
+    size: int = 8,
+) -> DataFrame:
+    """Deterministic BMP test-media generator: one ``size`` x ``size``
+    24bpp BMP per input row. The gray plane is a two-level pattern
+    shared by the row's class (``id mod classes``) with ONE cell
+    flipped per row (cell ``id mod size^2``):
+
+        bit(r, c) = (md5(k || ':' || (r*size + c)) first-digest-bit)
+                    XOR [r*size + c = flip]
+        gray      = 255 * bit
+
+    (md5-derived pattern bits — classes differ in ~half their bits,
+    so cross-class dHash distances concentrate far from the
+    threshold; arithmetic-progression hashes (multiplicative or
+    linear-congruential) produce Sturmian msb sequences whose
+    gradient words nearly coincide across classes and leak
+    quadratically many cross-class "near" pairs.)
+
+    CLEARLY SYNTHETIC — but the bytes are REAL BMP, so the full
+    production path (container decode, luma, resize, hashing) runs on
+    them, same-class rows are genuine near-duplicate images (pairwise
+    dHash Hamming <= 4: two single-cell flips x <= 2 gradient bits
+    each), and an SQL oracle can regenerate the bit plane exactly."""
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            base: dict[int, list[int]] = {}
+            for row in pdf.itertuples(index=False):
+                mid = int(getattr(row, id_col))
+                k = mid % classes
+                flip = mid % (size * size)
+                if k not in base:  # one md5 pass per CLASS, not per row
+                    base[k] = [
+                        hashlib.md5(f"{k}:{p}".encode()).digest()[0] >> 7
+                        for p in range(size * size)
+                    ]
+                rows = []
+                for r in range(size):
+                    line = []
+                    for c in range(size):
+                        bit = base[k][r * size + c]
+                        if r * size + c == flip:
+                            bit ^= 1
+                        line.append(255 * bit)
+                    rows.append(line)
+                ids.append(mid)
+                blobs.append(_encode_bmp(rows))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = df.select(F.col(id_col)).mapInPandas(
+        kernel, schema="media_id long, content binary"
+    )
+    return media.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.lit("image/bmp").alias("mime"),
+        "content",
+    )
+
+
+def image_dhash(df: DataFrame, *, grid: int = 8) -> DataFrame:
+    """Difference-hash perceptual image signature (dHash, the
+    integer-exact member of the aHash/dHash/pHash family — pHash's
+    float DCT is not bit-portable across engines; dHash is): decode
+    to the gray plane, nearest-neighbor downsample to ``grid x grid``
+    (``src = (r*h div grid, c*w div grid)`` — deterministic, no
+    interpolation), then one bit per horizontal gradient
+    ``p(r,c) > p(r,c+1)`` — ``grid*(grid-1)`` bits (56 for the
+    default), MSB-first row-major, packed into one non-negative
+    BIGINT (< 2^56: sign-safe in every engine, same reasoning as the
+    packed-60-bit SimHash).
+
+    Arrow/mapInPandas end to end; bytes never leave the executor.
+    Returns ``(media_id, dhash)``.
+    """
+    nbits = grid * (grid - 1)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for row in pdf.itertuples(index=False):
+                if row.kind != "image" or row.content is None:
+                    continue
+                w, h, px = _decode(bytes(row.content), row.mime)
+                sig = 0
+                for r in range(grid):
+                    sr = r * h // grid
+                    for c in range(grid - 1):
+                        a = px[sr * w + (c * w // grid)]
+                        b = px[sr * w + ((c + 1) * w // grid)]
+                        sig = (sig << 1) | (1 if a > b else 0)
+                ids.append(row.media_id)
+                sigs.append(sig)
+            yield pd.DataFrame({"media_id": ids, "dhash": sigs})
+
+    assert nbits < 63, "signature must stay sign-safe in a BIGINT"
+    return df.mapInPandas(kernel, schema="media_id long, dhash long")
+
+
+def dhash_near_pairs(
+    sig: DataFrame,
+    *,
+    max_hamming: int = 4,
+    bands: int = 7,
+    nbits: int = 56,
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash signatures via pigeonhole
+    band blocking — EXACT for ``max_hamming < bands`` (a pair
+    differing in <= max_hamming bits must agree on at least one of
+    ``bands`` disjoint segments), so the banded plan returns the same
+    pairs as the quadratic scan while only equi-joining per segment —
+    never an all-pairs join (same machinery as the SimHash blocker,
+    applied to the image modality).
+
+    Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``.
+    """
+    if nbits % bands:
+        raise ValueError("bands must divide nbits")
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole exactness needs max_hamming < bands")
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
+    width = nbits // bands
+    mask = (1 << width) - 1
+    banded = scoped_cache(
+        sig.select(
+            "media_id",
+            "dhash",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("band_i"),
+                        F.shiftright("dhash", i * width)
+                        .bitwiseAND(F.lit(mask)).alias("band_v"),
+                    )
+                    for i in range(bands)
+                ])
+            ).alias("b"),
+        ).select("media_id", "dhash", "b.band_i", "b.band_v")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_i") == F.col("b.band_i"))
+            & (F.col("a.band_v") == F.col("b.band_v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
     )

@@ -8158,6 +8158,80 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(t(spark, sf_dir, "events"))
 
 
+_DHASH_SIG_SQL = """
+    WITH g AS (SELECT doc_id, doc_id % 50 AS k, doc_id % 64 AS flip
+               FROM documents),
+    rc AS (SELECT doc_id, r, c,
+                  ((CASE WHEN strpos('0123456789abcdef', substr(md5(concat(CAST(k AS VARCHAR), ':', CAST(r*8 + c AS VARCHAR))), 1, 1)) - 1 >= 8 THEN 1 ELSE 0 END)
+                   + CASE WHEN r*8 + c = flip THEN 1 ELSE 0 END) % 2
+                      AS b1,
+                  ((CASE WHEN strpos('0123456789abcdef', substr(md5(concat(CAST(k AS VARCHAR), ':', CAST(r*8 + c + 1 AS VARCHAR))), 1, 1)) - 1 >= 8 THEN 1 ELSE 0 END)
+                   + CASE WHEN r*8 + c + 1 = flip THEN 1 ELSE 0 END) % 2
+                      AS b2
+           FROM g,
+                (SELECT unnest(generate_series(0, 7)) AS r) rr,
+                (SELECT unnest(generate_series(0, 6)) AS c) cc),
+    sig AS (SELECT doc_id AS media_id,
+                   CAST(sum(CASE WHEN b1 > b2 THEN 1 ELSE 0 END
+                            * (CAST(1 AS BIGINT) << (55 - (r*7 + c))))
+                        AS BIGINT) AS dhash
+            FROM rc GROUP BY doc_id)
+"""
+
+
+@register(
+    "image_dhash_signatures",
+    _DHASH_SIG_SQL + "SELECT media_id, dhash FROM sig",
+)
+def q_image_dhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] perceptual image signatures (multimodal.image_dhash):
+    one REAL 8x8 24bpp BMP per document (synthetic_bmp_media: a
+    class-shared two-level pattern with one per-doc cell flip), run
+    through the production path — BMP container decode, integer luma,
+    nearest-neighbor downsample, horizontal-gradient dHash packed
+    into a sign-safe 56-bit BIGINT. The oracle regenerates the bit
+    plane arithmetically (the encode->decode round trip is the
+    identity on the gray plane), so the whole Arrow pipeline is
+    value-gated per document."""
+    from datacamp_etl_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_bmp_media,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return image_dhash(synthetic_bmp_media(docs))
+
+
+@register(
+    "image_dhash_near_pairs",
+    _DHASH_SIG_SQL + """
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+    """,
+)
+def q_image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] image near-duplicate pairs (multimodal.dhash_near_pairs):
+    dHash signatures from the real BMP pipeline, paired via 7x8-bit
+    pigeonhole band blocking — EXACT for Hamming <= 4 (< 7 bands), so
+    the banded equi-join provably returns the quadratic scan's answer
+    (the oracle IS that quadratic scan — affordable on the gate
+    corpus, never run at scale). Same-class documents differ by two
+    single-cell flips (<= 2 gradient bits each), cross-class patterns
+    are far apart — the pair set is dense enough to hash-gate the
+    blocking, not vacuously empty."""
+    from datacamp_etl_spark.operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash,
+        synthetic_bmp_media,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sig = image_dhash(synthetic_bmp_media(docs))
+    return dhash_near_pairs(sig, max_hamming=4, bands=7)
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

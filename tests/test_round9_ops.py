@@ -5,6 +5,7 @@ tokenizer (see test additions below as they land)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _repeats(spark, rows, min_tokens=4):
@@ -444,3 +445,90 @@ def test_event_transitions_counts_and_probs(spark):
     assert out[("B", "A")]["p_next"] == 1.0
     # no cross-user transition (user 2's B has no successor)
     assert ("C", "A") not in out and len(out) == 3
+
+
+# ---------------------------------------------------------------------
+# image dHash: BMP pipeline, resize path, pigeonhole banding
+# ---------------------------------------------------------------------
+
+
+def test_dhash_known_gradient_image(spark):
+    from datacamp_etl_spark.operators.multimodal import (
+        _encode_bmp,
+        image_dhash,
+    )
+
+    # strictly decreasing rows -> every horizontal gradient bit is 1
+    rows = [[255 - c * 30 for c in range(8)] for _ in range(8)]
+    media = spark.createDataFrame(
+        [(1, "image", None, bytearray(_encode_bmp(rows)))],
+        "media_id long, kind string, mime string, content binary",
+    )
+    [r] = image_dhash(media).collect()
+    assert r["dhash"] == (1 << 56) - 1
+    # strictly increasing -> all zero
+    rows = [[c * 30 for c in range(8)] for _ in range(8)]
+    media = spark.createDataFrame(
+        [(2, "image", None, bytearray(_encode_bmp(rows)))],
+        "media_id long, kind string, mime string, content binary",
+    )
+    [r] = image_dhash(media).collect()
+    assert r["dhash"] == 0
+
+
+def test_dhash_resizes_larger_images(spark):
+    from datacamp_etl_spark.operators.multimodal import (
+        _encode_bmp,
+        image_dhash,
+    )
+
+    # 32x16 image whose 8x8 nearest-neighbor downsample is the same
+    # gradient -> same signature as the 8x8 original (scale
+    # invariance, the property dHash exists for)
+    small = [[255 - c * 30 for c in range(8)] for _ in range(8)]
+    big = [
+        [255 - (c * 8 // 32) * 30 for c in range(32)] for _ in range(16)
+    ]
+    media = spark.createDataFrame(
+        [
+            (1, "image", None, bytearray(_encode_bmp(small))),
+            (2, "image", None, bytearray(_encode_bmp(big))),
+        ],
+        "media_id long, kind string, mime string, content binary",
+    )
+    out = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert out[1] == out[2]
+
+
+def test_dhash_near_pairs_matches_brute_force(spark):
+    from datacamp_etl_spark.operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash,
+        synthetic_bmp_media,
+    )
+
+    docs = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    sig = image_dhash(synthetic_bmp_media(docs))
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dhash_near_pairs(sig, max_hamming=4, bands=7).collect()
+    }
+    rows = sig.collect()
+    brute = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            ham = bin(a["dhash"] ^ b["dhash"]).count("1")
+            if ham <= 4:
+                x, y = sorted((a["media_id"], b["media_id"]))
+                brute.add((x, y, ham))
+    assert banded == brute and len(brute) > 0
+
+
+def test_dhash_near_pairs_rejects_bad_params(spark):
+    from datacamp_etl_spark.operators.multimodal import dhash_near_pairs
+
+    sig = spark.createDataFrame([(1, 0)], "media_id long, dhash long")
+    with pytest.raises(ValueError):
+        dhash_near_pairs(sig, max_hamming=7, bands=7)
+    with pytest.raises(ValueError):
+        dhash_near_pairs(sig, bands=5)
