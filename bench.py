@@ -152,6 +152,9 @@ HEADLINE = [
     "kmv_users_set_ops",
     "event_transitions",
     "image_dhash_near_pairs",
+    "pmi_collocations",
+    "trend_slope_events",
+    "luhn_card_scan",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

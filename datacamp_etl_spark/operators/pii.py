@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PII_PATTERNS", "PII_TOKENS", "pii_scan", "pii_redact"]
+__all__ = [
+    "PII_PATTERNS",
+    "PII_TOKENS",
+    "CARD_CANDIDATE_RE",
+    "pii_scan",
+    "pii_redact",
+    "luhn_scan",
+]
 
 #: kind -> regex. Order matters for redaction (emails first so their
 #: digit runs can't later match the phone pattern).
@@ -83,3 +90,56 @@ def pii_redact(
     for kind, p in pats.items():
         c = F.regexp_replace(c, p, toks[kind])
     return df.withColumn(text_col, c)
+
+
+#: Candidate payment-card pattern: 13-19 digits allowing single
+#: space/dash separators. ASCII-only, identical in Java regex and RE2.
+CARD_CANDIDATE_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_scan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Checksum-validated payment-card detection: digit-run candidates
+    (13-19 digits, space/dash separators allowed) are stripped to
+    digits and validated with the Luhn mod-10 checksum — the standard
+    fix for regex-only card scanning, whose false-positive rate on
+    arbitrary digit runs (~90% of random 16-digit strings fail Luhn)
+    makes unvalidated counts useless as a redaction trigger.
+
+    Returns ``(id_col, n_candidates, n_valid)`` for EVERY row. Pure
+    per-row JVM expression work — regexp extraction plus nested
+    higher-order functions (the checksum is an ``aggregate`` over
+    ``sequence(1, length)``); zero shuffles, zero UDFs, composes into
+    the scan stage at any scale like the rest of the PII battery.
+    """
+    cand = F.regexp_extract_all(
+        F.col(text_col), F.lit(CARD_CANDIDATE_RE), 0
+    )
+    digs = F.filter(
+        F.transform(
+            cand, lambda c: F.regexp_replace(c, F.lit("[^0-9]"), F.lit(""))
+        ),
+        lambda d: (F.length(d) >= 13) & (F.length(d) <= 19),
+    )
+
+    def luhn_total(d):
+        def term(acc, i):
+            digit = F.ascii(F.substring(d, i, F.lit(1))) - F.lit(48)
+            doubled = digit * 2 - F.when(digit > 4, 9).otherwise(0)
+            return acc + F.when(
+                ((F.length(d) - i) % 2) == 1, doubled
+            ).otherwise(digit)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(d)), F.lit(0), term
+        )
+
+    valid = F.filter(digs, lambda d: luhn_total(d) % 10 == 0)
+    return df.select(
+        F.col(id_col),
+        F.size(digs).cast("bigint").alias("n_candidates"),
+        F.size(valid).cast("bigint").alias("n_valid"),
+    )

@@ -36,6 +36,7 @@ __all__ = [
     "oov_rate",
     "source_kl_divergence",
     "perplexity_buckets",
+    "pmi_collocations",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -567,4 +568,76 @@ def perplexity_buckets(
         .join(scores, id_col)
         .select(id_col, "lang", "lm_score", bucket.alias("bucket"))
         .withColumn("band", band)
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Collocation extraction via pointwise mutual information
+    (Church & Hanks 1990): for every adjacent token pair seen at
+    least ``min_count`` times corpus-wide,
+    ``pmi = ln(N * c(a,b) / (cl(a) * cr(b)))`` with the margins taken
+    over BIGRAM events (cl = count as left element, cr = as right;
+    N = total bigram instances) — self-consistent probabilities from
+    one table, the standard "new york"-detector a tokenizer or phrase
+    miner runs before committing a vocabulary.
+
+    Scale shape: ONE corpus tokenize+explode into bigram instances,
+    one map-side-combined count down to the bigram-TYPE table, and
+    everything else (margins, N, the joins) runs on that bounded
+    table — the fact rows are never touched again. The min_count
+    filter is applied before the margin joins, so the join output is
+    the answer's size. ln of exact integer ratios, rounded once (the
+    repo's cross-engine ulp contract). Returns
+    ``(w1, w2, n, pmi)``.
+    """
+    from datacamp_etl_spark.operators.spread import (
+        ensure_parallelism,
+        scoped_cache,
+    )
+
+    toks = tokens(text_col)
+    arr = (
+        ensure_parallelism(df)
+        .select(toks.alias("__t"))
+        .where(F.size("__t") >= 2)
+    )
+    n = F.size("__t")
+    bg = arr.select(
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, n - 1),
+                F.slice("__t", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("z")
+    ).select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    c2 = scoped_cache(
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    )
+    cl = c2.groupBy("w1").agg(F.sum("n").alias("__cl"))
+    cr = c2.groupBy("w2").agg(F.sum("n").alias("__cr"))
+    tot = c2.agg(F.sum("n").alias("__N"))
+    return (
+        c2.where(F.col("n") >= min_count)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.log(
+                    F.col("__N") * F.col("n")
+                    / (F.col("__cl") * F.col("__cr"))
+                ),
+                decimals,
+            ).alias("pmi"),
+        )
     )

@@ -28,6 +28,7 @@ __all__ = [
     "locf",
     "rolling_distinct",
     "anomaly_zscore",
+    "trend_slope",
 ]
 
 
@@ -229,4 +230,73 @@ def anomaly_zscore(
         F.col("__n").cast("long").alias("n_ref"),
         F.when(num > 0, F.lit("high")).otherwise(F.lit("low"))
         .alias("direction"),
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    *,
+    scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group least-squares trend of the DAILY total of a
+    measurement — the third member of the drift-monitoring trio
+    (PSI: binned shift; KS: shape shift; trend: direction and rate):
+    closed-form OLS slope over (day index, daily total) points,
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    in value units (descaled from fixed-point cents) per day. The
+    day index is days since the GROUP's first active day (slope is
+    shift-invariant, and a per-group origin keeps x small).
+
+    Exactness: daily totals are integer cents, x is an integer day
+    index, and all five sums are exact integers (DECIMAL(38,0)
+    accumulators — BIGINT products can exceed 2^63 at warehouse
+    scale); the slope is formed from them with IEEE double arithmetic
+    in a fixed operation order and rounded once, so the identical SQL
+    replays it bit-for-bit. Groups with < 2 active days carry a NULL
+    slope (no line through one point). Returns
+    ``(group_col, n_days, slope)``.
+
+    Scale shape: one map-side-combined (group, day) aggregation over
+    the facts, a per-group min-day window over THAT bounded table,
+    and a per-group fold to one row. No fact-sized join, no UDF.
+    """
+    daily = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, F.to_date(ts_col).alias("__day"))
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+            ).alias("__y")
+        )
+    )
+    wg = W.partitionBy(group_col)
+    pts = daily.select(
+        group_col,
+        F.datediff(F.col("__day"), F.min("__day").over(wg)).alias("__x"),
+        "__y",
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pts.groupBy(group_col).agg(
+        F.count("*").alias("__n"),
+        F.sum(d(F.col("__x"))).alias("__sx"),
+        F.sum(d(F.col("__y"))).alias("__sy"),
+        F.sum(d(F.col("__x")) * d(F.col("__y"))).alias("__sxy"),
+        F.sum(d(F.col("__x")) * d(F.col("__x"))).alias("__sxx"),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    num = dd("__n") * dd("__sxy") - dd("__sx") * dd("__sy")
+    den = dd("__n") * dd("__sxx") - dd("__sx") * dd("__sx")
+    return agg.select(
+        group_col,
+        F.col("__n").cast("long").alias("n_days"),
+        F.round(
+            F.when(den > 0, num / den / F.lit(float(scale))),
+            decimals,
+        ).alias("slope"),
     )

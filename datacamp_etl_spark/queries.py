@@ -8232,6 +8232,226 @@ def q_image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_near_pairs(sig, max_hamming=4, bands=7)
 
 
+@register(
+    "pmi_collocations",
+    f"""
+    WITH n AS (SELECT {_NORM_SQL} AS norm FROM documents),
+    t AS (SELECT string_split(norm, ' ') AS l FROM n WHERE norm <> ''),
+    z AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS zz
+          FROM t WHERE len(l) >= 2),
+    b AS (SELECT zz[1] AS w1, zz[2] AS w2 FROM z),
+    c2 AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2),
+    cl AS (SELECT w1, sum(n) AS cl FROM c2 GROUP BY 1),
+    cr AS (SELECT w2, sum(n) AS cr FROM c2 GROUP BY 1),
+    tot AS (SELECT sum(n) AS nn FROM c2)
+    SELECT w1, w2, CAST(c2.n AS BIGINT) AS n,
+           round(ln(tot.nn * c2.n / (cl.cl * cr.cr)), 6) AS pmi
+    FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot
+    WHERE c2.n >= 5
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PMI collocation extraction (text.pmi_collocations,
+    Church & Hanks 1990): adjacent token pairs seen >= 5 times
+    corpus-wide, scored ln(N*c(a,b)/(cl(a)*cr(b))) with margins over
+    bigram events — the phrase-mining signal a vocabulary builder
+    runs. One corpus tokenize, then all arithmetic on the bounded
+    bigram-type table; ln of exact integer ratios rounded once."""
+    from datacamp_etl_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(
+        t(spark, sf_dir, "documents"), min_count=5
+    )
+
+
+@register(
+    "trend_slope_events",
+    """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                              AS y
+                   FROM events WHERE value IS NOT NULL
+                   GROUP BY 1, 2),
+    pts AS (SELECT event_type,
+                   date_diff('day',
+                             min(day) OVER (PARTITION BY event_type),
+                             day) AS x,
+                   y
+            FROM daily),
+    agg AS (SELECT event_type, count(*) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx
+            FROM pts GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / 100.0
+                      END, 6) AS slope
+    FROM agg
+    """,
+)
+def q_trend_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-type OLS trend of daily total value
+    (timeseries.trend_slope) — the direction-and-rate member of the
+    drift trio (PSI bins, KS shape, trend slope). Five exact-integer
+    sums per group over the bounded (type, day) rollup, the
+    closed-form slope assembled in a fixed IEEE double order and
+    rounded once — bit-identical in the SQL replay."""
+    from datacamp_etl_spark.operators.timeseries import trend_slope
+
+    return trend_slope(
+        t(spark, sf_dir, "events"), "ts", "value", "event_type"
+    )
+
+
+@register("streaming_anomaly_zscore")
+def q_streaming_anomaly_zscore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] streaming rolling z-score anomaly detector
+    (streaming/stateful.py::streaming_anomaly_zscore): per-user ring
+    buffer of the last 20 integer-cent readings in the state store,
+    each arriving event tested with the BIGINT-exact variance
+    identity, anomalies appended as detected. AvailableNow drain of
+    the (time-ordered, single-file) events fixture reproduces the
+    batch operator exactly, so the batch SQL oracle applies
+    verbatim."""
+    import tempfile
+
+    from datacamp_etl_spark.streaming.stateful import (
+        streaming_anomaly_zscore,
+    )
+
+    raw = (
+        events_stream(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            .alias("value_c"),
+        )
+    )
+    flagged = streaming_anomaly_zscore(raw)
+    _STREAM_RUN[0] += 1
+    sink = f"streaming_anomaly_{_STREAM_RUN[0]}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+ORACLE["streaming_anomaly_zscore"] = ORACLE["anomaly_zscore_events"]
+
+
+_LUHN_TERM = (
+    "CASE WHEN {parity} THEN "
+    "CASE WHEN ascii(substr({d}, i, 1)) - 48 > 4 "
+    "THEN 2 * (ascii(substr({d}, i, 1)) - 48) - 9 "
+    "ELSE 2 * (ascii(substr({d}, i, 1)) - 48) END "
+    "ELSE ascii(substr({d}, i, 1)) - 48 END"
+)
+
+
+@register(
+    "luhn_card_scan",
+    f"""
+    WITH b AS (SELECT doc_id, text,
+                      lpad(CAST((doc_id * 2654435761)
+                                % 1000000000000000 AS VARCHAR),
+                           15, '0') AS base
+               FROM documents),
+    chk AS (SELECT doc_id, text, base,
+                   (10 - list_sum(list_transform(
+                        generate_series(1, 15),
+                        i -> {_LUHN_TERM.format(parity="i % 2 = 1",
+                                                d="base")}))
+                        % 10) % 10 AS cd
+            FROM b),
+    aug AS (SELECT doc_id,
+                   concat(text, ' card 4111-1111-1111-1111 and ', base,
+                          CAST(CASE WHEN doc_id % 2 = 0 THEN cd
+                               ELSE (cd + 1) % 10 END AS VARCHAR))
+                       AS text
+            FROM chk),
+    sc AS (SELECT doc_id,
+                  list_filter(list_transform(
+                      regexp_extract_all(text,
+                          '\\b(?:\\d[ -]?){{12,18}}\\d\\b'),
+                      c -> regexp_replace(c, '[^0-9]', '', 'g')),
+                      d -> len(d) >= 13 AND len(d) <= 19) AS digs
+           FROM aug)
+    SELECT doc_id,
+           CAST(len(digs) AS BIGINT) AS n_candidates,
+           CAST(len(list_filter(digs,
+                d -> list_sum(list_transform(
+                         generate_series(1, len(d)),
+                         i -> {_LUHN_TERM.format(
+                             parity="(len(d) - i) % 2 = 1", d="d")}))
+                     % 10 = 0)) AS BIGINT) AS n_valid
+    FROM sc
+    """,
+)
+def q_luhn_card_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] checksum-validated card detection (pii.luhn_scan): the
+    fixture text carries no digit runs, so each document is augmented
+    with two CLEARLY SYNTHETIC card numbers — the classic Visa test
+    number (dash-separated, always Luhn-valid) and a per-doc 16-digit
+    number whose check digit is constructed valid iff doc_id is even
+    — and the operator must extract both candidates, strip
+    separators, and accept exactly the valid ones (expected: 2
+    candidates everywhere, 1 or 2 valid by parity). The validation is
+    a nested HOF aggregate, zero UDFs; the oracle replays both the
+    construction and the checksum."""
+    from datacamp_etl_spark.operators.pii import luhn_scan
+
+    docs = t(spark, sf_dir, "documents")
+    base = F.lpad(
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(10**15))
+        .cast("string"),
+        15,
+        "0",
+    )
+
+    def s15(d):
+        def term(acc, i):
+            digit = F.ascii(F.substring(d, i, F.lit(1))) - F.lit(48)
+            doubled = digit * 2 - F.when(digit > 4, 9).otherwise(0)
+            return acc + F.when((i % 2) == 1, doubled).otherwise(digit)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(15)), F.lit(0), term
+        )
+
+    check = (F.lit(10) - s15(base) % 10) % 10
+    d16 = F.when(F.col("doc_id") % 2 == 0, check).otherwise(
+        (check + 1) % 10
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" card 4111-1111-1111-1111 and "),
+            base,
+            d16.cast("string"),
+        ).alias("text"),
+    )
+    return luhn_scan(aug)
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

@@ -25,6 +25,7 @@ __all__ = [
     "running_user_totals",
     "running_user_totals_tws",
     "RunningTotalsProcessor",
+    "streaming_anomaly_zscore",
 ]
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_cents long"
@@ -137,4 +138,83 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+ANOMALY_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, us long, value_c long, "
+    "n_ref long, direction string"
+)
+ANOMALY_STATE_SCHEMA = "buf array<long>"
+
+
+def streaming_anomaly_zscore(
+    events: DataFrame,
+    *,
+    lookback: int = 20,
+    min_history: int = 8,
+    threshold: int = 3,
+) -> DataFrame:
+    """Streaming rolling z-score anomaly detector — the stateful
+    twin of ``timeseries.anomaly_zscore``: per user, a ring buffer of
+    the last ``lookback`` fixed-point readings lives in the state
+    store; each arriving event is tested against its trailing window
+    with the same all-BIGINT identity
+    ``(n*x - s)^2 > t^2 * (n*ssq - s^2)`` (zero-variance history
+    flags any deviation), then pushed into the buffer. Anomalous
+    rows are APPENDED as they are detected; state is O(lookback)
+    integers per user, forever.
+
+    Input must carry ``(event_id, user_id, us, value_c)`` — the
+    microsecond timestamp and integer cents are derived JVM-side so
+    the Python processor is pure integer arithmetic. Rows are
+    processed in ``(us, event_id)`` order within each micro-batch;
+    equality with the batch operator needs micro-batch boundaries
+    that respect event-time order (an AvailableNow drain of
+    time-ordered files, or an upstream watermark+sort stage) — the
+    same contract the batch window's ORDER BY states explicitly.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t2 = threshold * threshold
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        buf = list(state.get[0]) if state.exists else []
+        cols: dict[str, list] = {
+            "event_id": [], "user_id": [], "us": [],
+            "value_c": [], "n_ref": [], "direction": [],
+        }
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["us", "event_id"])
+            for row in pdf.itertuples(index=False):
+                x = int(row.value_c)
+                n = len(buf)
+                if n >= min_history:
+                    s = sum(buf)
+                    q = sum(v * v for v in buf)
+                    num = n * x - s
+                    if num * num > t2 * (n * q - s * s):
+                        cols["event_id"].append(int(row.event_id))
+                        cols["user_id"].append(key[0])
+                        cols["us"].append(int(row.us))
+                        cols["value_c"].append(x)
+                        cols["n_ref"].append(n)
+                        cols["direction"].append(
+                            "high" if num > 0 else "low"
+                        )
+                buf.append(x)
+                if len(buf) > lookback:
+                    buf = buf[-lookback:]
+        state.update((buf,))
+        yield pd.DataFrame(cols)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -59,6 +59,9 @@ ALLOWED_BNLJ = {
     "source_kl_divergence": "1-row corpus-total token count "
     "crossJoined onto the per-(source, token) aggregate as a "
     "single-row literal",
+    "pmi_collocations": "1-row total-bigram-instances scalar "
+    "crossJoined onto the bounded bigram-TYPE table (post min_count "
+    "filter), same shape as lm_perplexity_scores' |V| broadcast",
     "ks_drift_events": "1-row temporal-midpoint scalar broadcast "
     "(min/max ts aggregate) into the pre/post split — same bounded "
     "shape as psi_drift_events",

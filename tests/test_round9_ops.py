@@ -532,3 +532,125 @@ def test_dhash_near_pairs_rejects_bad_params(spark):
         dhash_near_pairs(sig, max_hamming=7, bands=7)
     with pytest.raises(ValueError):
         dhash_near_pairs(sig, bands=5)
+
+
+# ---------------------------------------------------------------------
+# pmi_collocations / trend_slope
+# ---------------------------------------------------------------------
+
+
+def test_pmi_perfect_collocation(spark):
+    import math
+
+    from datacamp_etl_spark.operators.text import pmi_collocations
+
+    # "new york" always adjacent, never apart; filler pairs vary.
+    docs = spark.createDataFrame(
+        [(i, "new york " + f"tok{i} filler") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(docs, min_count=5).collect()
+    }
+    # margins over bigram events: 18 bigrams total; new->york 6 of 6
+    # lefts of 'new', 6 of 6 rights of 'york'
+    [key] = list(out)
+    assert key == ("new", "york") and out[key]["n"] == 6
+    assert out[key]["pmi"] == round(math.log(18 * 6 / (6 * 6)), 6)
+
+
+def test_pmi_min_count_filters(spark):
+    from datacamp_etl_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c d")], "doc_id long, text string"
+    )
+    out = pmi_collocations(docs, min_count=2).collect()
+    assert [(r["w1"], r["w2"], r["n"]) for r in out] == [("a", "b", 2)]
+
+
+def test_trend_slope_exact_line(spark):
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.timeseries import trend_slope
+
+    # daily totals 10, 20, 30, 40 -> slope exactly 10/day
+    rows = [
+        ("g", dt.datetime(2024, 1, 1 + i, 12, 0), 10.0 * (i + 1))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    [r] = trend_slope(df, "ts", "v", "k").collect()
+    assert (r["n_days"], r["slope"]) == (4, 10.0)
+
+
+def test_trend_slope_single_day_null_and_grouping(spark):
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.timeseries import trend_slope
+
+    rows = [
+        ("one", dt.datetime(2024, 1, 1), 5.0),
+        ("flat", dt.datetime(2024, 1, 1), 7.0),
+        ("flat", dt.datetime(2024, 1, 2), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r["k"]: r for r in trend_slope(df, "ts", "v", "k").collect()}
+    assert out["one"]["slope"] is None and out["one"]["n_days"] == 1
+    assert out["flat"]["slope"] == 0.0
+
+
+def test_trend_slope_sums_within_day(spark):
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.timeseries import trend_slope
+
+    # two readings per day; the regression runs on DAILY TOTALS
+    rows = [
+        ("g", dt.datetime(2024, 1, 1, h), 1.0) for h in (1, 2)
+    ] + [
+        ("g", dt.datetime(2024, 1, 2, h), 2.0) for h in (1, 2)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    [r] = trend_slope(df, "ts", "v", "k").collect()
+    assert r["slope"] == 2.0  # totals 2 -> 4
+
+
+# ---------------------------------------------------------------------
+# luhn_scan
+# ---------------------------------------------------------------------
+
+
+def test_luhn_accepts_valid_rejects_invalid(spark):
+    from datacamp_etl_spark.operators.pii import luhn_scan
+
+    rows = [
+        # classic test numbers: Visa valid, off-by-one invalid
+        (1, "pay 4111 1111 1111 1111 now"),
+        (2, "pay 4111 1111 1111 1112 now"),
+        # separators mixed; Amex 15-digit valid number
+        (3, "amex 3782-822463 10005 ok"),
+        # too short / too long digit runs are not candidates
+        (4, "short 4111 1111 1111 and long 11111111111111111111111"),
+        (5, "no digits at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in luhn_scan(df).collect()}
+    assert (out[1]["n_candidates"], out[1]["n_valid"]) == (1, 1)
+    assert (out[2]["n_candidates"], out[2]["n_valid"]) == (1, 0)
+    assert (out[3]["n_candidates"], out[3]["n_valid"]) == (1, 1)
+    assert out[4]["n_valid"] == 0
+    assert (out[5]["n_candidates"], out[5]["n_valid"]) == (0, 0)
+
+
+def test_luhn_counts_multiple_candidates(spark):
+    from datacamp_etl_spark.operators.pii import luhn_scan
+
+    df = spark.createDataFrame(
+        [(1, "a 4111111111111111 b 5500005555555559 c 1234567890123")],
+        "doc_id long, text string",
+    )
+    [r] = luhn_scan(df).collect()
+    # two valid cards + one 13-digit junk run that fails the checksum
+    assert (r["n_candidates"], r["n_valid"]) == (3, 2)
