@@ -155,6 +155,7 @@ HEADLINE = [
     "pmi_collocations",
     "trend_slope_events",
     "luhn_card_scan",
+    "cluster_balanced_sample",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

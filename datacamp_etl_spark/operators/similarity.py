@@ -40,6 +40,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "kmeans_train",
+    "cluster_balanced_sample",
     "semantic_dedup",
     "cosine_near_dup_pairs",
 ]
@@ -517,4 +518,52 @@ def semantic_dedup(
     emb = df.select(F.col(id_col), dvec.alias("__v")).join(assign, id_col)
     return semantic_keep_by_cluster(
         emb, id_col=id_col, vec_col="__v", threshold=threshold
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_iter: int = 2,
+    per_cluster: int = 25,
+) -> DataFrame:
+    """Cluster-balanced data selection: k-means the embedding corpus
+    (:func:`kmeans_train`) and keep an EQUAL deterministic quota from
+    every cluster — the curation move that stops a web-scale corpus's
+    dominant mode (boilerplate-adjacent text) from also dominating
+    the training sample; per-cluster quotas flatten the density the
+    same way temperature flattening does per-source, but along
+    semantic axes no source label captures.
+
+    Selection within a cluster is the md5-rank idiom
+    (:func:`~.curation.hash_sample`'s determinism contract): order by
+    ``(md5(id), id)``, keep the first ``per_cluster`` — reproducible
+    on any engine, no RNG state. Clusters smaller than the quota
+    contribute everything they have.
+
+    Scale shape: the k-means pass is the documented bounded-collect
+    Lloyd's (only k x dim means cross the driver); the quota pass is
+    ONE window over the assignment table partitioned by cluster —
+    skew bounded by cluster size, which is exactly what the k-means
+    step controls. Returns ``(id_col, cluster, pick_rank)``.
+    """
+    from pyspark.sql import Window as W
+
+    assigned = kmeans_train(
+        df, id_col=id_col, vec_col=vec_col, k=k, n_iter=n_iter
+    )
+    w = W.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= per_cluster)
+        .select(
+            id_col,
+            "cluster",
+            F.col("pick_rank").cast("long").alias("pick_rank"),
+        )
     )

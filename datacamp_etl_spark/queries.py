@@ -8452,6 +8452,41 @@ def q_luhn_card_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luhn_scan(aug)
 
 
+@register(
+    "cluster_balanced_sample",
+    _kmeans_cte_sql(4, 2)
+    + """,
+    afin AS (SELECT vec_id, cluster FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cluster) AS rn FROM dfin)
+             WHERE rn = 1)
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           CAST(rn2 AS BIGINT) AS pick_rank
+    FROM (SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY cluster
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                     AS rn2
+          FROM afin)
+    WHERE rn2 <= 25
+    """,
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] cluster-balanced data selection
+    (similarity.cluster_balanced_sample): k-means the embedding
+    corpus (k=4, 2 Lloyd iterations, deterministic md5 init) and keep
+    an equal md5-ranked quota of 25 vectors per cluster — the
+    semantic-axis analog of per-source temperature flattening. The
+    oracle unrolls the identical Lloyd's (shared _kmeans_cte_sql) and
+    replays the quota window."""
+    from datacamp_etl_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    return cluster_balanced_sample(
+        t(spark, sf_dir, "embeddings"), k=4, n_iter=2, per_cluster=25
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

@@ -654,3 +654,54 @@ def test_luhn_counts_multiple_candidates(spark):
     [r] = luhn_scan(df).collect()
     # two valid cards + one 13-digit junk run that fails the checksum
     assert (r["n_candidates"], r["n_valid"]) == (3, 2)
+
+
+# ---------------------------------------------------------------------
+# cluster_balanced_sample
+# ---------------------------------------------------------------------
+
+
+def test_cluster_balanced_quota_and_determinism(spark):
+    from datacamp_etl_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    # two well-separated blobs of different sizes; quota flattens them
+    rows = [(i, [0.0, 0.0 + (i % 7) * 0.01]) for i in range(40)] + [
+        (100 + i, [10.0, 10.0 + (i % 5) * 0.01]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(
+        df, k=2, n_iter=2, per_cluster=5
+    ).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    # every cluster capped at the quota; the small blob (8 >= 5) also
+    # fills its quota, so the 5x-denser blob has NO extra weight
+    assert sorted(len(v) for v in by_cluster.values()) == [5, 5]
+    assert all(1 <= r["pick_rank"] <= 5 for r in out)
+    # deterministic: same picks on re-run
+    again = cluster_balanced_sample(
+        df, k=2, n_iter=2, per_cluster=5
+    ).collect()
+    assert {(r["vec_id"], r["cluster"]) for r in out} == {
+        (r["vec_id"], r["cluster"]) for r in again
+    }
+
+
+def test_cluster_balanced_small_cluster_keeps_all(spark):
+    from datacamp_etl_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    rows = [(i, [0.0, float(i % 3)]) for i in range(6)] + [
+        (50, [9.0, 9.0]), (51, [9.0, 9.1])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(df, k=2, n_iter=2, per_cluster=10)
+    counts = {
+        r["cluster"]: r["n"]
+        for r in out.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 8  # below quota -> everything kept
