@@ -156,6 +156,7 @@ HEADLINE = [
     "trend_slope_events",
     "luhn_card_scan",
     "cluster_balanced_sample",
+    "pack_sequences_unigram",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

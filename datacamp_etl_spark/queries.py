@@ -8487,6 +8487,65 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pack_sequences_unigram")
+def q_pack_sequences_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sequence packing budgeted in unigram-LM tokenizer tokens
+    — completes the packing family (whitespace pack_sequences, BPE
+    pack_sequences_bpe) with the SentencePiece-family tokenizer: the
+    same streaming-packer window (bin = floor of the preceding
+    source-partitioned cumsum / 1024), counts from unigram_encode
+    under the pinned FIXTURE_UNIGRAM_V1 vocabulary. The encode kernel
+    is shuffle-free; the pack adds exactly one source-partitioned
+    window."""
+    from datacamp_etl_spark.operators.bpe import (
+        FIXTURE_UNIGRAM_V1,
+        unigram_encode,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    enc = unigram_encode(
+        docs, FIXTURE_UNIGRAM_V1, carry_cols=("source",)
+    )
+    c = enc.select(
+        "doc_id",
+        "source",
+        F.greatest(F.lit(1), F.col("n_tokens")).cast("long")
+        .alias("n_tokens"),
+    ).withColumn(
+        "cum",
+        F.sum("n_tokens").over(
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 1024)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+ORACLE["pack_sequences_unigram"] = f"""
+    WITH enc AS (SELECT * FROM ({_unigram_oracle_sql()}) eo),
+    tk AS (SELECT d.doc_id, d.source,
+                  CAST(greatest(1, coalesce(e.n_tokens, 0)) AS BIGINT)
+                    AS n_tokens
+           FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id),
+    c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM tk)
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 1024 AS BIGINT) AS bin_id
+    FROM c
+    """
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================
