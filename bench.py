@@ -157,6 +157,8 @@ HEADLINE = [
     "luhn_card_scan",
     "cluster_balanced_sample",
     "pack_sequences_unigram",
+    "redact_valid_cards",
+    "key_skew_events_users",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

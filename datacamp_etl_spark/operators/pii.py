@@ -26,6 +26,7 @@ __all__ = [
     "pii_scan",
     "pii_redact",
     "luhn_scan",
+    "redact_valid_cards",
 ]
 
 #: kind -> regex. Order matters for redaction (emails first so their
@@ -143,3 +144,57 @@ def luhn_scan(
         F.size(digs).cast("bigint").alias("n_candidates"),
         F.size(valid).cast("bigint").alias("n_valid"),
     )
+
+
+def redact_valid_cards(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    token: str = "<CARD>",
+) -> DataFrame:
+    """Redact ONLY checksum-validated card numbers — the apply half
+    of :func:`luhn_scan`: blanket-masking every 13-19-digit run
+    destroys order ids, ISBNs and timestamps; masking only Luhn-valid
+    runs removes the actual liability at a ~10x lower false-positive
+    cost. Candidates that validate are literal-replaced (every
+    occurrence of the exact matched string) with ``token``, in
+    extraction order.
+
+    Same execution class as the rest of the battery: regexp extract +
+    nested-HOF checksum + an ``aggregate`` fold of literal
+    ``replace`` calls — per-row JVM expressions, no shuffle, no UDF.
+    Adds ``n_redacted`` (validated candidate instances) next to the
+    rewritten column.
+    """
+    cand = F.regexp_extract_all(
+        F.col(text_col), F.lit(CARD_CANDIDATE_RE), 0
+    )
+
+    def luhn_total(d):
+        def term(acc, i):
+            digit = F.ascii(F.substring(d, i, F.lit(1))) - F.lit(48)
+            doubled = digit * 2 - F.when(digit > 4, 9).otherwise(0)
+            return acc + F.when(
+                ((F.length(d) - i) % 2) == 1, doubled
+            ).otherwise(digit)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(d)), F.lit(0), term
+        )
+
+    def is_valid(c):
+        d = F.regexp_replace(c, F.lit("[^0-9]"), F.lit(""))
+        return (
+            (F.length(d) >= 13)
+            & (F.length(d) <= 19)
+            & (luhn_total(d) % 10 == 0)
+        )
+
+    valid = F.filter(cand, is_valid)
+    red = F.aggregate(
+        valid,
+        F.col(text_col),
+        lambda acc, c: F.replace(acc, c, F.lit(token)),
+    )
+    return df.withColumn("n_redacted", F.size(valid).cast("bigint")) \
+             .withColumn(text_col, red)

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "key_skew_report"]
 
 # Join types where only the left side's match multiplicity matters —
 # the salt-exploded right side never surfaces unmatched rows.
@@ -82,3 +82,53 @@ def salted_join(
     )
     out = l_salted.join(r_salted, on=on + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    top_k: int = 5,
+) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that decides
+    BETWEEN the mitigations this module and AQE provide: per key
+    column set, the group-size distribution (exact p50/p90/p99/max
+    over the aggregated count table) and the share of all rows held
+    by the ``top_k`` heaviest keys. A key set whose max share is a
+    few percent of the table will bottleneck a shuffle join at any
+    cluster size; this report is the cheap pre-flight that catches it
+    before the 100 TB run does.
+
+    Scale shape: ONE map-side-combined count per key (the only
+    fact-sized pass), then every statistic — exact percentiles
+    included — computes over the bounded (n_keys)-row count table;
+    the heavy-hitter share is a ``top_k``-row TakeOrdered. Returns a
+    single row ``(n_rows, n_keys, p50, p90, p99, max_n, top_share)``
+    with ``top_share`` an exact rational rounded to 6 decimals.
+    """
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
+    counts = scoped_cache(
+        df.groupBy(*[F.col(c) for c in key_cols]).agg(
+            F.count("*").alias("__n")
+        )
+    )
+    top = counts.orderBy(F.desc("__n"), *key_cols).limit(top_k)
+    top_sum = top.agg(F.sum("__n").alias("__top"))
+    stats = counts.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.percentile(F.col("__n"), F.lit(0.5)).alias("__p50"),
+        F.percentile(F.col("__n"), F.lit(0.9)).alias("__p90"),
+        F.percentile(F.col("__n"), F.lit(0.99)).alias("__p99"),
+        F.max("__n").alias("max_n"),
+    )
+    return stats.crossJoin(F.broadcast(top_sum)).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.round(F.col("__p50"), 6).alias("p50"),
+        F.round(F.col("__p90"), 6).alias("p90"),
+        F.round(F.col("__p99"), 6).alias("p99"),
+        F.col("max_n").cast("long").alias("max_n"),
+        F.round(F.col("__top") / F.col("n_rows"), 6).alias("top_share"),
+    )

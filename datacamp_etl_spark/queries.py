@@ -8366,9 +8366,7 @@ _LUHN_TERM = (
 )
 
 
-@register(
-    "luhn_card_scan",
-    f"""
+_LUHN_AUG_SQL = f"""
     WITH b AS (SELECT doc_id, text,
                       lpad(CAST((doc_id * 2654435761)
                                 % 1000000000000000 AS VARCHAR),
@@ -8386,7 +8384,15 @@ _LUHN_TERM = (
                           CAST(CASE WHEN doc_id % 2 = 0 THEN cd
                                ELSE (cd + 1) % 10 END AS VARCHAR))
                        AS text
-            FROM chk),
+            FROM chk)
+"""
+
+
+@register(
+    "luhn_card_scan",
+    _LUHN_AUG_SQL
+    + f"""
+    ,
     sc AS (SELECT doc_id,
                   list_filter(list_transform(
                       regexp_extract_all(text,
@@ -8544,6 +8550,121 @@ ORACLE["pack_sequences_unigram"] = f"""
            CAST((cum - n_tokens) // 1024 AS BIGINT) AS bin_id
     FROM c
     """
+
+
+@register(
+    "redact_valid_cards",
+    _LUHN_AUG_SQL
+    + f"""
+    ,
+    v AS (SELECT doc_id, text,
+                 list_filter(
+                     regexp_extract_all(text,
+                         '\\b(?:\\d[ -]?){{12,18}}\\d\\b'),
+                     c -> len(regexp_replace(c, '[^0-9]', '', 'g')) >= 13
+                          AND len(regexp_replace(c, '[^0-9]', '', 'g'))
+                              <= 19
+                          AND list_sum(list_transform(
+                              generate_series(1, len(regexp_replace(c,
+                                  '[^0-9]', '', 'g'))),
+                              i -> {_LUHN_TERM.format(
+                                  parity=("(len(regexp_replace(c, "
+                                          "'[^0-9]', '', 'g')) - i) "
+                                          "% 2 = 1"),
+                                  d="regexp_replace(c, '[^0-9]', "
+                                    "'', 'g')")}))
+                              % 10 = 0) AS valid
+          FROM aug)
+    SELECT doc_id,
+           CAST(len(valid) AS BIGINT) AS n_redacted,
+           md5(list_reduce(list_prepend(text, valid),
+               (acc, c) -> replace(acc, c, '<CARD>'))) AS text_md5
+    FROM v
+    """,
+)
+def q_redact_valid_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Luhn-gated card redaction (pii.redact_valid_cards): over
+    the same synthetic augmentation as luhn_card_scan (fixed valid
+    Visa + parity-constructed per-doc card), ONLY the
+    checksum-validated numbers are literal-replaced with <CARD> —
+    expected n_redacted = 1 + [doc_id even], and the md5 of the
+    rewritten text pins every replacement position. Same
+    zero-shuffle expression class as the scan."""
+    from datacamp_etl_spark.operators.pii import redact_valid_cards
+
+    docs = t(spark, sf_dir, "documents")
+    base = F.lpad(
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(10**15))
+        .cast("string"),
+        15,
+        "0",
+    )
+
+    def s15(d):
+        def term(acc, i):
+            digit = F.ascii(F.substring(d, i, F.lit(1))) - F.lit(48)
+            doubled = digit * 2 - F.when(digit > 4, 9).otherwise(0)
+            return acc + F.when((i % 2) == 1, doubled).otherwise(digit)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(15)), F.lit(0), term
+        )
+
+    check = (F.lit(10) - s15(base) % 10) % 10
+    d16 = F.when(F.col("doc_id") % 2 == 0, check).otherwise(
+        (check + 1) % 10
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" card 4111-1111-1111-1111 and "),
+            base,
+            d16.cast("string"),
+        ).alias("text"),
+    )
+    out = redact_valid_cards(aug)
+    return out.select(
+        "doc_id",
+        "n_redacted",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+@register(
+    "key_skew_events_users",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    top AS (SELECT n FROM c ORDER BY n DESC, user_id LIMIT 5),
+    ts AS (SELECT sum(n) AS topn FROM top),
+    s AS (SELECT sum(n) AS n_rows, count(*) AS n_keys,
+                 quantile_cont(n, 0.5) AS p50,
+                 quantile_cont(n, 0.9) AS p90,
+                 quantile_cont(n, 0.99) AS p99,
+                 max(n) AS max_n
+          FROM c)
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           round(p50, 6) AS p50, round(p90, 6) AS p90,
+           round(p99, 6) AS p99,
+           CAST(max_n AS BIGINT) AS max_n,
+           round(topn / n_rows, 6) AS top_share
+    FROM s CROSS JOIN ts
+    """,
+)
+def q_key_skew_events_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] join-key skew pre-flight (skew.key_skew_report): the
+    group-size distribution of events.user_id — exact interpolated
+    percentiles over the aggregated count table, max group size, and
+    the share held by the 5 heaviest keys. One fact pass; every
+    statistic computes on the bounded per-key count table. The report
+    that decides between a plain shuffle join, salting, and AQE skew
+    handling before a 100 TB run finds out the hard way."""
+    from datacamp_etl_spark.operators.skew import key_skew_report
+
+    return key_skew_report(
+        t(spark, sf_dir, "events"), ["user_id"], top_k=5
+    )
 
 
 # =====================================================================

@@ -59,6 +59,9 @@ ALLOWED_BNLJ = {
     "source_kl_divergence": "1-row corpus-total token count "
     "crossJoined onto the per-(source, token) aggregate as a "
     "single-row literal",
+    "key_skew_events_users": "1-row stats x 1-row top-k-sum scalar "
+    "cross join - both sides global aggregates, bounded to one row "
+    "at any data size",
     "pmi_collocations": "1-row total-bigram-instances scalar "
     "crossJoined onto the bounded bigram-TYPE table (post min_count "
     "filter), same shape as lm_perplexity_scores' |V| broadcast",

@@ -705,3 +705,47 @@ def test_cluster_balanced_small_cluster_keeps_all(spark):
         for r in out.groupBy("cluster").agg(F.count("*").alias("n")).collect()
     }
     assert sum(counts.values()) == 8  # below quota -> everything kept
+
+
+# ---------------------------------------------------------------------
+# redact_valid_cards / key_skew_report
+# ---------------------------------------------------------------------
+
+
+def test_redact_only_valid_cards(spark):
+    from datacamp_etl_spark.operators.pii import redact_valid_cards
+
+    rows = [
+        (1, "ok 4111 1111 1111 1111 bad 4111 1111 1111 1112 end"),
+        (2, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_valid_cards(df).collect()}
+    assert out[1]["n_redacted"] == 1
+    assert out[1]["text"] == "ok <CARD> bad 4111 1111 1111 1112 end"
+    assert out[2]["n_redacted"] == 0 and out[2]["text"] == "clean text"
+
+
+def test_redact_replaces_every_occurrence(spark):
+    from datacamp_etl_spark.operators.pii import redact_valid_cards
+
+    df = spark.createDataFrame(
+        [(1, "a 4111111111111111 b 4111111111111111")],
+        "doc_id long, text string",
+    )
+    [r] = redact_valid_cards(df).collect()
+    assert r["text"] == "a <CARD> b <CARD>"
+    assert r["n_redacted"] == 2  # both candidate instances validated
+
+
+def test_key_skew_report_exact_stats(spark):
+    from datacamp_etl_spark.operators.skew import key_skew_report
+
+    # keys: a=6, b=2, c=1, d=1 -> n_rows=10, n_keys=4
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",), ("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    [r] = key_skew_report(df, ["k"], top_k=2).collect()
+    assert (r["n_rows"], r["n_keys"], r["max_n"]) == (10, 4, 6)
+    # counts sorted: [1,1,2,6]; p50 = 1.5 interpolated
+    assert r["p50"] == 1.5
+    assert r["top_share"] == 0.8  # (6+2)/10
