@@ -336,21 +336,31 @@ def pagerank(
             (F.col("rank") / F.col("deg")).alias("per_edge"),
             F.col("deg").isNull().alias("dangling"),
         ).cache()
-        dangling_mass = (
-            send.where("dangling").agg(F.sum("rank")).first()[0] or 0.0
+        # dangling mass rides the SAME action as the rank update (a
+        # 1-row broadcast scalar), so each round runs exactly ONE job
+        # — the localCheckpoint — instead of a .first() round-trip
+        # plus the checkpoint. The expression mirrors the closed form
+        # term-for-term (same IEEE operation order as the previous
+        # driver-side float), so the unrolled SQL oracle is unchanged.
+        dm = send.where("dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         contrib = (
             e.join(send.select("node", "per_edge"), e.a == F.col("node"))
             .groupBy("b")
             .agg(F.sum("per_edge").alias("in_mass"))
         )
-        base = (1.0 - damping) / n_nodes + damping * dangling_mass / n_nodes
+        base = (
+            F.lit((1.0 - damping) / n_nodes)
+            + (F.lit(damping) * F.col("__dm")) / F.lit(float(n_nodes))
+        )
         ranks = (
             nodes.join(contrib, nodes.node == contrib.b, "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base
                     + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("rank"),
             )
