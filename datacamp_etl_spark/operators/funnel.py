@@ -158,6 +158,11 @@ def event_transitions(
     engine-portable results: pass tie-breaking ``order_cols``
     (default ``[ts, event_id]``).
 
+    NULL handling: a transition OUT of a NULL-typed event keeps
+    ``prev_type`` NULL; a transition INTO one is dropped — ``lead()``
+    returning NULL is indistinguishable from end-of-sequence, and
+    both mean "no successor" here.
+
     Scale shape: ONE window pass partitioned by user (per-user
     streams are short and numerous — never a global sort), then a
     map-side-combined groupBy on (prev, next) down to |types|^2 rows;

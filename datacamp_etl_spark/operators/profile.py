@@ -243,14 +243,22 @@ def ks_drift(
         F.max("__fa").over(wtot).alias("__na"),
         F.max("__fb").over(wtot).alias("__nb"),
     )
+    # a group present in only one snapshot has no defined statistic:
+    # emit NULL explicitly — ANSI mode (Spark 4 default, and the
+    # driver's vanilla session) turns a bare x/0 into a runtime
+    # DIVIDE_BY_ZERO instead of SQL NULL
+    na, nb = F.max("__fa"), F.max("__fb")
     return cum.groupBy(*gcols).agg(
-        F.max("__fa").cast("long").alias("n_a"),
-        F.max("__fb").cast("long").alias("n_b"),
-        F.round(
-            F.max(F.abs(F.col("__fa") * F.col("__nb")
-                        - F.col("__fb") * F.col("__na")))
-            / (F.max("__fa") * F.max("__fb")),
-            decimals,
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.when(
+            (na > 0) & (nb > 0),
+            F.round(
+                F.max(F.abs(F.col("__fa") * F.col("__nb")
+                            - F.col("__fb") * F.col("__na")))
+                / (na * nb),
+                decimals,
+            ),
         ).alias("ks_d"),
     )
 

@@ -749,3 +749,63 @@ def test_key_skew_report_exact_stats(spark):
     # counts sorted: [1,1,2,6]; p50 = 1.5 interpolated
     assert r["p50"] == 1.5
     assert r["top_share"] == 0.8  # (6+2)/10
+
+
+# ---------------------------------------------------------------------
+# contract pins from the round-9 self-review
+# ---------------------------------------------------------------------
+
+
+def test_ks_drift_one_sided_group_is_null(spark):
+    """A group present in only one snapshot has no defined KS
+    statistic: both engines return NULL via the divide-by-zero ->
+    NULL contract (verified identical in DuckDB)."""
+    from datacamp_etl_spark.operators.profile import ks_drift
+
+    a = spark.createDataFrame(
+        [("only_a", 1.0), ("both", 2.0)], "grp string, v double"
+    )
+    b = spark.createDataFrame([("both", 2.0)], "grp string, v double")
+    out = {r["grp"]: r for r in ks_drift(a, b, "v", group_col="grp").collect()}
+    assert out["only_a"]["ks_d"] is None and out["only_a"]["n_b"] == 0
+    assert out["both"]["ks_d"] == 0.0
+
+
+def test_kmv_set_ops_saturated_estimates_reasonable(spark):
+    from datacamp_etl_spark.operators.sketch import kmv_set_ops
+
+    # k=64 sketches over 5000-element sets with 50% overlap: the
+    # estimates must land within the sketch's design tolerance
+    # (~1/sqrt(k) ~ 12.5%; allow 3x for one draw)
+    rows = [("a", i) for i in range(5000)] + [
+        ("b", i) for i in range(2500, 7500)
+    ]
+    df = spark.createDataFrame(rows, "g string, u long")
+    [r] = kmv_set_ops(df, "g", "u", k=64).collect()
+    assert abs(r["est_union"] - 7500) / 7500 < 0.375
+    assert abs(r["est_a"] - 5000) / 5000 < 0.375
+    # jaccard true = 2500/7500
+    assert abs(r["jaccard"] - 1 / 3) < 0.25
+
+
+def test_event_transitions_null_type_contract(spark):
+    """NULL event types: a transition OUT of a NULL-typed event keeps
+    prev_type NULL; a transition INTO a NULL-typed event is dropped —
+    lead() = NULL is indistinguishable from end-of-sequence, and the
+    operator treats both as "no successor" (documented contract, same
+    filter in the SQL oracle)."""
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.funnel import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "A"),
+        (2, t0 + dt.timedelta(minutes=1), 1, None),
+        (3, t0 + dt.timedelta(minutes=2), 1, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {(r["prev_type"], r["next_type"]) for r in event_transitions(df).collect()}
+    assert out == {(None, "B")}
