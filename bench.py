@@ -159,6 +159,7 @@ HEADLINE = [
     "pack_sequences_unigram",
     "redact_valid_cards",
     "key_skew_events_users",
+    "label_propagation",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -32,6 +32,7 @@ __all__ = [
     "dedup_clusters",
     "dedup_keep_best",
     "pagerank",
+    "label_propagation",
 ]
 
 
@@ -370,3 +371,68 @@ def pagerank(
         # downstream of `send`; only one cached frame is live at a time
         send.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) with SELF-VOTE retention: each round, every node
+    adopts the most frequent label among its undirected neighbors PLUS
+    its own current label, ties to the SMALLEST label. The self vote
+    is what makes the synchronous schedule deterministic AND
+    convergent — pure synchronous LPA oscillates on bipartite
+    structures (a star flips hub<->spokes forever), which is why
+    asynchronous implementations resort to random ordering; the
+    retention vote breaks the oscillation without any RNG, so the
+    fixed-iteration result is replayable on any engine.
+
+    Complements the equivalence-class operators: connected components
+    merges everything reachable; LPA finds DENSITY communities inside
+    a component (the granularity domain-level curation wants when one
+    crawl component spans many sites).
+
+    Scale shape per round: ONE shuffle (labels join the symmetrized
+    edge list on the source endpoint, map-side-combined count per
+    (node, label)) plus a per-node window over the vote-count table
+    (bounded by degree, not corpus); the label frame is
+    localCheckpoint'd per round (same plan-flattening rationale as
+    :func:`connected_components` / :func:`pagerank`). Fixed iteration
+    budget, not a convergence loop. Returns ``(node, label)`` for
+    every node appearing in any edge.
+    """
+    from pyspark.sql import Window as W
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = _canon(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
+    sym = _sym(e).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    w = W.partitionBy("node").orderBy(F.desc("__n"), "label")
+    for _ in range(iterations):
+        votes = sym.join(
+            labels, sym.a == labels.node
+        ).select(F.col("b").alias("node"), "label").unionByName(
+            labels  # retention: the node's own label always votes
+        )
+        counts = votes.groupBy("node", "label").agg(
+            F.count("*").alias("__n")
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -8667,6 +8667,58 @@ def q_key_skew_events_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled synchronous LPA-with-self-vote in DuckDB over the
+    star-forest graph: per round, neighbor votes + the retention vote,
+    mode with (count DESC, label ASC) tie-break via row_number."""
+    parts = ["""
+    WITH hub AS (SELECT doc_id,
+                        min(doc_id) OVER (PARTITION BY source) AS hub
+                 FROM documents),
+    e0 AS (SELECT doc_id AS a, hub AS b FROM hub WHERE doc_id <> hub),
+    ec AS (SELECT least(a, b) AS a, greatest(a, b) AS b
+           FROM e0 WHERE a <> b GROUP BY 1, 2),
+    sym AS (SELECT a, b FROM ec UNION ALL SELECT b, a FROM ec),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)"""]
+    for i in range(iterations):
+        parts.append(f""",
+    v{i + 1} AS (SELECT s.b AS node, l.label
+                 FROM sym s JOIN l{i} l ON s.a = l.node
+                 UNION ALL SELECT node, label FROM l{i}),
+    c{i + 1} AS (SELECT node, label, count(*) AS n
+                 FROM v{i + 1} GROUP BY 1, 2),
+    l{i + 1} AS (SELECT node, label FROM
+                     (SELECT *, row_number() OVER (PARTITION BY node
+                          ORDER BY n DESC, label) AS rn FROM c{i + 1})
+                 WHERE rn = 1)""")
+    parts.append(f"""
+    SELECT node, CAST(label AS BIGINT) AS label FROM l{iterations}""")
+    return "".join(parts)
+
+
+@register("label_propagation", _lpa_oracle_sql(3))
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] community detection by label propagation
+    (graph.label_propagation, Raghavan et al. 2007, self-vote
+    retention variant — deterministic AND convergent under the
+    synchronous schedule, where pure sync LPA oscillates on stars):
+    3 rounds over the per-source star forest; every document ends
+    labeled with its source community's hub id. One shuffle + one
+    degree-bounded window per round, localCheckpoint'd; the oracle
+    unrolls the identical rounds."""
+    from datacamp_etl_spark.operators.graph import label_propagation
+
+    docs = t(spark, sf_dir, "documents")
+    hub = docs.select(
+        "doc_id",
+        F.min("doc_id").over(W.partitionBy("source")).alias("hub"),
+    ).where("doc_id <> hub")
+    edges = hub.select(
+        F.col("doc_id").alias("src"), F.col("hub").alias("dst")
+    )
+    return label_propagation(edges, iterations=3)
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

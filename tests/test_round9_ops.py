@@ -809,3 +809,54 @@ def test_event_transitions_null_type_contract(spark):
     )
     out = {(r["prev_type"], r["next_type"]) for r in event_transitions(df).collect()}
     assert out == {(None, "B")}
+
+
+# ---------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------
+
+
+def test_lpa_two_cliques_converge(spark):
+    from datacamp_etl_spark.operators.graph import label_propagation
+
+    # two triangles bridged by nothing: communities = {1,2,3}, {7,8,9}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_lpa_star_does_not_oscillate(spark):
+    from datacamp_etl_spark.operators.graph import label_propagation
+
+    # pure synchronous LPA flips hub<->spokes forever on a star; the
+    # retention vote must converge it (hub 0 = smallest id wins), and
+    # the result must be identical for consecutive iteration budgets
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "src long, dst long"
+    )
+    for it in (2, 3, 4):
+        out = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, iterations=it).collect()
+        }
+        assert set(out.values()) == {0}, (it, out)
+
+
+def test_lpa_finds_density_split_inside_one_component(spark):
+    from datacamp_etl_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by ONE bridge edge: connected components
+    # would merge everything; LPA keeps two communities
+    def clique(ids):
+        return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([11, 12, 13, 14]) + [(4, 11)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges, iterations=4).collect()}
+    assert {out[n] for n in (1, 2, 3, 4)} == {1}
+    assert {out[n] for n in (11, 12, 13, 14)} == {11}
