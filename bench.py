@@ -160,6 +160,7 @@ HEADLINE = [
     "redact_valid_cards",
     "key_skew_events_users",
     "label_propagation",
+    "cusum_changepoint_events",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

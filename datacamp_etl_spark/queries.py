@@ -8719,6 +8719,55 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iterations=3)
 
 
+@register(
+    "cusum_changepoint_events",
+    """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                              AS y
+                   FROM events WHERE value IS NOT NULL
+                   GROUP BY 1, 2),
+    pts AS (SELECT event_type, day,
+                   CAST(count(*) OVER g AS HUGEINT)
+                       * sum(y) OVER (PARTITION BY event_type
+                                      ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING)
+                   - CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY day) AS HUGEINT)
+                       * sum(y) OVER g AS D,
+                   count(*) OVER g AS n
+            FROM daily
+            WINDOW g AS (PARTITION BY event_type)),
+    pick AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(D) DESC, day) AS rn
+             FROM pts)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           strftime(day, '%Y-%m-%d') AS cp_day,
+           round(CAST(abs(D) AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+               AS cusum_stat
+    FROM pick WHERE rn = 1
+    """,
+)
+def q_cusum_changepoint_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] CUSUM changepoint locator (timeseries.cusum_changepoint,
+    Page 1954): per event type, the day maximizing |n*cumsum -
+    t*total| over daily value totals — the WHEN to the drift trio's
+    WHETHER. Exact DECIMAL(38,0)/HUGEINT integer statistic, earliest-
+    day tie-break, one descaling double division at the end. Two
+    windows over the bounded (type, day) rollup, never a fact-sized
+    sort."""
+    from datacamp_etl_spark.operators.timeseries import cusum_changepoint
+
+    out = cusum_changepoint(
+        t(spark, sf_dir, "events"), "ts", "value", "event_type"
+    )
+    return out.withColumn(
+        "cp_day", F.date_format("cp_day", "yyyy-MM-dd")
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

@@ -860,3 +860,53 @@ def test_lpa_finds_density_split_inside_one_component(spark):
     out = {r["node"]: r["label"] for r in label_propagation(edges, iterations=4).collect()}
     assert {out[n] for n in (1, 2, 3, 4)} == {1}
     assert {out[n] for n in (11, 12, 13, 14)} == {11}
+
+
+# ---------------------------------------------------------------------
+# cusum_changepoint
+# ---------------------------------------------------------------------
+
+
+def test_cusum_locates_level_shift(spark):
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.timeseries import cusum_changepoint
+
+    # 10 days at 10.0, then 10 days at 30.0 -> |S_t| peaks at the
+    # last pre-shift day (day 10)
+    rows = [
+        ("g", dt.datetime(2024, 1, 1 + i), 10.0 if i < 10 else 30.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    [r] = cusum_changepoint(df, "ts", "v", "k").collect()
+    assert r["n_days"] == 20
+    assert str(r["cp_day"]) == "2024-01-10"
+    # S_10 = 10*(10 - 20) = -100 -> |S| = 100
+    assert r["cusum_stat"] == 100.0
+
+
+def test_cusum_stable_series_small_stat(spark):
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.timeseries import cusum_changepoint
+
+    rows = [
+        ("g", dt.datetime(2024, 1, 1 + i), 5.0) for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    [r] = cusum_changepoint(df, "ts", "v", "k").collect()
+    assert r["cusum_stat"] == 0.0  # constant series: S_t == 0 exactly
+
+
+def test_cusum_single_day_group(spark):
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.timeseries import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("g", dt.datetime(2024, 1, 1), 7.0)],
+        "k string, ts timestamp, v double",
+    )
+    [r] = cusum_changepoint(df, "ts", "v", "k").collect()
+    assert (r["n_days"], r["cusum_stat"]) == (1, 0.0)
