@@ -161,6 +161,7 @@ HEADLINE = [
     "key_skew_events_users",
     "label_propagation",
     "cusum_changepoint_events",
+    "session_paths",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

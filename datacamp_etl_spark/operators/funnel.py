@@ -29,6 +29,7 @@ __all__ = [
     "funnel_counts",
     "cohort_retention",
     "event_transitions",
+    "session_paths",
 ]
 
 
@@ -187,4 +188,66 @@ def event_transitions(
         "next_type",
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.sum("n").over(wout), 6).alias("p_next"),
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    *,
+    gap_minutes: int = 30,
+    min_count: int = 5,
+) -> DataFrame:
+    """Frequent 3-step journeys WITHIN a session: sessionize each
+    user's stream with an inactivity gap (a path spanning a lunch
+    break is not a journey), slide a 3-event window over every
+    session, and count each ordered path corpus-wide — the
+    exploratory mining step that surfaces the funnels worth defining
+    (:func:`funnel` then tests them), one level up from
+    :func:`event_transitions`' single steps.
+
+    Determinism: sessions cut on integer microsecond gaps
+    (``us - prev_us > gap``), total order ``(ts, id_col)``, and the
+    emitted count is an exact integer — the identical SQL replays
+    bit-for-bit. Paths are complete 3-grams only (a session's last
+    two events head no path).
+
+    Scale shape: THREE window passes, all partitioned by user (the
+    session-id cumulative sum, then the two leads over (user,
+    session)), then one map-side-combined groupBy down to at most
+    |types|^3 rows with the ``min_count`` filter on the aggregate.
+    Never a global sort. Returns ``(p1, p2, p3, n)``.
+    """
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = (
+        F.lag(us).over(wu).isNull()
+        | ((us - F.lag(us).over(wu)) > F.lit(gap_us))
+    ).cast("long")
+    with_sess = events.select(
+        user_col,
+        type_col,
+        ts_col,
+        id_col,
+        F.sum(new_sess).over(
+            wu.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("__sess"),
+    )
+    wk = W.partitionBy(user_col, "__sess").orderBy(ts_col, id_col)
+    grams = with_sess.select(
+        F.col(type_col).alias("p1"),
+        F.lead(type_col, 1).over(wk).alias("p2"),
+        F.lead(type_col, 2).over(wk).alias("p3"),
+    ).where(F.col("p2").isNotNull() & F.col("p3").isNotNull())
+    return (
+        grams.groupBy("p1", "p2", "p3")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("p1", "p2", "p3", F.col("n").cast("long").alias("n"))
     )

@@ -8768,6 +8768,47 @@ def q_cusum_changepoint_events(
     )
 
 
+@register(
+    "session_paths",
+    """
+    WITH b AS (SELECT user_id, event_type, ts, event_id,
+                      epoch_us(ts) AS us
+               FROM events),
+    s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 21600000000
+                         THEN 1 ELSE 0 END AS ns
+          FROM b WINDOW w AS (PARTITION BY user_id
+                              ORDER BY ts, event_id)),
+    c AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+          FROM s),
+    g AS (SELECT event_type AS p1,
+                 lead(event_type, 1) OVER wk AS p2,
+                 lead(event_type, 2) OVER wk AS p3
+          FROM c WINDOW wk AS (PARTITION BY user_id, sess
+                               ORDER BY ts, event_id))
+    SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS n
+    FROM g WHERE p2 IS NOT NULL AND p3 IS NOT NULL
+    GROUP BY 1, 2, 3 HAVING count(*) >= 5
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] frequent 3-step session journeys (funnel.session_paths):
+    sessionize on a 6-hour integer-microsecond inactivity gap (the
+    sparse fixture streams average hours between events; 30 minutes
+    would leave single-event sessions and zero paths),
+    slide a 3-event window inside every session, count ordered paths
+    corpus-wide (>= 5) — the mining step that surfaces candidate
+    funnels, one level above event_transitions' single steps. Three
+    user-partitioned windows + one bounded groupBy; exact integer
+    counts replay bit-for-bit."""
+    from datacamp_etl_spark.operators.funnel import session_paths
+
+    return session_paths(
+        t(spark, sf_dir, "events"), gap_minutes=360, min_count=5
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

@@ -910,3 +910,54 @@ def test_cusum_single_day_group(spark):
     )
     [r] = cusum_changepoint(df, "ts", "v", "k").collect()
     assert (r["n_days"], r["cusum_stat"]) == (1, 0.0)
+
+
+# ---------------------------------------------------------------------
+# session_paths
+# ---------------------------------------------------------------------
+
+
+def test_session_paths_respects_gap(spark):
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.funnel import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    # A-B-C inside one session; D after a 2-hour gap starts a new
+    # session, so no path crosses the gap
+    rows = [
+        (1, t0, 7, "A"),
+        (2, t0 + dt.timedelta(minutes=5), 7, "B"),
+        (3, t0 + dt.timedelta(minutes=10), 7, "C"),
+        (4, t0 + dt.timedelta(hours=3), 7, "D"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = session_paths(df, gap_minutes=30, min_count=1).collect()
+    assert [(r["p1"], r["p2"], r["p3"], r["n"]) for r in out] == [
+        ("A", "B", "C", 1)
+    ]
+
+
+def test_session_paths_counts_across_users(spark):
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.funnel import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for i, ev in enumerate("XYZ"):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, ev))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = session_paths(df, gap_minutes=30, min_count=3).collect()
+    assert [(r["p1"], r["p2"], r["p3"], r["n"]) for r in out] == [
+        ("X", "Y", "Z", 3)
+    ]
+    # min_count above the corpus count -> empty
+    assert session_paths(df, gap_minutes=30, min_count=4).count() == 0
