@@ -162,6 +162,8 @@ HEADLINE = [
     "label_propagation",
     "cusum_changepoint_events",
     "session_paths",
+    "quantile_normalize_orders",
+    "funnel_latency_signup_purchase",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -21,6 +21,8 @@ map-side-combined aggregations.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +32,7 @@ __all__ = [
     "cohort_retention",
     "event_transitions",
     "session_paths",
+    "funnel_latency",
 ]
 
 
@@ -251,3 +254,65 @@ def session_paths(
         .where(F.col("n") >= min_count)
         .select("p1", "p2", "p3", F.col("n").cast("long").alias("n"))
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    from_type: str,
+    to_type: str,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    probabilities: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Time-to-convert distribution: for every user whose FIRST
+    ``from_type`` event is later followed by a ``to_type`` event, the
+    delay to the EARLIEST such follow-up — summarized as exact
+    interpolated percentiles in seconds. The latency counterpart to
+    :func:`funnel_counts`' conversion rates (how MANY convert vs how
+    FAST they do).
+
+    Exactness: deltas are integer seconds (microsecond timestamps,
+    floor-divided), and the percentile is the standard linear
+    interpolation over sorted integers — the same engine-portable
+    definition :func:`~.skew.key_skew_report` pins (Spark
+    ``percentile`` == DuckDB ``quantile_cont``).
+
+    Scale shape: two user-keyed min-aggregations (first entry event,
+    earliest later conversion) joined on the user key, then ONE
+    global aggregate over the per-user delta table (one row per
+    converting user — orders of magnitude below event volume).
+    Returns one row: ``(n_entered, n_converted, p..s columns)``.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    entry_t = (
+        events.where(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(us).alias("__t0"))
+    )
+    conv = (
+        events.where(F.col(type_col) == to_type)
+        .select(user_col, us.alias("__t1"))
+        .join(entry_t, user_col)
+        .where(F.col("__t1") >= F.col("__t0"))
+        .groupBy(user_col)
+        .agg(
+            F.min(
+                F.expr("(__t1 - __t0) div 1000000")
+            ).alias("__delta_s")
+        )
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_converted"),
+    ] + [
+        F.round(
+            F.percentile(F.col("__delta_s"), F.lit(float(p))), 6
+        ).alias(f"p{int(p * 100)}_s")
+        for p in probabilities
+    ]
+    stats = conv.agg(*aggs)
+    n_entered = entry_t.agg(
+        F.count("*").cast("long").alias("n_entered")
+    )
+    return n_entered.crossJoin(F.broadcast(stats))

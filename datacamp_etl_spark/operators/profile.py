@@ -32,6 +32,7 @@ __all__ = [
     "ks_drift",
     "mad_outliers",
     "robust_scale",
+    "quantile_normalize",
 ]
 
 
@@ -429,4 +430,79 @@ def robust_scale(
         )
         .withColumn(out_col, z)
         .drop("__rs_g", "__rs_med", "__rs_mad")
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_cols: Sequence[str],
+    *,
+    group_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Percent-rank normalization — map a numeric column to its
+    empirical quantile ``(min_rank - 1) / (n - 1)`` in [0, 1] (per
+    ``group_col`` when given): the rank-based feature scaling that is
+    immune to outliers and distribution shape where z-scores are not
+    (the uniform-score half of classic quantile normalization; ties
+    share their min-rank score, the SQL ``percent_rank`` convention).
+
+    Exactness: the score is an exact integer rational (cumulative
+    count below / (n-1)) divided once and rounded — engine-portable.
+    NULL values pass through with a NULL score.
+
+    Scale shape: ranks come from the AGGREGATED value table — one
+    map-side-combined count per (group, value), one cumulative window
+    over that bounded table (distinct values, not rows), and one
+    equi-join back to the facts. NEVER a per-group sort of fact rows
+    (the trap a naive ``percent_rank() OVER (ORDER BY v)`` builds at
+    100 TB). Groups with a single row score NULL (0/0 — no spread to
+    place the value in). Returns ``(*id_cols, group_col?, value_col,
+    q_score)``.
+    """
+    from pyspark.sql import Window as W
+
+    gcols = [group_col] if group_col else []
+    # internal names are disambiguated up front — the fact frame and
+    # the scored value table share the group/value column names, and
+    # Spark's ambiguous-self-join analyzer (rightly) rejects a join
+    # that reuses them
+    gint = [f"__g{i}" for i in range(len(gcols))]
+    vals = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *[F.col(c).alias(a) for c, a in zip(gcols, gint)],
+            F.col(value_col).alias("__v"),
+        )
+        .agg(F.count("*").alias("__c"))
+    )
+    part = gint if gint else [F.lit(0)]
+    wcum = (
+        W.partitionBy(*part)
+        .orderBy("__v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wg = W.partitionBy(*part)
+    scored = vals.select(
+        *gint,
+        "__v",
+        (F.sum("__c").over(wcum) - F.col("__c")).alias("__below"),
+        (F.sum("__c").over(wg) - 1).alias("__nm1"),
+    ).select(
+        *gint,
+        "__v",
+        F.when(
+            F.col("__nm1") > 0,
+            F.round(F.col("__below") / F.col("__nm1"), decimals),
+        ).alias("q_score"),
+    )
+    cond = [
+        df[c].eqNullSafe(scored[a]) for c, a in zip(gcols, gint)
+    ] + [df[value_col] == scored["__v"]]
+    return df.join(scored, cond, "left").select(
+        *[df[c] for c in id_cols],
+        *[df[c] for c in gcols],
+        df[value_col],
+        "q_score",
     )

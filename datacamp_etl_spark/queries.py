@@ -8809,6 +8809,79 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_normalize_orders",
+    """
+    WITH vals AS (SELECT o_orderpriority AS g, o_totalprice AS v,
+                         count(*) AS c
+                  FROM orders GROUP BY 1, 2),
+    sc AS (SELECT g, v,
+                  sum(c) OVER (PARTITION BY g ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) - c AS below,
+                  sum(c) OVER (PARTITION BY g) - 1 AS nm1
+           FROM vals)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CASE WHEN nm1 > 0 THEN round(below / nm1, 6) END AS q_score
+    FROM orders o JOIN sc ON o.o_orderpriority = sc.g
+                         AND o.o_totalprice = sc.v
+    """,
+)
+def q_quantile_normalize_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] percent-rank feature scaling
+    (profile.quantile_normalize): every order's total price mapped to
+    its exact empirical quantile within its priority class — the
+    outlier-immune scaling robust_scale's median/MAD complements.
+    Ranks come from a cumulative window over the AGGREGATED
+    (group, value) table (bounded by distinct values) joined back to
+    the facts — never a per-group sort of fact rows. Exact integer
+    rational, one division."""
+    from datacamp_etl_spark.operators.profile import quantile_normalize
+
+    out = quantile_normalize(
+        t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        ["o_orderkey"],
+        group_col="o_orderpriority",
+    )
+    return out.select("o_orderkey", "o_orderpriority", "q_score")
+
+
+@register(
+    "funnel_latency_signup_purchase",
+    """
+    WITH e0 AS (SELECT user_id, min(epoch_us(ts)) AS t0
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+    cv AS (SELECT e.user_id,
+                  min((epoch_us(ts) - t0) // 1000000) AS d
+           FROM events e JOIN e0 ON e.user_id = e0.user_id
+           WHERE event_type = 'purchase' AND epoch_us(ts) >= t0
+           GROUP BY 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                 round(quantile_cont(d, 0.5), 6) AS p50_s,
+                 round(quantile_cont(d, 0.9), 6) AS p90_s
+          FROM cv),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_entered FROM e0)
+    SELECT n_entered, n_converted, p50_s, p90_s FROM n CROSS JOIN s
+    """,
+)
+def q_funnel_latency_signup_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] time-to-convert distribution (funnel.funnel_latency):
+    for users whose first signup is later followed by a purchase, the
+    delay to the earliest one — exact interpolated p50/p90 in integer
+    seconds (Spark percentile == DuckDB quantile_cont, the parity
+    key_skew pins). Two user-keyed min-aggregations + one global
+    aggregate over the per-user delta table."""
+    from datacamp_etl_spark.operators.funnel import funnel_latency
+
+    return funnel_latency(
+        t(spark, sf_dir, "events"), "signup", "purchase"
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

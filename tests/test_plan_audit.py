@@ -63,6 +63,8 @@ ALLOWED_BNLJ = {
     "into each round's rank update - folding it into the same "
     "action as the checkpoint removed a per-iteration driver "
     "round-trip (round-8 judge note)",
+    "funnel_latency_signup_purchase": "1-row entered-count x 1-row "
+    "latency-stats scalar cross join - both global aggregates",
     "key_skew_events_users": "1-row stats x 1-row top-k-sum scalar "
     "cross join - both sides global aggregates, bounded to one row "
     "at any data size",

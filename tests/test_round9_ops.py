@@ -961,3 +961,82 @@ def test_session_paths_counts_across_users(spark):
     ]
     # min_count above the corpus count -> empty
     assert session_paths(df, gap_minutes=30, min_count=4).count() == 0
+
+
+# ---------------------------------------------------------------------
+# quantile_normalize / funnel_latency
+# ---------------------------------------------------------------------
+
+
+def test_quantile_normalize_exact_scores(spark):
+    from datacamp_etl_spark.operators.profile import quantile_normalize
+
+    rows = [(1, "g", 10.0), (2, "g", 20.0), (3, "g", 20.0), (4, "g", 40.0),
+            (5, "h", 1.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r["id"]: r for r in
+           quantile_normalize(df, "v", ["id"], group_col="g").collect()}
+    # group g, n=4: scores below/(n-1); ties share their min-rank
+    assert out[1]["q_score"] == 0.0
+    assert out[2]["q_score"] == round(1 / 3, 6)
+    assert out[3]["q_score"] == round(1 / 3, 6)
+    assert out[4]["q_score"] == 1.0
+    # singleton group: no spread -> NULL
+    assert out[5]["q_score"] is None
+
+
+def test_quantile_normalize_null_value_passthrough(spark):
+    from datacamp_etl_spark.operators.profile import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 6.0)], "id long, v double"
+    )
+    out = {r["id"]: r for r in
+           quantile_normalize(df, "v", ["id"]).collect()}
+    assert out[2]["q_score"] is None
+    assert (out[1]["q_score"], out[3]["q_score"]) == (0.0, 1.0)
+
+
+def test_funnel_latency_known_deltas(spark):
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.funnel import funnel_latency
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, mins, u, typ):
+        return (eid, t0 + dt.timedelta(minutes=mins), u, typ)
+
+    rows = [
+        ev(1, 0, 1, "signup"), ev(2, 10, 1, "purchase"),
+        ev(3, 20, 1, "purchase"),              # later; min delta = 600 s
+        ev(4, 0, 2, "signup"), ev(5, 30, 2, "purchase"),
+        ev(6, 0, 3, "signup"),                 # never converts
+        ev(7, 0, 4, "purchase"),               # converts without signup
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    [r] = funnel_latency(df, "signup", "purchase").collect()
+    assert (r["n_entered"], r["n_converted"]) == (3, 2)
+    # deltas: 600, 1800 -> p50 = 1200 interpolated, p90 = 1680
+    assert r["p50_s"] == 1200.0
+    assert r["p90_s"] == 1680.0
+
+
+def test_funnel_latency_ignores_pre_entry_conversions(spark):
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.funnel import funnel_latency
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "purchase"),                      # BEFORE signup
+        (2, t0 + dt.timedelta(minutes=5), 1, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    [r] = funnel_latency(df, "signup", "purchase").collect()
+    assert (r["n_entered"], r["n_converted"]) == (1, 0)
+    assert r["p50_s"] is None
