@@ -8907,11 +8907,10 @@ from datacamp_etl_spark.adjudication import LAST_ADJUDICATED  # noqa: E402
 #: Manual front-loads: entries whose LATEST driver row is non-green
 #: (fix shipped, but their ledger rank would defer re-adjudication
 #: past the next round). They slot right after the never-adjudicated
-#: block, ahead of the plain staleness rotation. Round 9:
-#: hll_incremental_distinct's r7 row is `err: no_oracle` (the oracle
-#: gate shipped in r8 and is selfcheck-green); rank 7 would otherwise
-#: defer its driver re-check to round 10 (VERDICT r8 item #2).
-PINNED_FRONT: list[str] = ["hll_incremental_distinct"]
+#: block, ahead of the plain staleness rotation. Round 10: empty —
+#: every entry's latest driver row is green (CORRECTNESS_r09 closed
+#: hll_incremental_distinct, the last non-green row; VERDICT r9).
+PINNED_FRONT: list[str] = []
 
 
 def _rotation_order() -> list[str]:
