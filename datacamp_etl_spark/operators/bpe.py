@@ -490,12 +490,26 @@ UNIGRAM_COST_SCALE = 1_000_000
 _UNIGRAM_INF = 1 << 50
 
 
+#: Hard cap on normalized word length for unigram Viterbi: the packed
+#: comparison key gives ntok 6 bits, so any word that could segment
+#: into more than 63 pieces (i.e. longer than 63 chars) would carry
+#: ntok into the cost field and corrupt the ordering (e.g.
+#: key(100,70,1) == key(101,6,1)). Words longer than this become a
+#: whole-word [UNK] — the same convention as WordPiece's
+#: max_input_chars_per_word (BERT uses 100): real corpora do contain
+#: 64+-char alphanumeric runs (hashes, base64), and a tokenizer
+#: treating them as [UNK] is standard behavior, not data loss.
+UNIGRAM_MAX_WORD_CHARS = 63
+
+
 def _unigram_key(cost: int, ntok: int, L: int) -> int:
     """Pack the Viterbi candidate ordering into ONE integer:
     minimize total cost, then token count, then PREFER the longer
-    last piece. ntok and L are < 64 by construction (normalized
-    fixture words are far shorter); the packed compare is exact
-    integer arithmetic, replayed verbatim in the oracle SQL."""
+    last piece. ntok and L are < 64 by construction —
+    :func:`unigram_word` rejects words longer than
+    ``UNIGRAM_MAX_WORD_CHARS`` before the DP starts; the packed
+    compare is exact integer arithmetic, replayed verbatim in the
+    oracle SQL."""
     return ((cost * 64) + ntok) * 64 + (63 - L)
 
 
@@ -662,8 +676,13 @@ def unigram_word(
     exact integer DP, so any engine replays it bit-for-bit. A prefix
     no vocab path reaches makes the WHOLE word ``[UNK]`` (the repo's
     wordpiece contract; with single characters in the vocab this only
-    happens for characters unseen in training)."""
+    happens for characters unseen in training). Words longer than
+    ``UNIGRAM_MAX_WORD_CHARS`` are ``[UNK]`` without running the DP —
+    beyond that length the packed key's 6-bit token-count field could
+    overflow into the cost field (see UNIGRAM_MAX_WORD_CHARS)."""
     n = len(word)
+    if n > UNIGRAM_MAX_WORD_CHARS:
+        return ["[UNK]"]
     INF_KEY = _unigram_key(_UNIGRAM_INF, 0, 0)
     best = [INF_KEY] * (n + 1)
     back = [0] * (n + 1)

@@ -156,15 +156,25 @@ def redact_valid_cards(
     of :func:`luhn_scan`: blanket-masking every 13-19-digit run
     destroys order ids, ISBNs and timestamps; masking only Luhn-valid
     runs removes the actual liability at a ~10x lower false-positive
-    cost. Candidates that validate are literal-replaced (every
+    cost. Candidates that validate are replaced (every word-boundary
     occurrence of the exact matched string) with ``token``, in
-    extraction order.
+    extraction order. The replacement is ``\\b``-anchored — a plain
+    literal replace would also rewrite a valid card string occurring
+    as a SUBSTRING of a longer non-candidate digit run elsewhere in
+    the text (e.g. inside a 20-digit identifier), corrupting non-card
+    data; the boundary anchor confines redaction to standalone
+    occurrences, which is also exactly what the ``\\b``-delimited
+    extraction pattern matched. Candidates contain only digits,
+    spaces and dashes, so splicing them into the pattern needs no
+    regex escaping, and the same pattern replays verbatim in RE2
+    (the DuckDB oracle).
 
     Same execution class as the rest of the battery: regexp extract +
-    nested-HOF checksum + an ``aggregate`` fold of literal
-    ``replace`` calls — per-row JVM expressions, no shuffle, no UDF.
-    Adds ``n_redacted`` (validated candidate instances) next to the
-    rewritten column.
+    nested-HOF checksum + an ``aggregate`` fold of anchored
+    ``regexp_replace`` calls — per-row JVM expressions, no shuffle,
+    no UDF. Adds ``n_redacted`` (validated candidate instances from
+    extraction; each standalone occurrence is one extraction hit, so
+    the count equals replaced sites) next to the rewritten column.
     """
     cand = F.regexp_extract_all(
         F.col(text_col), F.lit(CARD_CANDIDATE_RE), 0
@@ -194,7 +204,9 @@ def redact_valid_cards(
     red = F.aggregate(
         valid,
         F.col(text_col),
-        lambda acc, c: F.replace(acc, c, F.lit(token)),
+        lambda acc, c: F.regexp_replace(
+            acc, F.concat(F.lit("\\b"), c, F.lit("\\b")), F.lit(token)
+        ),
     )
     return df.withColumn("n_redacted", F.size(valid).cast("bigint")) \
              .withColumn(text_col, red)

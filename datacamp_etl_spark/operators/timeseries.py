@@ -184,17 +184,23 @@ def anomaly_zscore(
     prior observations are never flagged — no baseline, no verdict).
 
     Exactness contract: values are fixed-pointed to integers
-    (``floor(v * scale + 0.5)``), and the test runs entirely on BIGINT
-    window sums via the algebraic identity
+    (``floor(v * scale + 0.5)``), and the test runs entirely on
+    DECIMAL(38,0) window sums via the algebraic identity
 
         |x - s/n| > t * sqrt((n*ssq - s^2) / n^2)
         <=>  (n*x - s)^2 > t^2 * (n*ssq - s^2)
 
     so there is NO floating-point accumulation anywhere — the
-    identical SQL replays bit-for-bit on any engine. A zero-variance
-    history flags any deviation (the limit z -> inf), which is the
-    verdict monitoring wants: a constant gauge that moves IS the
-    anomaly.
+    identical SQL replays bit-for-bit on any engine (DuckDB side runs
+    the same identity in HUGEINT). The squared terms are exact up to
+    |v * scale| ~ 2.4e17 (num^2 <= (2 * lookback * max|x|)^2 must fit
+    1e38); BIGINT sums would already overflow near |v * scale| ~ 1.4e6
+    with lookback 20 — the same reason trend_slope/cusum_changepoint
+    run on DECIMAL(38,0). The streaming twin accumulates in Python
+    ints (arbitrary precision), so batch/stream parity holds across
+    the full documented range. A zero-variance history flags any
+    deviation (the limit z -> inf), which is the verdict monitoring
+    wants: a constant gauge that moves IS the anomaly.
 
     Scale shape: one window pass partitioned by ``key_col`` (per-
     entity history, thousands-to-millions of partitions — never a
@@ -211,18 +217,21 @@ def anomaly_zscore(
         .orderBy(*order_cols)
         .rowsBetween(-lookback, -1)
     )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     d = (
         df.where(F.col(value_col).isNotNull())
         .withColumn("__x", x)
         .withColumn("__n", F.count("__x").over(w))
-        .withColumn("__s", F.sum("__x").over(w))
-        .withColumn("__q", F.sum(F.col("__x") * F.col("__x")).over(w))
+        .withColumn("__s", F.sum(dec(F.col("__x"))).over(w))
+        .withColumn(
+            "__q", F.sum(dec(F.col("__x")) * dec(F.col("__x"))).over(w)
+        )
     )
-    num = F.col("__n") * F.col("__x") - F.col("__s")
-    var_n2 = F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+    num = dec(F.col("__n")) * dec(F.col("__x")) - F.col("__s")
+    var_n2 = dec(F.col("__n")) * F.col("__q") - F.col("__s") * F.col("__s")
     flagged = d.where(
         (F.col("__n") >= min_history)
-        & (num * num > F.lit(threshold * threshold) * var_n2)
+        & (num * num > dec(F.lit(threshold * threshold)) * var_n2)
     )
     return flagged.select(
         key_col,

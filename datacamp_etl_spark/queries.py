@@ -7770,12 +7770,14 @@ def _unigram_oracle_sql() -> str:
         _UNIGRAM_INF,
         _unigram_key,
         FIXTURE_UNIGRAM_V1,
+        UNIGRAM_MAX_WORD_CHARS,
     )
 
     pieces = "[" + ", ".join(f"'{p}'" for p, _ in FIXTURE_UNIGRAM_V1) + "]"
     costs = "[" + ", ".join(str(c) for _, c in FIXTURE_UNIGRAM_V1) + "]"
     max_len = max(len(p) for p, _ in FIXTURE_UNIGRAM_V1)
     inf_key = _unigram_key(_UNIGRAM_INF, 0, 0)
+    max_word = UNIGRAM_MAX_WORD_CHARS
     return f"""
     WITH RECURSIVE
     n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
@@ -7787,6 +7789,7 @@ def _unigram_oracle_sql() -> str:
     uw AS (SELECT DISTINCT word FROM w),
     dp AS (
       SELECT word, 0 AS j, [CAST(63 AS BIGINT)] AS keys FROM uw
+      WHERE len(word) <= {max_word}
       UNION ALL
       SELECT word, j + 1,
              keys || [coalesce(list_min(list_filter(
@@ -7814,7 +7817,9 @@ def _unigram_oracle_sql() -> str:
     seg AS (SELECT word, toks FROM bt WHERE j = 0
             UNION ALL
             SELECT word, ['[UNK]'] FROM done
-            WHERE keys[len(word) + 1] >= {inf_key}),
+            WHERE keys[len(word) + 1] >= {inf_key}
+            UNION ALL
+            SELECT word, ['[UNK]'] FROM uw WHERE len(word) > {max_word}),
     enc AS (SELECT w.doc_id,
                    count(*) AS n_words,
                    sum(len(f.toks)) AS n_tokens,
@@ -8026,8 +8031,9 @@ def q_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
                FROM events WHERE value IS NOT NULL),
     w AS (SELECT event_id, user_id, us, x,
-                 count(x) OVER win AS n, sum(x) OVER win AS s,
-                 sum(x * x) OVER win AS q
+                 count(x) OVER win AS n,
+                 sum(CAST(x AS HUGEINT)) OVER win AS s,
+                 sum(CAST(x AS HUGEINT) * x) OVER win AS q
           FROM e WINDOW win AS (PARTITION BY user_id
                                 ORDER BY ts, event_id
                                 ROWS BETWEEN 20 PRECEDING
@@ -8578,7 +8584,8 @@ ORACLE["pack_sequences_unigram"] = f"""
     SELECT doc_id,
            CAST(len(valid) AS BIGINT) AS n_redacted,
            md5(list_reduce(list_prepend(text, valid),
-               (acc, c) -> replace(acc, c, '<CARD>'))) AS text_md5
+               (acc, c) -> regexp_replace(acc, '\\b' || c || '\\b',
+                                          '<CARD>', 'g'))) AS text_md5
     FROM v
     """,
 )

@@ -159,6 +159,23 @@ def test_unigram_word_unseen_char_is_whole_word_unk():
     assert unigram_word("axb", cost, 2) == ["[UNK]"]
 
 
+def test_unigram_word_long_word_cap():
+    from datacamp_etl_spark.operators.bpe import (
+        UNIGRAM_MAX_WORD_CHARS,
+        unigram_word,
+    )
+
+    cost = {"a": 1}
+    # at the cap: 63 single-char pieces — ntok exactly fills the
+    # packed key's 6-bit field, segmentation still exact
+    at_cap = "a" * UNIGRAM_MAX_WORD_CHARS
+    assert unigram_word(at_cap, cost, 1) == ["a"] * UNIGRAM_MAX_WORD_CHARS
+    # beyond the cap (hash/base64-style runs): whole-word [UNK]
+    # rather than a DP whose ntok would carry into the cost field
+    assert unigram_word(at_cap + "a", cost, 1) == ["[UNK]"]
+    assert unigram_word("a" * 100, cost, 1) == ["[UNK]"]
+
+
 def test_unigram_train_chars_survive_and_words_segment(spark):
     from datacamp_etl_spark.operators.bpe import unigram_train, unigram_word
 
@@ -382,6 +399,22 @@ def test_anomaly_zscore_low_direction(spark):
     df = spark.createDataFrame(rows, "k long, seq long, v double")
     out = anomaly_zscore(df, "k", ["seq"], "v").collect()
     assert [(r["seq"], r["direction"]) for r in out] == [(10, "low")]
+
+
+def test_anomaly_zscore_large_magnitudes_no_overflow(spark):
+    # regression: with scale=100 and |v| ~ 3.1e7, x*x ~ 9.6e18 exceeds
+    # int64, so BIGINT window sums raised ARITHMETIC_OVERFLOW under
+    # ANSI (or silently mis-flagged). The DECIMAL(38,0) identity must
+    # survive and flag exactly the spike.
+    from datacamp_etl_spark.operators.timeseries import anomaly_zscore
+
+    base = 3.1e7
+    rows = [(1, i, base + (i % 2)) for i in range(10)] + [
+        (1, 10, 2 * base)
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+    out = anomaly_zscore(df, "k", ["seq"], "v").collect()
+    assert [(r["seq"], r["direction"]) for r in out] == [(10, "high")]
 
 
 def test_kmv_set_ops_exact_below_k(spark):
@@ -736,6 +769,24 @@ def test_redact_replaces_every_occurrence(spark):
     [r] = redact_valid_cards(df).collect()
     assert r["text"] == "a <CARD> b <CARD>"
     assert r["n_redacted"] == 2  # both candidate instances validated
+
+
+def test_redact_never_rewrites_substring_of_longer_digit_run(spark):
+    # regression: a valid card that ALSO occurs as a substring of a
+    # longer non-candidate digit run (a 20+-digit identifier) must
+    # only be redacted at its standalone occurrence — literal replace
+    # used to corrupt the identifier too.
+    from datacamp_etl_spark.operators.pii import redact_valid_cards
+
+    card = "4111111111111111"
+    ident = "9999" + card + "77"  # 22-digit identifier containing it
+    df = spark.createDataFrame(
+        [(1, f"pay {card} ref {ident} done")],
+        "doc_id long, text string",
+    )
+    [r] = redact_valid_cards(df).collect()
+    assert r["text"] == f"pay <CARD> ref {ident} done"
+    assert r["n_redacted"] == 1
 
 
 def test_key_skew_report_exact_stats(spark):
