@@ -164,6 +164,13 @@ HEADLINE = [
     "session_paths",
     "quantile_normalize_orders",
     "funnel_latency_signup_purchase",
+    # round-10 additions: persisted ANN index lifecycle. The demo
+    # index is built+appended once per session (cold pass pays the
+    # build+save; warm measures the steady-state probe — the
+    # recurring operation a persisted index exists to make cheap).
+    "ann_index_query",
+    "ann_index_recall",
+    "ann_index_staleness",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -50,7 +50,10 @@ def _slice(vec: Column, s: int, sub_dim: int) -> Column:
 
 
 def _sqdist(sub: Column, cen: list[float]) -> Column:
-    clit = F.array(*[F.lit(float(x)) for x in cen])
+    # one array literal, not per-element F.lit calls: centroid
+    # expression trees dominate plan-construction time otherwise
+    # (hundreds of Py4J round-trips per codebook)
+    clit = F.lit([float(x) for x in cen]).cast("array<double>")
     return F.aggregate(
         F.zip_with(sub, clit, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -251,7 +254,10 @@ def ivfpq_topk(
             F.round(
                 F.coalesce(
                     cosine_similarity(
-                        F.col(vec_col), F.array(*[F.lit(x) for x in cen])
+                        F.col(vec_col),
+                        F.lit([float(x) for x in cen]).cast(
+                            "array<double>"
+                        ),
                     ),
                     F.lit(-2.0),
                 ),
@@ -342,7 +348,7 @@ def ivfpq_rerank(
         k=k,
         decimals=decimals,
     )
-    q_arr = F.array(*[F.lit(float(x)) for x in query])
+    q_arr = F.lit([float(x) for x in query]).cast("array<double>")
     exact = (
         df.join(short.select(id_col), id_col, "left_semi")
         .select(

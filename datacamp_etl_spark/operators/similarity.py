@@ -54,7 +54,7 @@ def normalize_vector(col: Column | str) -> Column:
 
 
 def _query_lit(query: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in query])
+    return F.lit([float(x) for x in query]).cast("array<double>")
 
 
 def brute_force_topk(
@@ -283,7 +283,9 @@ def ivf_topk(
         # the next (O(2^cells) tree) and OOM the driver at plan time.
         sims = F.array(
             *[
-                cosine_similarity(vc, F.array(*[F.lit(float(x)) for x in cen]))
+                cosine_similarity(
+                    vc, F.lit([float(x) for x in cen]).cast("array<double>")
+                )
                 for cen in centroids
             ]
         )

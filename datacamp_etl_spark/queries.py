@@ -8890,6 +8890,244 @@ def q_funnel_latency_signup_purchase(
 
 
 # =====================================================================
+# [EXT] Persisted ANN index lifecycle (operators/ann_index.py)
+# =====================================================================
+# Demo lifecycle shared by the three entries: corpus = vec_id % 10 <> 0
+# builds + persists the index, batch = vec_id % 10 = 0 is appended with
+# the FROZEN quantizers, then probe / recall / staleness all run
+# against the saved tables. One build per (session, sf_dir) — the
+# cached path below is what "persisted" means inside one process; on a
+# cluster the path is a shared table location.
+
+_ANN_INDEX_DEMO: dict[str, str] = {}
+
+
+def _ann_index_demo_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build + append the demo index once per session per sf_dir."""
+    if sf_dir not in _ANN_INDEX_DEMO:
+        import tempfile
+
+        from datacamp_etl_spark.operators.ann_index import (
+            ann_index_append,
+            ann_index_build,
+        )
+
+        path = tempfile.mkdtemp(prefix="sgann_")
+        emb = t(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 10 != 0)
+        batch = emb.where(F.col("vec_id") % 10 == 0)
+        ann_index_build(
+            spark, corpus, path, num_cells=16, m=_PQ_M, k=_PQ_K
+        )
+        ann_index_append(spark, path, batch)
+        _ANN_INDEX_DEMO[sf_dir] = path
+    return _ANN_INDEX_DEMO[sf_dir]
+
+
+def _ann_corpus_cte() -> str:
+    """Shared oracle CTEs replaying the persisted index content: the
+    coarse centroids and PQ codebooks derive from the CORPUS subset
+    only (what build trained and append froze), the assignment covers
+    every vector (base postings + appended generation)."""
+    return """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+    init AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> round(x, 6)) AS c,
+                    row_number() OVER
+                        (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+             FROM embeddings WHERE vec_id % 10 <> 0
+             ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4),
+    cen AS (SELECT e AS cv, cell_id FROM (
+                SELECT e, row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell_id
+                FROM v WHERE vec_id % 10 <> 0) WHERE cell_id < 16),
+    assigned AS (SELECT vec_id, e, cell_id FROM (
+                SELECT v.vec_id, v.e, cen.cell_id,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY CASE WHEN isnan(
+                                        list_cosine_similarity(v.e, cen.cv))
+                                    THEN -2.0
+                                    ELSE round(list_cosine_similarity(
+                                        v.e, cen.cv), 6) END DESC,
+                                    cen.cell_id) AS rn
+                FROM v CROSS JOIN cen) WHERE rn = 1)"""
+
+
+def _ann_probe_adc_sql() -> str:
+    """Probe + ADC tail shared by the query and recall oracles:
+    4-cell probe for the vec_id=0 query, in-cell PQ encode with the
+    corpus codebooks, 4-term LUT distance, top-10."""
+    d_branches = "\n".join(
+        f"        SELECT sc.vec_id, {s} AS s, i.rn - 1 AS code,"
+        f" {_pq_dist('sc.e', s)} AS dist FROM sc CROSS JOIN init i"
+        + (" UNION ALL" if s < _PQ_M - 1 else "")
+        for s in range(_PQ_M)
+    )
+    lut_branches = "\n".join(
+        f"        SELECT {s} AS s, i.rn - 1 AS code,"
+        f" {_pq_dist('q.qv', s)} AS d FROM q CROSS JOIN init i"
+        + (" UNION ALL" if s < _PQ_M - 1 else "")
+        for s in range(_PQ_M)
+    )
+    return f"""
+    q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+    probe AS (SELECT cell_id FROM cen CROSS JOIN q
+              ORDER BY CASE WHEN isnan(list_cosine_similarity(cv, qv))
+                       THEN -2.0
+                       ELSE round(list_cosine_similarity(cv, qv), 6) END
+                  DESC, cell_id LIMIT 4),
+    sc AS (SELECT vec_id, e FROM assigned
+           WHERE cell_id IN (SELECT cell_id FROM probe)),
+    d AS (
+{d_branches}
+    ),
+    best AS (SELECT vec_id, s, code FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY dist, code) AS rn2 FROM d)
+             WHERE rn2 = 1),
+    w AS (SELECT vec_id,
+                 max(CASE WHEN s = 0 THEN code END) AS c0,
+                 max(CASE WHEN s = 1 THEN code END) AS c1,
+                 max(CASE WHEN s = 2 THEN code END) AS c2,
+                 max(CASE WHEN s = 3 THEN code END) AS c3
+          FROM best GROUP BY vec_id),
+    lut AS (
+{lut_branches}
+    ),
+    adc AS (SELECT w.vec_id, round(l0.d + l1.d + l2.d + l3.d, 6) AS adc_dist
+            FROM w
+            JOIN lut l0 ON l0.s = 0 AND l0.code = w.c0
+            JOIN lut l1 ON l1.s = 1 AND l1.code = w.c1
+            JOIN lut l2 ON l2.s = 2 AND l2.code = w.c2
+            JOIN lut l3 ON l3.s = 3 AND l3.code = w.c3
+            ORDER BY adc_dist, w.vec_id LIMIT 10)"""
+
+
+@register(
+    "ann_index_query",
+    f"""
+    WITH {_ann_corpus_cte()},
+    {_ann_probe_adc_sql()}
+    SELECT vec_id, adc_dist FROM adc
+    """,
+)
+def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] persisted-index ANN probe (ann_index.ann_index_query):
+    the IVF-PQ index is BUILT AND SAVED as parquet tables (meta /
+    centroids / codebooks / cell-partitioned postings) from the
+    corpus (vec_id % 10 <> 0), a new-vector batch is APPENDED with
+    the frozen quantizers (no retrain — the lifecycle ivfpq_topk
+    lacks), then the probe LOADS the bounded quantizer state and
+    scans ONLY the 4 probed cells' postings via parquet partition
+    pruning on the partitionBy("cell") layout. No corpus re-scan, no
+    float vector read at probe time; the oracle replays build +
+    append + probe end-to-end from the embeddings table."""
+    from datacamp_etl_spark.operators.ann_index import ann_index_query
+
+    path = _ann_index_demo_path(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    return ann_index_query(spark, path, q, topk=10, num_probes=4)
+
+
+@register(
+    "ann_index_recall",
+    f"""
+    WITH {_ann_corpus_cte()},
+    {_ann_probe_adc_sql()},
+    exact AS (SELECT vec_id,
+                     round({" + ".join(_pq_dist("v.e", s).replace("i.c", "q.qv") for s in range(_PQ_M))}, 6)
+                         AS l2_dist
+              FROM v CROSS JOIN q
+              ORDER BY l2_dist, vec_id LIMIT 10),
+    hits AS (SELECT count(*) AS n_hits
+             FROM adc WHERE vec_id IN (SELECT vec_id FROM exact))
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM adc) AS BIGINT) AS n_approx,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / 10.0, 6) AS recall_at_k
+    FROM hits
+    """,
+)
+def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] recall@10 gate for the persisted ANN index: the saved
+    index's probe top-10 vs the exact squared-L2 top-10 over the full
+    vector table (ADC's own metric; distances assembled as the same
+    4-subspace left-to-right fold both engines replay bit-for-bit,
+    ties to the lowest id). The measure-don't-guess harness for the
+    index's probe/cell configuration — same shape as ann_recall_eval,
+    pointed at the persisted-index path instead of the in-session
+    operators."""
+    from datacamp_etl_spark.operators.ann_index import ann_index_query
+    from datacamp_etl_spark.operators.pq import _slice, _sqdist
+
+    path = _ann_index_demo_path(spark, sf_dir)
+    q = _query_vector(spark, sf_dir, 0)
+    approx = ann_index_query(
+        spark, path, q, topk=10, num_probes=4
+    ).select("vec_id")
+
+    qf = [float(x) for x in q]
+    vec = F.col("embedding")
+    dist = None
+    for s in range(_PQ_M):
+        term = _sqdist(_slice(vec, s, _PQ_SUB), qf[s * _PQ_SUB:(s + 1) * _PQ_SUB])
+        dist = term if dist is None else dist + term
+    exact = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.round(dist, 6).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi")
+    n_approx = approx.agg(F.count("*").alias("n_approx"))
+    return (
+        hits.agg(F.count("*").alias("n_hits"))
+        .crossJoin(n_approx)
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.col("n_approx").cast("long"),
+            F.col("n_hits").cast("long"),
+            F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_k"),
+        )
+    )
+
+
+@register(
+    "ann_index_staleness",
+    f"""
+    WITH {_ann_corpus_cte()}
+    SELECT cell_id AS cell,
+           CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_base,
+           CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_appended,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST((1000000 * count(*))
+                // (SELECT count(*) FROM assigned) AS BIGINT)
+               AS share_ppm
+    FROM assigned GROUP BY cell_id
+    """,
+)
+def q_ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] cell-size drift report for the persisted ANN index
+    (ann_index.ann_index_cell_stats): per cell, base-build vs
+    appended posting counts and the total share in millionths —
+    appends concentrating in a few cells mean the corpus has drifted
+    from the trained coarse centroids (probe cost and recall degrade
+    together); a lopsided share_ppm spread is the rebuild trigger.
+    One aggregated scan of the codes-only postings; the grand total
+    is a 1-row scalar broadcast onto the <= num_cells-row table."""
+    from datacamp_etl_spark.operators.ann_index import (
+        ann_index_cell_stats,
+    )
+
+    path = _ann_index_demo_path(spark, sf_dir)
+    return ann_index_cell_stats(spark, path)
+
+
+# =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================
 # The round driver oracle-checks the FIRST-50 prefix of this registry

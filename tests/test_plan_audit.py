@@ -82,6 +82,12 @@ ALLOWED_BNLJ = {
     "with the >= 2-rows raise_error guard) crossJoined onto the "
     "anchor stream so the ring modulus rides along without a second "
     "scan; the draw itself is an equi-join on position",
+    "ann_index_recall": "1-row x 1-row scalar-aggregate cross join "
+    "(hit count x pool count) plus a 10-row exact-top-k broadcast — "
+    "same bounded shape as ann_recall_eval",
+    "ann_index_staleness": "1-row grand-total scalar crossJoined "
+    "onto the bounded per-cell table (<= num_cells rows — index "
+    "configuration, not data size)",
 }
 
 #: Partitionless-Window allowlist: query -> why the window's input is
