@@ -171,6 +171,10 @@ HEADLINE = [
     "ann_index_query",
     "ann_index_recall",
     "ann_index_staleness",
+    # round-10: URL canonicalization + host curation
+    "canonical_urls",
+    "url_host_stats",
+    "host_cap",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -9128,6 +9128,220 @@ def q_ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# [EXT] URL canonicalization + host-level curation (operators/urls.py)
+# =====================================================================
+# The fixtures carry no URL column, so the entries synthesize a messy
+# deterministic URL per document (mixed-case scheme/host, default and
+# explicit ports, tracking params, unsorted queries, fragments, empty
+# paths — every canonicalization branch exercised), exactly replayable
+# in the oracle from (doc_id, source).
+
+_URL_SYN_SQL = """
+    syn AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END
+        || '://'
+        || CASE doc_id % 4 WHEN 0 THEN 'WWW.Example.COM'
+                           WHEN 1 THEN 'cdn.example.com'
+                           WHEN 2 THEN 'News.' || source || '.ORG'
+                           ELSE 'example.com' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN (CASE WHEN doc_id % 3 = 0 THEN ':80'
+                           ELSE ':443' END)
+                WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN ''
+                ELSE '/a/' || CAST(doc_id % 20 AS VARCHAR) END
+        || CASE WHEN doc_id % 2 = 0
+                THEN '?z=9&utm_source=news&a='
+                     || CAST(doc_id % 6 AS VARCHAR)
+                WHEN doc_id % 9 = 0 THEN '?gclid=XYZ' ELSE '' END
+        || CASE WHEN doc_id % 8 = 0
+                THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+                ELSE '' END AS url
+    FROM documents)"""
+
+
+def _url_canon_sql() -> str:
+    """DuckDB replay of urls.canonicalize_url/url_host over the
+    synthetic URLs: same regex decomposition, same tracking filter +
+    param sort, same default-port/empty-path rules."""
+    from datacamp_etl_spark.operators.urls import TRACKING_PARAM_RE
+
+    return f"""
+    pt AS (SELECT doc_id, url,
+                  regexp_replace(trim(url), '#.*', '') AS s FROM syn),
+    p2 AS (SELECT *,
+        lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+        regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+            AS auth,
+        regexp_extract(s,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+            AS raw_path,
+        regexp_extract(s, '\\?([^#]*)', 1) AS raw_q
+      FROM pt),
+    p3 AS (SELECT *,
+        regexp_extract(auth, '^(.*@)', 1) AS userinfo,
+        regexp_replace(auth, '^.*@', '') AS hostport FROM p2),
+    p4 AS (SELECT *,
+        lower(regexp_replace(hostport, ':[0-9]*$', '')) AS host,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port FROM p3),
+    canon AS (SELECT doc_id, url, host,
+        CASE WHEN regexp_matches(s, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        THEN scheme || '://' || userinfo || host
+             || CASE WHEN port = ''
+                       OR (scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443')
+                     THEN '' ELSE ':' || port END
+             || CASE WHEN raw_path = '' THEN '/' ELSE raw_path END
+             -- coalesce: DuckDB array_to_string([]) is NULL where
+             -- Spark array_join([]) is ''
+             || CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+                         string_split(raw_q, '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                             '{TRACKING_PARAM_RE}'))), '&'), '') = ''
+                     THEN ''
+                     ELSE '?' || array_to_string(list_sort(list_filter(
+                         string_split(raw_q, '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                             '{TRACKING_PARAM_RE}'))), '&') END
+        END AS canonical_url
+      FROM p4)"""
+
+
+def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    scheme_raw = F.when(d % 3 == 0, F.lit("HTTP")).otherwise(
+        F.lit("https")
+    )
+    hostport = (
+        F.when(d % 4 == 0, F.lit("WWW.Example.COM"))
+        .when(d % 4 == 1, F.lit("cdn.example.com"))
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("News."), F.col("source"), F.lit(".ORG")),
+        )
+        .otherwise(F.lit("example.com"))
+    )
+    port = (
+        F.when(
+            d % 5 == 0,
+            F.when(d % 3 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(d % 7 == 0, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(d % 11 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/a/"), (d % 20).cast("string"))
+    )
+    query = (
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("?z=9&utm_source=news&a="), (d % 6).cast("string")
+            ),
+        )
+        .when(d % 9 == 0, F.lit("?gclid=XYZ"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(
+        d % 8 == 0, F.concat(F.lit("#sec"), (d % 3).cast("string"))
+    ).otherwise(F.lit(""))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            scheme_raw, F.lit("://"), hostport, port, path, query, frag
+        ).alias("url"),
+    )
+
+
+@register(
+    "canonical_urls",
+    f"""
+    WITH {_URL_SYN_SQL},
+    {_url_canon_sql()}
+    SELECT doc_id, url, canonical_url, host FROM canon
+    """,
+)
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] URL canonicalization (urls.canonicalize_url/url_host):
+    lowercase scheme+host, fragment off, default port off, empty path
+    -> '/', tracking params (utm_*, gclid, ...) dropped, surviving
+    query params sorted — the key under which a crawl dedups exactly.
+    Pure per-row JVM regex/HOF expressions, zero UDFs, fuses into the
+    scan; the oracle replays the same decomposition in RE2."""
+    from datacamp_etl_spark.operators.urls import (
+        canonicalize_url,
+        url_host,
+    )
+
+    syn = _synthetic_urls(spark, sf_dir)
+    return syn.select(
+        "doc_id",
+        "url",
+        canonicalize_url("url").alias("canonical_url"),
+        url_host("url").alias("host"),
+    )
+
+
+@register(
+    "url_host_stats",
+    f"""
+    WITH {_URL_SYN_SQL},
+    {_url_canon_sql()},
+    per AS (SELECT host, count(*) AS n_urls,
+                   count(DISTINCT canonical_url) AS n_distinct
+            FROM canon WHERE host IS NOT NULL GROUP BY host)
+    SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST((1000000 * n_urls)
+                // (SELECT sum(n_urls) FROM per) AS BIGINT)
+               AS share_ppm
+    FROM per
+    """,
+)
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-host crawl profile (urls.host_stats): URL rows,
+    distinct canonical URLs and exact ppm share per canonical host —
+    the pre-flight that sizes per-host caps and surfaces crawler
+    traps (a dominating host, or distinct≈total on a template-heavy
+    host). One aggregated shuffle on the host key; grand total is a
+    1-row scalar broadcast onto the bounded per-host table."""
+    from datacamp_etl_spark.operators.urls import host_stats
+
+    return host_stats(_synthetic_urls(spark, sf_dir), "url")
+
+
+@register(
+    "host_cap",
+    f"""
+    WITH {_URL_SYN_SQL},
+    {_url_canon_sql()},
+    r AS (SELECT doc_id, host,
+                 row_number() OVER (PARTITION BY host
+                     ORDER BY {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")},
+                              doc_id) AS rn
+          FROM canon WHERE host IS NOT NULL)
+    SELECT doc_id, host FROM r WHERE rn <= 25
+    """,
+)
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-host contribution cap: at most 25 docs per canonical
+    host, selected by deterministic hash order (append-stable,
+    unbiased — curation.cap_per_group composed over urls.url_host).
+    The standard anti-dominance rule for crawl mixtures (C4 kept it
+    per-domain); one shuffle on the host key, rank-k per key, no
+    global sort."""
+    from datacamp_etl_spark.operators.curation import cap_per_group
+    from datacamp_etl_spark.operators.urls import url_host
+
+    syn = _synthetic_urls(spark, sf_dir)
+    hosts = syn.select(
+        "doc_id", url_host("url").alias("host")
+    ).where(F.col("host").isNotNull())
+    return cap_per_group(hosts, "host", "doc_id", 25)
+
+
+# =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================
 # The round driver oracle-checks the FIRST-50 prefix of this registry

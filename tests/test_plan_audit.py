@@ -88,6 +88,9 @@ ALLOWED_BNLJ = {
     "ann_index_staleness": "1-row grand-total scalar crossJoined "
     "onto the bounded per-cell table (<= num_cells rows — index "
     "configuration, not data size)",
+    "url_host_stats": "1-row grand-total scalar crossJoined onto the "
+    "bounded per-host aggregate table (host-domain cardinality, "
+    "already reduced from the URL rows)",
 }
 
 #: Partitionless-Window allowlist: query -> why the window's input is
