@@ -103,6 +103,69 @@ def scd2_merge(
     return closed_rows.unionByName(kept_open).unionByName(new_open)
 
 
+def scd2_merge_source(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+    *,
+    eff_col: str = "eff_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """The SCD2 transition expressed as a MERGE source (the standard
+    warehouse MERGE recipe for SCD2): instead of materializing the
+    whole next-state dimension (:func:`scd2_merge` — correct, but a
+    full rewrite), emit only the DELTA rows keyed by the version
+    identity ``(key, valid_from)``:
+
+    - one CLOSE row per changed open version — same ``(key,
+      valid_from)`` as the existing row, ``valid_to`` = the update's
+      effective time (MERGE: matched -> update ``valid_to``);
+    - one OPEN row per changed or brand-new key — ``valid_from`` =
+      effective time, ``valid_to`` NULL (MERGE: not matched ->
+      insert).
+
+    Feed the result to ``Warehouse.merge(source, table,
+    keys=[key, valid_from], update_cols={valid_to: valid_to})`` on a
+    dimension partitioned by a key-functional column (a hash bucket
+    of ``key``): only partitions holding changed keys rewrite — the
+    100 TB path where the dimension dwarfs every update batch.
+    Unchanged updates produce no delta rows (idempotent re-runs),
+    exactly as :func:`scd2_merge` treats them.
+    """
+    tracked = list(tracked)
+    open_rows = dim.where(F.col(valid_to).isNull())
+    up = updates.select(
+        F.col(key),
+        *[F.col(c).alias(f"__u_{c}") for c in tracked],
+        F.col(eff_col).alias("__eff"),
+        _digest(tracked).alias("__u_digest"),
+    )
+    cmp = open_rows.withColumn("__digest", _digest(tracked)).join(
+        up, key, "full"
+    )
+    is_change = (
+        F.col("__u_digest").isNotNull()
+        & F.col("__digest").isNotNull()
+        & (F.col("__u_digest") != F.col("__digest"))
+    )
+    is_new_key = F.col("__digest").isNull()
+    closes = cmp.where(is_change).select(
+        F.col(key),
+        *[F.col(c) for c in tracked],
+        F.col(valid_from),
+        F.col("__eff").alias(valid_to),
+    )
+    opens = cmp.where(is_change | is_new_key).select(
+        F.col(key),
+        *[F.col(f"__u_{c}").alias(c) for c in tracked],
+        F.col("__eff").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+    )
+    return closes.unionByName(opens)
+
+
 def temporal_lookup(
     fact: DataFrame,
     dim: DataFrame,
