@@ -175,6 +175,7 @@ HEADLINE = [
     "canonical_urls",
     "url_host_stats",
     "host_cap",
+    "logistic_quality_scores",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -9393,6 +9393,72 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# [EXT] Hashed-feature logistic quality scorer (operators/classify.py)
+# =====================================================================
+
+
+def _logistic_oracle_sql() -> str:
+    """DuckDB replay of classify.logistic_score under
+    FIXTURE_LOGISTIC_V1: normalized tokens -> hashed presence buckets
+    (md5-prefix hash % 64, distinct per doc) -> exact BIGINT margin
+    from the pinned micro-weight array. Scoring is pure integer
+    arithmetic, so the replay is hash-exact; training is
+    fixture-pinned and pytest-gated (pure-Python fixed-point
+    replica + re-derivation), the tokenizer-fixture pattern."""
+    from datacamp_etl_spark.operators.classify import (
+        FIXTURE_LOGISTIC_V1,
+    )
+
+    w = "[" + ", ".join(
+        str(x) for x in FIXTURE_LOGISTIC_V1["weights"]
+    ) + "]"
+    bias = FIXTURE_LOGISTIC_V1["bias"]
+    return f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    fx AS (SELECT DISTINCT doc_id,
+                  ({_hash32_sql("u.t")}) % 64 AS bucket
+           FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS t
+                 FROM n WHERE norm <> '') u(doc_id, t)),
+    agg AS (SELECT doc_id, count(*) AS nf,
+                   sum(({w})[bucket + 1]) AS sw
+            FROM fx GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.nf, 0) AS BIGINT) AS n_features,
+           CAST({bias} + coalesce(a.sw, 0) AS BIGINT) AS margin_micros,
+           ({bias} + coalesce(a.sw, 0)) >= 0 AS predicted
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+@register("logistic_quality_scores", None)
+def q_logistic_quality_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] model-based quality scoring
+    (classify.logistic_score, fastText-shape hashed-feature logistic
+    — Weinberger et al. 2009 hashing trick): every document scored
+    under the pinned FIXTURE_LOGISTIC_V1 model (trained with
+    aggregation-only fixed-point GD against Gopher rule-battery weak
+    labels — the standard weak-supervision quality-scorer recipe).
+    The margin is an exact BIGINT (bias + sum of present buckets'
+    micro-weights): one explode + distinct + groupBy(doc); no float
+    in the output, hash-exact oracle replay."""
+    from datacamp_etl_spark.operators.classify import (
+        FIXTURE_LOGISTIC_V1,
+        logistic_score,
+    )
+
+    return logistic_score(
+        t(spark, sf_dir, "documents"),
+        FIXTURE_LOGISTIC_V1["weights"],
+        FIXTURE_LOGISTIC_V1["bias"],
+    )
+
+
+ORACLE["logistic_quality_scores"] = _logistic_oracle_sql()
+
+
+# =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================
 # The round driver oracle-checks the FIRST-50 prefix of this registry

@@ -1,0 +1,152 @@
+"""Round-10 operators: hashed-feature logistic quality scorer
+(classify.logistic_train / logistic_score)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from datacamp_etl_spark.operators.classify import (
+    FIXTURE_LOGISTIC_V1,
+    LOGISTIC_SCALE,
+    hashed_presence_features,
+    logistic_score,
+    logistic_train,
+)
+
+
+def _py_bucket(tok: str, n_buckets: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _py_train(rows, n_buckets, n_iter, lr_num, lr_den):
+    """Pure-Python replica of the fixed-point GD (the closed-form
+    ground truth the distributed trainer must match exactly)."""
+    feats = [
+        {_py_bucket(t, n_buckets) for t in text.lower().split()}
+        for text, _y in rows
+    ]
+    ys = [y for _t, y in rows]
+    w = [0] * n_buckets
+    b = 0
+    n = len(rows)
+    for _ in range(n_iter):
+        grad = [0] * n_buckets
+        gb = 0
+        for fs, y in zip(feats, ys):
+            m = b + sum(w[j] for j in fs)
+            p = 1.0 / (1.0 + math.exp(-m / LOGISTIC_SCALE))
+            e = math.floor(p * LOGISTIC_SCALE + 0.5) - y * LOGISTIC_SCALE
+            gb += e
+            for j in fs:
+                grad[j] += e
+        den = lr_den * n
+        for j in range(n_buckets):
+            w[j] -= (lr_num * grad[j]) // den
+        b -= (lr_num * gb) // den
+    return w, b
+
+
+def test_logistic_train_matches_python_replica_exactly(spark):
+    rows = [
+        ("good clean prose with structure", 1),
+        ("good solid text body here", 1),
+        ("spam spam junk junk", 0),
+        ("junk noise garbage spam", 0),
+        ("clean structure prose good words", 1),
+        ("garbage noise", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, y) for i, (t, y) in enumerate(rows)],
+        "doc_id long, text string, y int",
+    )
+    m = logistic_train(
+        df, F.col("y"), n_buckets=32, n_iter=4, lr_num=1, lr_den=2
+    )
+    w, b = _py_train(rows, 32, 4, 1, 2)
+    assert m["weights"] == w and m["bias"] == b
+
+
+def test_logistic_converges_on_separable_data(spark):
+    # closed-form expectation: with 'good' only in positives and
+    # 'spam' only in negatives, GD must push their bucket weights to
+    # opposite signs and classify the training set perfectly
+    pos = [(i, f"good text number {i}", 1) for i in range(10)]
+    neg = [(100 + i, f"spam junk number {i}", 0) for i in range(10)]
+    df = spark.createDataFrame(
+        pos + neg, "doc_id long, text string, y int"
+    )
+    m = logistic_train(
+        df, F.col("y"), n_buckets=64, n_iter=15, lr_num=1, lr_den=2
+    )
+    w = m["weights"]
+    assert w[_py_bucket("good", 64)] > 0 > w[_py_bucket("spam", 64)]
+    sc = logistic_score(df, w, m["bias"])
+    got = {r["doc_id"]: r["predicted"] for r in sc.collect()}
+    assert all(got[i] for i, _t, _y in pos)
+    assert not any(got[i] for i, _t, _y in neg)
+
+
+def test_logistic_presence_not_count_semantics(spark):
+    # repeating a token must not change the margin (presence bits)
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha alpha beta beta")],
+        "doc_id long, text string",
+    )
+    w = [1000] * 16
+    out = {r["doc_id"]: r for r in logistic_score(df, w, 5).collect()}
+    assert out[1]["margin_micros"] == out[2]["margin_micros"]
+    assert out[1]["n_features"] == out[2]["n_features"]
+
+
+def test_logistic_empty_doc_scores_bias_only(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "tok")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in logistic_score(df, [7] * 8, -3).collect()
+    }
+    assert out[1]["margin_micros"] == -3 and out[1]["n_features"] == 0
+    assert out[2]["margin_micros"] == -3
+    assert out[3]["margin_micros"] == 4  # bias + one present bucket
+
+
+def test_hashed_features_bounded_per_doc(spark):
+    long_doc = " ".join(f"tok{i}" for i in range(500))
+    df = spark.createDataFrame([(1, long_doc)], "doc_id long, text string")
+    n = hashed_presence_features(df, n_buckets=16).count()
+    assert n <= 16  # presence rows bounded by n_buckets, not doc length
+
+
+def test_logistic_fixture_rederives(spark):
+    """FIXTURE_LOGISTIC_V1 == logistic_train on sf0.001 with Gopher
+    weak labels (guards fixture rot, same pattern as the tokenizer
+    fixtures)."""
+    from datacamp_etl_spark.operators.quality import gopher_rules
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lab = docs.join(gopher_rules(docs).select("doc_id", "keep"), "doc_id")
+    m = logistic_train(
+        lab, F.col("keep"), n_buckets=64, n_iter=20, lr_num=1, lr_den=4
+    )
+    assert m["weights"] == FIXTURE_LOGISTIC_V1["weights"]
+    assert m["bias"] == FIXTURE_LOGISTIC_V1["bias"]
+
+
+def test_logistic_fixture_beats_majority_baseline(spark):
+    from datacamp_etl_spark.operators.quality import gopher_rules
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lab = gopher_rules(docs).select("doc_id", "keep")
+    sc = logistic_score(
+        docs, FIXTURE_LOGISTIC_V1["weights"], FIXTURE_LOGISTIC_V1["bias"]
+    )
+    j = sc.join(lab, "doc_id")
+    n = j.count()
+    acc = j.where(F.col("predicted") == (F.col("keep") == 1)).count() / n
+    keep_rate = lab.where("keep = 1").count() / n
+    majority = max(keep_rate, 1 - keep_rate)
+    assert acc > majority + 0.05  # genuinely learned, not degenerate
