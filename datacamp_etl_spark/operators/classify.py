@@ -329,6 +329,10 @@ def hashed_presence_features(
         .select(
             id_col, F.explode(F.split("__n", " ")).alias("__tok")
         )
+        # dedup (doc, token) BEFORE the md5 bucket hash: real corpora
+        # repeat tokens heavily, and presence semantics make the
+        # per-occurrence hash pure waste
+        .distinct()
         .select(id_col, _bucket(F.col("__tok"), n_buckets).alias("bucket"))
         .distinct()
     )

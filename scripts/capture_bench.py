@@ -1,0 +1,215 @@
+#!/usr/bin/env python3
+"""Gated builder-bench capture (VERDICT r9 item #2).
+
+The r9 builder artifact shipped polluted (its warm pass was SLOWER
+than its own cold pass — ambient load during pass 2); this wrapper
+makes that class of capture unshippable. It runs ``bench.py`` at
+sf0.1, then:
+
+1. **warm<=cold gate** — reject any capture whose warm total exceeds
+   ``1.1 x`` its cold total (steady-state compute cannot be slower
+   than first execution on a quiet box; if it is, the box wasn't
+   quiet).
+2. **sentinel-drift gate** — each pinned sentinel must land within
+   ``1.3 x`` of its trailing median across the committed bench
+   artifacts (BENCH_sf01_paired.json + BENCH_r*_builder.json); a
+   sentinel excursion means the machine factor moved mid-capture.
+3. **standalone extension** — every query whose sentinel-adjusted
+   ratio vs the paired baseline exceeds ``1.5 x`` (not just the
+   worst 10) is re-measured in isolation via a fresh single-query
+   bench subprocess; the isolated number is authoritative (single
+   measurements in an N-query sequence swing ~2.4x on this box —
+   VERDICT r9).
+
+Writes the artifact to ``--out`` ONLY when both gates pass; exits 1
+otherwise, leaving the rejected payload in ``<out>.rejected`` for
+diagnosis.
+
+Usage:
+  python scripts/capture_bench.py [--out BENCH_r10_builder.json]
+      [--baseline BENCH_sf01_paired.json] [--sf /root/testdata/sf0.1]
+      [--suspect-ratio 1.5] [--warm-cold-max 1.1] [--sentinel-max 1.3]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, only: list[str] | None = None) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if only:
+        env["SPARK_GRAFT_ONLY"] = ",".join(only)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def trailing_sentinel_medians() -> dict[str, float]:
+    hist: dict[str, list[float]] = {}
+    files = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*_builder.json"))
+    ) + [os.path.join(REPO, "BENCH_sf01_paired.json")]
+    for f in files:
+        try:
+            rec = json.load(open(f))
+        except (OSError, ValueError):
+            continue
+        for k, v in (rec.get("queries_sentinel") or {}).items():
+            hist.setdefault(k, []).append(float(v))
+    return {k: statistics.median(v) for k, v in hist.items() if v}
+
+
+def evaluate_gates(
+    payload: dict,
+    medians: dict[str, float],
+    *,
+    warm_cold_max: float = 1.1,
+    sentinel_max: float = 1.3,
+) -> dict:
+    """Pure gate evaluation (unit-tested): warm<=cold sanity +
+    sentinel drift vs trailing medians."""
+    gates: dict = {"pass": True, "reasons": []}
+    warm_total, cold_total = payload["value"], payload["value_cold"]
+    gates["warm_over_cold"] = round(warm_total / cold_total, 3)
+    if warm_total > warm_cold_max * cold_total:
+        gates["pass"] = False
+        gates["reasons"].append(
+            f"warm {warm_total} > {warm_cold_max} x cold {cold_total}"
+            " — ambient load during pass 2"
+        )
+    gates["sentinel_vs_median"] = {}
+    for k, v in payload.get("queries_sentinel", {}).items():
+        med = medians.get(k)
+        if not med:
+            continue
+        r = v / med
+        gates["sentinel_vs_median"][k] = round(r, 3)
+        if r > sentinel_max or r < 1 / sentinel_max:
+            gates["pass"] = False
+            gates["reasons"].append(
+                f"sentinel {k} {v}s is {r:.2f}x its trailing median "
+                f"{med}s — machine factor moved mid-capture"
+            )
+    return gates
+
+
+def suspect_queries(
+    payload: dict,
+    baseline: dict,
+    factor: float,
+    *,
+    suspect_ratio: float = 1.5,
+    min_sec: float = 0.3,
+) -> list[str]:
+    """Every query whose sentinel-adjusted ratio vs the baseline
+    exceeds ``suspect_ratio`` (sub-``min_sec`` numerators are timer
+    noise, never suspects)."""
+    base_q = baseline.get("queries", {})
+    out = []
+    for name, cur in payload["queries"].items():
+        base = base_q.get(name)
+        if not base or cur < min_sec:
+            continue
+        if (cur / base) / factor > suspect_ratio:
+            out.append(name)
+    return out
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+
+    def opt(name, default):
+        return (
+            argv[argv.index(name) + 1] if name in argv else default
+        )
+
+    out_path = opt("--out", os.path.join(REPO, "BENCH_r10_builder.json"))
+    base_path = opt(
+        "--baseline", os.path.join(REPO, "BENCH_sf01_paired.json")
+    )
+    sf_dir = opt("--sf", "/root/testdata/sf0.1")
+    suspect_ratio = float(opt("--suspect-ratio", 1.5))
+    warm_cold_max = float(opt("--warm-cold-max", 1.1))
+    sentinel_max = float(opt("--sentinel-max", 1.3))
+
+    baseline = json.load(open(base_path))
+    medians = trailing_sentinel_medians()
+
+    payload = run_bench(sf_dir)
+    gates = evaluate_gates(
+        payload,
+        medians,
+        warm_cold_max=warm_cold_max,
+        sentinel_max=sentinel_max,
+    )
+
+    # sentinel machine factor vs the PAIRED baseline (for ratios)
+    base_sent = baseline.get("queries_sentinel", {})
+    cur_sent = payload.get("queries_sentinel", {})
+    factors = [
+        cur_sent[k] / base_sent[k]
+        for k in cur_sent
+        if k in base_sent and base_sent[k]
+    ]
+    factor = statistics.median(factors) if factors else 1.0
+    gates["sentinel_factor_vs_baseline"] = round(factor, 3)
+
+    # standalone extension: EVERY query > suspect_ratio adjusted
+    base_q = baseline.get("queries", {})
+    suspects = suspect_queries(
+        payload, baseline, factor, suspect_ratio=suspect_ratio
+    )
+    standalone = dict(payload.get("queries_standalone", {}))
+    adjusted: dict[str, float] = {}
+    if suspects:
+        for name in suspects:
+            iso = run_bench(sf_dir, only=[name])
+            standalone[name] = iso["queries"][name]
+        for name in suspects:
+            adjusted[name] = round(
+                (standalone[name] / base_q[name]) / factor, 3
+            )
+    payload["queries_standalone"] = standalone
+    payload["suspects_adjusted_standalone"] = adjusted
+    payload["gates"] = gates
+
+    # headline comparison on the common-query set
+    common = [n for n in payload["queries"] if n in base_q]
+    cur_common = sum(payload["queries"][n] for n in common)
+    base_common = sum(base_q[n] for n in common)
+    payload["vs_baseline"] = {
+        "n_common": len(common),
+        "raw_ratio": round(cur_common / base_common, 3),
+        "sentinel_adjusted_ratio": round(
+            cur_common / base_common / factor, 3
+        ),
+    }
+
+    if gates["pass"]:
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(json.dumps({"capture": "ok", "out": out_path,
+                          "vs_baseline": payload["vs_baseline"],
+                          "gates": gates}))
+        return 0
+    with open(out_path + ".rejected", "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({"capture": "REJECTED", "gates": gates}))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,3 +32,51 @@ def test_ratio_budget_logic():
     # names= restricts evaluation
     r3, _ = se.ratio_suspects(q01, q1, budget=8.0, names=["a"])
     assert list(r3) == ["a"]
+
+
+def test_capture_bench_gates():
+    """Pure gate logic of the gated builder-bench capture
+    (scripts/capture_bench.py) — the r9 polluted-artifact class must
+    be unshippable."""
+    spec2 = importlib.util.spec_from_file_location(
+        "capture_bench",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "scripts", "capture_bench.py",
+        ),
+    )
+    cb = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(cb)
+
+    meds = {"s1": 1.0, "s2": 0.5}
+    ok = {
+        "value": 100.0, "value_cold": 120.0,
+        "queries_sentinel": {"s1": 1.1, "s2": 0.45},
+        "queries": {},
+    }
+    g = cb.evaluate_gates(ok, meds)
+    assert g["pass"] and g["warm_over_cold"] == 0.833
+
+    # the exact r9 failure: warm SLOWER than cold -> reject
+    bad_warm = dict(ok, value=197.2, value_cold=156.5)
+    g = cb.evaluate_gates(bad_warm, meds)
+    assert not g["pass"] and "ambient load" in g["reasons"][0]
+
+    # sentinel excursion beyond 1.3x of trailing median -> reject
+    bad_sent = dict(ok, queries_sentinel={"s1": 1.4, "s2": 0.45})
+    g = cb.evaluate_gates(bad_sent, meds)
+    assert not g["pass"] and "machine factor" in g["reasons"][0]
+    # ... and a sentinel that got suspiciously FAST also rejects
+    fast_sent = dict(ok, queries_sentinel={"s1": 0.5})
+    assert not cb.evaluate_gates(fast_sent, meds)["pass"]
+
+    # suspect extension: > 1.5x adjusted, sub-0.3s never a suspect
+    payload = {
+        "queries": {"a": 3.0, "b": 0.2, "c": 1.0, "d": 2.0},
+        "value": 1, "value_cold": 1,
+    }
+    baseline = {"queries": {"a": 1.0, "b": 0.05, "c": 0.9, "d": 1.5}}
+    sus = cb.suspect_queries(payload, baseline, 1.0)
+    assert sus == ["a"]  # b is sub-0.3s, c/d are under 1.5x
+    # machine factor divides out: same ratios at factor 2 -> none
+    assert cb.suspect_queries(payload, baseline, 2.0) == []
