@@ -176,6 +176,7 @@ HEADLINE = [
     "url_host_stats",
     "host_cap",
     "logistic_quality_scores",
+    "mixture_epoch_plan",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap
@@ -275,35 +276,60 @@ def main() -> None:
 
     timings = cold if smoke else warm
     total = round(sum(timings.values()), 3)
+    # stdout line stays COMPACT (2-decimal times, no bulky side
+    # series) so a tail-capturing harness can still parse it; the
+    # full-precision payload with the cold/standalone/sentinel series
+    # and the methodology stamp goes to BENCH_DETAILS.json next to
+    # this script (driver VERDICTs r1–r9 recorded "parsed: null" on
+    # the long line every round).
     payload = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if not smoke:
         payload["value_cold"] = round(sum(cold.values()), 3)
-        payload["queries_cold"] = cold
-        # Methodology stamp so round-over-round comparisons never need
-        # archaeology: the headline series is WARM pass 2 — JIT and OS
-        # page cache retained, operator-scoped caches RELEASED and
-        # rebuilt inside the measured pass (steady-state compute, not
-        # cached-read time). "queries_cold" is first-execution pass 1.
-        payload["queries_standalone"] = standalone
-        payload["queries_sentinel"] = sentinel
         payload["series"] = "warm"
-        payload["methodology"] = (
-            "value/queries = pass 2 after release_engine_caches() "
-            "(JIT+page-cache warm, operator caches rebuilt in-pass); "
-            "value_cold/queries_cold = pass 1 first-execution; "
-            "queries_standalone = worst-10 warm queries re-measured in "
-            "isolation (noise confirmation — trust these over the "
-            "in-sequence numbers when they disagree); "
-            "queries_sentinel = pinned r1-era queries re-measured "
-            "standalone every run — their round-over-round drift is "
-            "the machine-speed factor, divide before comparing"
-        )
+        details = {
+            **payload,
+            "queries": timings,
+            "queries_cold": cold,
+            # Methodology stamp so round-over-round comparisons never
+            # need archaeology: the headline series is WARM pass 2 —
+            # JIT and OS page cache retained, operator-scoped caches
+            # RELEASED and rebuilt inside the measured pass
+            # (steady-state compute, not cached-read time);
+            # "queries_cold" is first-execution pass 1.
+            "queries_standalone": standalone,
+            "queries_sentinel": sentinel,
+            "methodology": (
+                "value/queries = pass 2 after release_engine_caches() "
+                "(JIT+page-cache warm, operator caches rebuilt in-pass); "
+                "value_cold/queries_cold = pass 1 first-execution; "
+                "queries_standalone = worst-10 warm queries re-measured "
+                "in isolation (noise confirmation — trust these over "
+                "the in-sequence numbers when they disagree); "
+                "queries_sentinel = pinned r1-era queries re-measured "
+                "standalone every run — their round-over-round drift is "
+                "the machine-speed factor, divide before comparing"
+            ),
+        }
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_DETAILS.json",
+                ),
+                "w",
+            ) as fh:
+                json.dump(details, fh, indent=1)
+        except OSError:
+            pass  # read-only checkout: the stdout line still stands
+        # the compact line carries the sentinels too — they are 3
+        # numbers and the machine-factor story depends on them
+        payload["queries_sentinel"] = sentinel
     print(json.dumps(payload))
     spark.stop()
 

@@ -37,6 +37,7 @@ __all__ = [
     "sqrt_temperature_mix",
     "stratified_sample_exact_k",
     "sequential_poisson_sample",
+    "epoch_plan",
 ]
 
 #: Rate denominator: rates are expressed in millionths.
@@ -186,4 +187,104 @@ def sequential_poisson_sample(
         .withColumn(key_out, key)
         .orderBy(key_out, id_col)
         .limit(k)
+    )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    weights_ppm: dict[str, int],
+    token_budget: int,
+    *,
+    source_col: str = "source",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    epoch_cap_milli: int = 4000,
+) -> DataFrame:
+    """Per-source epoch/repeat plan for a token budget — the sampling
+    plan a pretraining run derives before it touches data (the
+    LLaMA-style "sampling proportion" table): given target mixture
+    weights and the corpus's actual per-source token counts, how many
+    EPOCHS of each source the budget implies, capped at the
+    repeated-data limit (~4 epochs is where repetition stops helping
+    — Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    Models", arXiv:2305.16264).
+
+    All integer arithmetic (budget tokens, ppm weights, milli-epochs)
+    so the plan is engine-exact:
+
+    - ``target_tokens = token_budget * w_s // sum(w)``
+    - ``epochs_milli = target_tokens * 1000 // n_tokens``
+    - ``capped_epochs_milli = min(epochs_milli, epoch_cap_milli)``
+    - ``achievable_tokens = capped_epochs_milli * n_tokens // 1000``
+    - ``shortfall_tokens = target - achievable`` (> 0 means the
+      source cannot fill its share without exceeding the epoch cap —
+      re-weight or find more data).
+
+    Sources absent from ``weights_ppm`` get weight 0 (planned out);
+    weights need not sum to 1e6 — they are normalized by their sum.
+    One map-side-combined groupBy over the corpus + a broadcast of
+    the bounded weight table; the corpus is scanned once.
+    """
+    if token_budget < 0 or epoch_cap_milli < 0:
+        raise ValueError("token_budget and epoch_cap_milli must be >= 0")
+    w_total = sum(weights_ppm.values())
+    if w_total <= 0:
+        raise ValueError("weights_ppm must contain a positive weight")
+    if tokens_col is None:
+        from datacamp_etl_spark.operators.text import token_count
+
+        tok = token_count(F.col(text_col))
+    else:
+        tok = F.col(tokens_col)
+    per_source = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tok).cast("long").alias("n_tokens"),
+    )
+    w_items = sorted(weights_ppm.items())
+    w_col = F.lit(0)
+    for s, w in w_items:
+        w_col = F.when(F.col(source_col) == s, F.lit(int(w))).otherwise(
+            w_col
+        )
+    planned = per_source.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        w_col.cast("long").alias("weight_ppm"),
+    )
+    target = F.expr(f"(CAST({token_budget} AS BIGINT) * weight_ppm) DIV {w_total}")
+    out = planned.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        target.alias("target_tokens"),
+    )
+    epochs = F.expr("(target_tokens * 1000) DIV n_tokens")
+    out = out.withColumn(
+        "epochs_milli",
+        F.when(F.col("n_tokens") > 0, epochs).otherwise(F.lit(None)),
+    ).withColumn(
+        "capped_epochs_milli",
+        F.least(F.col("epochs_milli"), F.lit(int(epoch_cap_milli))),
+    )
+    return out.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        "target_tokens",
+        F.col("epochs_milli").cast("long").alias("epochs_milli"),
+        F.col("capped_epochs_milli").cast("long").alias(
+            "capped_epochs_milli"
+        ),
+        F.expr("(capped_epochs_milli * n_tokens) DIV 1000")
+        .cast("long")
+        .alias("achievable_tokens"),
+        (
+            F.col("target_tokens")
+            - F.expr("(capped_epochs_milli * n_tokens) DIV 1000")
+        )
+        .cast("long")
+        .alias("shortfall_tokens"),
     )

@@ -9458,6 +9458,67 @@ def q_logistic_quality_scores(
 ORACLE["logistic_quality_scores"] = _logistic_oracle_sql()
 
 
+@register(
+    "mixture_epoch_plan",
+    f"""
+    WITH n AS (SELECT source, {_NORM_SQL} AS norm FROM documents),
+    tc AS (SELECT source,
+                  CASE WHEN norm = '' THEN 0
+                       ELSE len(string_split(norm, ' ')) END AS tok
+           FROM n),
+    per AS (SELECT source, count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS n_tokens
+            FROM tc GROUP BY source),
+    wt AS (SELECT sum((1 + CAST(substr(source, 4) AS INT) % 3)
+                      * 100000) AS w_total
+           FROM (SELECT DISTINCT source FROM documents)),
+    pl AS (SELECT source, n_docs, n_tokens,
+                  CAST((1 + CAST(substr(source, 4) AS INT) % 3)
+                       * 100000 AS BIGINT) AS weight_ppm,
+                  CAST((CAST(10000000 AS BIGINT)
+                        * ((1 + CAST(substr(source, 4) AS INT) % 3)
+                           * 100000)) // (SELECT w_total FROM wt)
+                       AS BIGINT) AS target_tokens
+           FROM per),
+    ep AS (SELECT *,
+                  CASE WHEN n_tokens > 0
+                       THEN (target_tokens * 1000) // n_tokens END
+                      AS epochs_milli
+           FROM pl),
+    cp AS (SELECT *, least(epochs_milli, 4000) AS capped_epochs_milli
+           FROM ep)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           weight_ppm, target_tokens,
+           CAST(epochs_milli AS BIGINT) AS epochs_milli,
+           CAST(capped_epochs_milli AS BIGINT) AS capped_epochs_milli,
+           CAST((capped_epochs_milli * n_tokens) // 1000 AS BIGINT)
+               AS achievable_tokens,
+           CAST(target_tokens - (capped_epochs_milli * n_tokens)
+                // 1000 AS BIGINT) AS shortfall_tokens
+    FROM cp
+    """,
+)
+def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-source epoch/repeat plan (mixture.epoch_plan): given
+    target mixture weights and the corpus's actual per-source token
+    counts, the epochs of each source a 10M-token budget implies,
+    capped at 4.0 epochs (the repeated-data limit, Muennighoff et al.
+    2023) — the sampling-proportion table a pretraining run derives
+    before touching data; shortfall > 0 flags sources that cannot
+    fill their share without over-repeating. Demo weights derive
+    from the source name ((1 + K % 3) x 100000 for srcK). One
+    map-side-combined groupBy over the corpus; all integer
+    arithmetic, hash-exact replay."""
+    from datacamp_etl_spark.operators.mixture import epoch_plan
+
+    docs = t(spark, sf_dir, "documents")
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    weights = {s: (1 + int(s[3:]) % 3) * 100_000 for s in sources}
+    return epoch_plan(docs, weights, 10_000_000, epoch_cap_milli=4000)
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

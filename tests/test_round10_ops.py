@@ -150,3 +150,87 @@ def test_logistic_fixture_beats_majority_baseline(spark):
     keep_rate = lab.where("keep = 1").count() / n
     majority = max(keep_rate, 1 - keep_rate)
     assert acc > majority + 0.05  # genuinely learned, not degenerate
+
+
+# ---------------------------------------------------------------------
+# mixture.epoch_plan
+# ---------------------------------------------------------------------
+
+
+def test_epoch_plan_exact_integer_math(spark):
+    from datacamp_etl_spark.operators.mixture import epoch_plan
+
+    # src a: 2 docs x 4 tokens = 8; src b: 1 doc x 2 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "a", "t1 t2 t3 t4"),
+            (2, "a", "t1 t2 t3 t4"),
+            (3, "b", "t1 t2"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in epoch_plan(
+            df, {"a": 750_000, "b": 250_000}, 100, epoch_cap_milli=4000
+        ).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["n_tokens"]) == (2, 8)
+    assert a["target_tokens"] == 75  # 100 * 750k // 1e6
+    assert a["epochs_milli"] == (75 * 1000) // 8  # 9375
+    assert a["capped_epochs_milli"] == 4000  # capped
+    assert a["achievable_tokens"] == (4000 * 8) // 1000  # 32
+    assert a["shortfall_tokens"] == 75 - 32
+    assert b["target_tokens"] == 25
+    assert b["epochs_milli"] == 12_500 and b["capped_epochs_milli"] == 4000
+    assert b["achievable_tokens"] == 8 and b["shortfall_tokens"] == 17
+
+
+def test_epoch_plan_under_budget_no_cap(spark):
+    from datacamp_etl_spark.operators.mixture import epoch_plan
+
+    df = spark.createDataFrame(
+        [(1, "a", "x " * 50), (2, "b", "x " * 50)],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in epoch_plan(
+            df, {"a": 500_000, "b": 500_000}, 60, epoch_cap_milli=4000
+        ).collect()
+    }
+    # each target 30 tokens over 50 available -> 0.6 epochs, no cap,
+    # no shortfall beyond integer floor
+    assert out["a"]["epochs_milli"] == 600
+    assert out["a"]["capped_epochs_milli"] == 600
+    assert out["a"]["achievable_tokens"] == 30
+    assert out["a"]["shortfall_tokens"] == 0
+
+
+def test_epoch_plan_unweighted_source_planned_out(spark):
+    from datacamp_etl_spark.operators.mixture import epoch_plan
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "zzz", "x y")],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in epoch_plan(df, {"a": 1_000_000}, 100).collect()
+    }
+    assert out["zzz"]["weight_ppm"] == 0
+    assert out["zzz"]["target_tokens"] == 0
+    assert out["zzz"]["achievable_tokens"] == 0
+
+
+def test_epoch_plan_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from datacamp_etl_spark.operators.mixture import epoch_plan
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, source string, text string")
+    with _pytest.raises(ValueError):
+        epoch_plan(df, {}, 100)
+    with _pytest.raises(ValueError):
+        epoch_plan(df, {"a": 1}, -1)

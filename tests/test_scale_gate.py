@@ -62,13 +62,18 @@ def test_capture_bench_gates():
     g = cb.evaluate_gates(bad_warm, meds)
     assert not g["pass"] and "ambient load" in g["reasons"][0]
 
-    # sentinel excursion beyond 1.3x of trailing median -> reject
+    # a UNIFORMLY slower box is fine (the machine factor adjusts):
+    # both sentinels at ~1.4x their medians, consistent -> pass
+    slow_box = dict(ok, queries_sentinel={"s1": 1.4, "s2": 0.7})
+    assert cb.evaluate_gates(slow_box, meds)["pass"]
+    # sentinels DISAGREEING (factor unreliable) -> reject
     bad_sent = dict(ok, queries_sentinel={"s1": 1.4, "s2": 0.45})
     g = cb.evaluate_gates(bad_sent, meds)
     assert not g["pass"] and "machine factor" in g["reasons"][0]
-    # ... and a sentinel that got suspiciously FAST also rejects
-    fast_sent = dict(ok, queries_sentinel={"s1": 0.5})
-    assert not cb.evaluate_gates(fast_sent, meds)["pass"]
+    # wild absolute excursion rejects even when consistent
+    wild = dict(ok, queries_sentinel={"s1": 2.2, "s2": 1.1})
+    g = cb.evaluate_gates(wild, meds)
+    assert not g["pass"] and "excursion" in " ".join(g["reasons"])
 
     # suspect extension: > 1.5x adjusted, sub-0.3s never a suspect
     payload = {
