@@ -177,6 +177,7 @@ HEADLINE = [
     "host_cap",
     "logistic_quality_scores",
     "mixture_epoch_plan",
+    "training_shard_plan",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

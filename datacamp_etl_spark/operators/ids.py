@@ -25,6 +25,7 @@ __all__ = [
     "exact_ntile",
     "exact_quantile_values",
     "global_row_number",
+    "global_running_sum",
     "training_order",
     "negative_pairs",
 ]
@@ -81,6 +82,68 @@ def global_row_number(
         .drop("__pid", "__off")
     )
     return out, acc
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    *,
+    sum_col: str = "__running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add the GLOBAL inclusive running sum of ``weight_col`` in the
+    total order of ``order_cols`` — the weighted generalization of
+    :func:`global_row_number`, with the same no-single-task contract:
+    range-partition on the order key, sum weights per partition
+    (bounded driver collect: one long per partition), broadcast the
+    cumulative offsets, add them to per-partition running sums
+    (parallel windows).
+
+    This is the primitive behind global prefix-selection and
+    token-balanced sharding (``curation.token_budget_cap`` is the
+    per-GROUP case, where the group key partitions the window for
+    free; a GLOBAL running total has no such key and would otherwise
+    plan the canonical single-task window). Weights are summed as
+    BIGINT — fixed-point your weights upstream.
+    """
+    parts = df.repartitionByRange(
+        *([num_partitions] if num_partitions else []), *order_cols
+    ).withColumn("__pid", F.spark_partition_id())
+    # same boundary-pinning contract as global_row_number: the range
+    # sampler is seed-unstable across re-evaluation
+    parts = parts.localCheckpoint()
+    totals = (
+        parts.groupBy("__pid")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__t"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["__pid"]] = acc
+        acc += int(r["__t"] or 0)
+    off_df = F.broadcast(
+        parts.sparkSession.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "__pid int, __off long"
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.join(off_df, "__pid")
+        .withColumn(
+            sum_col,
+            (
+                F.sum(F.col(weight_col).cast("long")).over(w)
+                + F.col("__off")
+            ).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
 
 
 def assign_contiguous_ids(

@@ -9519,6 +9519,70 @@ def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_plan(docs, weights, 10_000_000, epoch_cap_milli=4000)
 
 
+@register(
+    "training_shard_plan",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    tc AS (SELECT doc_id,
+                  CASE WHEN norm = '' THEN 0
+                       ELSE len(string_split(norm, ' ')) END AS tok
+           FROM n),
+    r AS (SELECT doc_id, tok,
+                 sum(tok) OVER (ORDER BY {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")},
+                                doc_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+          FROM tc),
+    a AS (SELECT doc_id, tok,
+                 CAST((run - tok) // 3000 AS BIGINT) AS shard FROM r)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_md5
+    FROM a GROUP BY shard
+    """,
+)
+def q_training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] token-balanced training-shard plan
+    (layout.shard_assignments): rows walked in deterministic
+    (md5(id), id) order, each doc assigned to the shard its running
+    token total STARTS in (3000-token shards; boundaries never split
+    a doc, overshoot <= one doc). The manifest row per shard —
+    counts, token totals, id range, md5 of the sorted id list — is
+    the unit a trainer resumes/verifies on. The Spark side computes
+    the global prefix sum with the two-pass range-partitioned
+    machinery (ids.global_running_sum — NO single-task global
+    window); the oracle replays it as a plain windowed sum. The write
+    half (partitionBy(shard) + persisted manifest,
+    layout.write_training_shards) is pytest-gated like the other
+    layout writers."""
+    from datacamp_etl_spark.operators.text import token_count
+    from datacamp_etl_spark.sources.layout import shard_assignments
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("tok")
+    )
+    assigned = shard_assignments(docs, "tok", 3000)
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("tok").cast("long")).alias("n_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("ids_md5"),
+        )
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

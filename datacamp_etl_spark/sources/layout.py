@@ -33,8 +33,11 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
+    "shard_assignments",
+    "write_training_shards",
     "write_sorted",
     "write_bucketed",
     "compact",
@@ -257,3 +260,101 @@ def write_zordered(
             sess.conf.unset(conf_key)
         else:
             sess.conf.set(conf_key, prev)
+
+
+def shard_assignments(
+    df: DataFrame,
+    tokens_col: str,
+    shard_tokens: int,
+    *,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign every row to a token-balanced training shard: rows are
+    walked in deterministic ``(md5(id), id)`` order and a row belongs
+    to the shard its RUNNING token total starts in —
+    ``shard = (running - n_tokens) DIV shard_tokens`` — so shard
+    boundaries never split a document and every shard except the last
+    holds at least ``shard_tokens`` minus one document of tokens
+    (overshoot <= one document, the packing-literature greedy bound).
+
+    The running total is :func:`ids.global_running_sum`'s two-pass
+    range-partitioned prefix sum — NO single-task global window, the
+    trap a naive ``sum() OVER (ORDER BY ...)`` plans. Rows with NULL
+    token counts are dropped (undefined budget cost, same contract as
+    ``token_budget_cap``).
+    """
+    from datacamp_etl_spark.operators.curation import _order_hash
+    from datacamp_etl_spark.operators.ids import global_running_sum
+
+    if shard_tokens < 1:
+        raise ValueError("shard_tokens must be >= 1")
+    base = (
+        df.where(F.col(tokens_col).isNotNull())
+        .withColumn("__h", _order_hash(id_col))
+    )
+    run = global_running_sum(
+        base, ["__h", id_col], tokens_col, sum_col="__run"
+    )
+    return run.withColumn(
+        shard_col,
+        F.expr(
+            f"(__run - CAST({tokens_col} AS BIGINT)) "
+            f"DIV CAST({shard_tokens} AS BIGINT)"
+        ).cast("long"),
+    ).drop("__h", "__run")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    tokens_col: str,
+    shard_tokens: int,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Write the corpus as token-balanced training shards + manifest —
+    the terminal step of a curation pipeline: trainers consume
+    fixed-budget files round-robin, and the manifest is the unit of
+    resume/verification.
+
+    Layout: ``<path>/shards`` partitioned by ``shard`` (each shard a
+    partition directory a data loader can claim atomically) and
+    ``<path>/manifest`` with one row per shard: ``(shard, n_docs,
+    n_tokens, min_id, max_id, ids_md5)`` — the md5 of the sorted id
+    list pins shard membership, so a re-run (or a re-shard after a
+    corpus change) is verifiable shard-by-shard without reading data
+    files. Returns the manifest DataFrame.
+
+    The manifest's id digest is an aggregation (sorted array_join +
+    md5) per shard — bounded by shard membership, never collected.
+    """
+    assigned = shard_assignments(
+        df, tokens_col, shard_tokens, id_col=id_col
+    )
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/shards"
+    )
+    manifest = (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.col(id_col))),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("ids_md5"),
+        )
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/manifest"
+    )
+    return manifest

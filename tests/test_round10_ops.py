@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 from pyspark.sql import functions as F
 
@@ -234,3 +235,106 @@ def test_epoch_plan_rejects_bad_args(spark):
         epoch_plan(df, {}, 100)
     with _pytest.raises(ValueError):
         epoch_plan(df, {"a": 1}, -1)
+
+
+# ---------------------------------------------------------------------
+# ids.global_running_sum / layout.shard_assignments / training shards
+# ---------------------------------------------------------------------
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from datacamp_etl_spark.operators.ids import global_running_sum
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), ((F.col("id") * 7) % 13 + 1).alias("w")
+    )
+    got = {
+        r["k"]: r["__running"]
+        for r in global_running_sum(
+            df, ["k"], "w", num_partitions=8
+        ).collect()
+    }
+    want = {
+        r["k"]: r["run"]
+        for r in df.withColumn(
+            "run",
+            F.sum("w").over(
+                Window.orderBy("k").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_running_sum_plans_no_global_window(spark):
+    from datacamp_etl_spark.operators.ids import global_running_sum
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(1).alias("w")
+    )
+    out = global_running_sum(df, ["k"], "w", num_partitions=4)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    # every Window in the plan is partitioned by __pid (3 bracket
+    # groups, see test_plan_audit.global_window_lines contract)
+    import test_plan_audit as tpa
+
+    assert tpa.global_window_lines(phys) == []
+
+
+def test_shard_assignments_boundaries_and_balance(spark):
+    from datacamp_etl_spark.sources.layout import shard_assignments
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n long"
+    )
+    rows = shard_assignments(df, "n", 25).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    # a doc belongs to the shard its running total STARTS in, so a
+    # doc's tail can cover the next shard's opening span — every
+    # non-final shard's total is within one doc of the budget
+    totals = {s: sum(r["n"] for r in v) for s, v in by_shard.items()}
+    for s, tot in totals.items():
+        if s != max(totals):
+            assert 25 - 9 <= tot <= 25 + 9
+    assert sum(totals.values()) == 1000
+    # shards are contiguous 0..max
+    assert sorted(by_shard) == list(range(len(by_shard)))
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    from datacamp_etl_spark.sources.layout import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", 7 + i % 5) for i in range(200)],
+        "doc_id long, text string, n long",
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, "n", 100).collect()
+    # every doc lands in exactly one shard partition dir
+    back = spark.read.parquet(f"{path}/shards")
+    assert back.count() == 200
+    assert back.select("doc_id").distinct().count() == 200
+    dirs = {
+        d for d in os.listdir(f"{path}/shards") if d.startswith("shard=")
+    }
+    assert len(dirs) == len(manifest)
+    # manifest pins membership: per-shard recount matches
+    got = {
+        r["shard"]: (r["n_docs"], r["n_tokens"]) for r in manifest
+    }
+    re_m = {
+        r["shard"]: (r["cnt"], r["tok"])
+        for r in back.groupBy("shard")
+        .agg(F.count("*").alias("cnt"), F.sum("n").alias("tok"))
+        .collect()
+    }
+    assert got == re_m
+    # persisted manifest parquet round-trips
+    persisted = spark.read.parquet(f"{path}/manifest")
+    assert persisted.count() == len(manifest)
