@@ -178,6 +178,7 @@ HEADLINE = [
     "logistic_quality_scores",
     "mixture_epoch_plan",
     "training_shard_plan",
+    "mmr_rerank",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

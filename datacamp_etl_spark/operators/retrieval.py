@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from datacamp_etl_spark.operators.spread import ensure_parallelism, scoped_cache
 from datacamp_etl_spark.operators.text import tokens
 
-__all__ = ["tfidf_topk_terms", "bm25_search"]
+__all__ = ["tfidf_topk_terms", "bm25_search", "mmr_rerank"]
 
 
 def tfidf_topk_terms(
@@ -233,4 +233,100 @@ def hybrid_search_rrf(
         fused.orderBy(F.desc("rrf_score"), F.asc("id"))
         .limit(top_k)
         .select(F.col("id").alias(id_col), "lex_rank", "vec_rank", "rrf_score")
+    )
+
+
+def mmr_rerank(
+    df: "DataFrame",
+    query: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool_k: int = 20,
+    k: int = 10,
+    lambda_tenths: int = 7,
+) -> "DataFrame":
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, SIGIR): pick ``k`` results from the exact top-``pool_k``
+    cosine pool, each step taking the candidate maximizing
+
+        score = lambda * rel(c, q) - (1 - lambda) * max sim(c, S)
+
+    over the already-selected set S — the standard redundancy-aware
+    re-rank for retrieval pools whose top hits are near-duplicates
+    (which, post-dedup notwithstanding, paraphrase clusters still
+    produce). Step 1 is pure relevance; ties break to the lowest id.
+
+    Arithmetic is integer fixed-point so the selection is
+    engine-exact: cosines round to 6 decimals (the repo contract,
+    proven equal across the JVM fold, the driver-side float fold and
+    DuckDB's list_cosine_similarity), scale to micro units, and the
+    score is ``lambda_tenths * rel_micro - (10 - lambda_tenths) *
+    max_sim_micro`` — exact BIGINTs, replayed by the oracle as k
+    unrolled argmax CTEs.
+
+    Execution shape: the pool is the distributed exact top-k
+    (TakeOrdered over the corpus scan); the k x pool_k x pool_k
+    selection runs on the driver over the BOUNDED pool (pool_k
+    vectors — the same bounded-collect contract as centroids and
+    codebooks), and the result re-enters Spark as a pool_k-row frame.
+    Returns ``(rank, vec_id, mmr_score)`` in selection order.
+    """
+    if not 0 <= lambda_tenths <= 10:
+        raise ValueError("lambda_tenths must be in [0, 10]")
+    if k < 1 or pool_k < k:
+        raise ValueError("need pool_k >= k >= 1")
+    import math
+
+    from datacamp_etl_spark.operators.similarity import brute_force_topk
+
+    def micro(x: float) -> int:
+        r = round(x, 6)  # the proven cross-engine rounding point
+        m = math.floor(abs(r) * 1_000_000 + 0.5)  # half away from zero
+        return m if r >= 0 else -m
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else -2.0
+
+    pool_rows = brute_force_topk(
+        df, query, id_col=id_col, vec_col=vec_col, k=pool_k
+    ).collect()
+    rel = {
+        r[id_col]: micro(float(r["cosine"])) for r in pool_rows
+    }
+    ids = [r[id_col] for r in pool_rows]
+    vec_rows = (
+        df.where(F.col(id_col).isin(ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    vecs = {r[id_col]: [float(x) for x in r[vec_col]] for r in vec_rows}
+
+    lam, mu = lambda_tenths, 10 - lambda_tenths
+    selected: list[tuple[int, int, int]] = []  # (rank, id, score)
+    chosen: list = []
+    remaining = sorted(ids)
+    for rank in range(1, k + 1):
+        best = None
+        for c in remaining:
+            if chosen:
+                max_sim = max(
+                    micro(cos(vecs[c], vecs[s])) for s in chosen
+                )
+            else:
+                max_sim = 0
+            score = lam * rel[c] - mu * max_sim
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        _key, cid, score = best
+        selected.append((rank, cid, score))
+        chosen.append(cid)
+        remaining.remove(cid)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        selected, f"rank long, {id_col} long, mmr_score long"
     )

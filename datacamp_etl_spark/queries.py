@@ -9583,6 +9583,79 @@ def q_training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_oracle_sql(pool_k: int = 20, k: int = 10) -> str:
+    """DuckDB replay of retrieval.mmr_rerank: exact top-pool_k cosine
+    pool (embedding_topk's construction at k=pool_k), micro-unit
+    fixed-point relevance/similarity, then k UNROLLED argmax CTEs —
+    each step picks the not-yet-chosen candidate maximizing
+    7*rel - 3*max_sim_to_chosen, ties to the lowest id (the unrolled-
+    iteration pattern the PQ/Lloyd and pagerank oracles use)."""
+    mic = (
+        "CAST(round(round(list_cosine_similarity({a}, {b}), 6) "
+        "* 1000000, 0) AS BIGINT)"
+    )
+    steps = []
+    prev_union = "SELECT * FROM s1"
+    for i in range(2, k + 1):
+        chosen = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        steps.append(
+            f"""s{i} AS MATERIALIZED (
+        SELECT {i} AS rank, p.vec_id,
+               7 * p.rel - 3 * (SELECT max(pw.sim) FROM pw
+                                WHERE pw.ia = p.vec_id
+                                  AND pw.ib IN ({chosen})) AS mmr_score
+        FROM pool p WHERE p.vec_id NOT IN ({chosen})
+        ORDER BY mmr_score DESC, p.vec_id LIMIT 1)"""
+        )
+        prev_union += f" UNION ALL SELECT * FROM s{i}"
+    return f"""
+    WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    pool AS MATERIALIZED (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                    {mic.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS rel
+             FROM embeddings e, q
+             WHERE list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                           x -> x * x)) <> 0
+               AND list_sum(list_transform(q.qv, x -> x * x)) <> 0
+             ORDER BY round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC, e.vec_id
+             LIMIT {pool_k}),
+    pw AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                  {mic.format(a="a.v", b="b.v")} AS sim
+           FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+    s1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, 7 * rel AS mmr_score
+           FROM pool ORDER BY 7 * rel DESC, vec_id LIMIT 1),
+    {",".join(steps)}
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+           CAST(mmr_score AS BIGINT) AS mmr_score
+    FROM ({prev_union})
+    """
+
+
+@register("mmr_rerank", None)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MMR diversified re-ranking (retrieval.mmr_rerank,
+    Carbonell & Goldstein 1998): 10 results from the exact top-20
+    cosine pool for the vec_id=0 query, each step maximizing
+    0.7*relevance - 0.3*max-similarity-to-selected in exact micro-unit
+    integers (ties to the lowest id) — the redundancy-aware re-rank
+    for pools whose top hits are paraphrase clusters. Pool retrieval
+    is the distributed exact top-k; the bounded k x pool^2 selection
+    runs driver-side (centroid/codebook bounded-collect contract);
+    the oracle unrolls the 10 argmax steps as chained CTEs."""
+    from datacamp_etl_spark.operators.retrieval import mmr_rerank
+
+    q = _query_vector(spark, sf_dir, 0)
+    return mmr_rerank(
+        t(spark, sf_dir, "embeddings"), q, pool_k=20, k=10
+    )
+
+
+ORACLE["mmr_rerank"] = _mmr_oracle_sql()
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

@@ -91,3 +91,74 @@ def test_hybrid_rrf_fuses_both_pools(spark, sf_dir):
         assert max(r["rrf_score"] for r in both) >= max(
             r["rrf_score"] for r in single
         )
+
+
+# ---------------------------------------------------------------------
+# retrieval.mmr_rerank
+# ---------------------------------------------------------------------
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    from datacamp_etl_spark.operators.retrieval import mmr_rerank
+
+    # q = x-axis; ids 1,2 nearly identical (sim ~ 0.999), id 3
+    # slightly less relevant but on the OTHER side of q (sim to 1 ~
+    # 0.72). Pure relevance ranks (1, 2, 3); at lambda=0.7 the
+    # redundancy penalty flips rank 2 to the diverse candidate:
+    #   score(2) ~ 7*0.94 - 3*0.999 = 3.58
+    #   score(3) ~ 7*0.90 - 3*0.719 = 4.14
+    df = _vec_df(
+        spark,
+        [
+            (1, [0.95, 0.312]),
+            (2, [0.94, 0.341]),
+            (3, [0.90, -0.436]),
+        ],
+    )
+    out = mmr_rerank(df, [1.0, 0.0], pool_k=3, k=3)
+    order = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert order == [1, 3, 2]
+
+
+def test_mmr_lambda_ten_is_pure_relevance(spark):
+    from datacamp_etl_spark.operators.retrieval import mmr_rerank
+    from datacamp_etl_spark.operators.similarity import brute_force_topk
+
+    df = _vec_df(
+        spark,
+        [(i, [1.0, i / 10.0, (i % 3) / 5.0]) for i in range(1, 9)],
+    )
+    q = [1.0, 0.2, 0.1]
+    mmr = mmr_rerank(df, q, pool_k=8, k=5, lambda_tenths=10)
+    pure = brute_force_topk(df, q, k=5)
+    assert [r["vec_id"] for r in mmr.orderBy("rank").collect()] == [
+        r["vec_id"] for r in pure.collect()
+    ]
+
+
+def test_mmr_tie_breaks_to_lowest_id(spark):
+    from datacamp_etl_spark.operators.retrieval import mmr_rerank
+
+    # identical vectors: every step ties on score -> ids ascend
+    df = _vec_df(spark, [(i, [1.0, 1.0]) for i in (5, 2, 9)])
+    out = mmr_rerank(df, [1.0, 1.0], pool_k=3, k=3)
+    assert [r["vec_id"] for r in out.orderBy("rank").collect()] == [2, 5, 9]
+
+
+def test_mmr_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from datacamp_etl_spark.operators.retrieval import mmr_rerank
+
+    df = _vec_df(spark, [(1, [1.0])])
+    with _pytest.raises(ValueError):
+        mmr_rerank(df, [1.0], pool_k=5, k=6)
+    with _pytest.raises(ValueError):
+        mmr_rerank(df, [1.0], lambda_tenths=11)
