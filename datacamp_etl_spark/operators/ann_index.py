@@ -52,6 +52,7 @@ quantizers equal the trained ones.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -184,23 +185,43 @@ def _encode_postings(
     )
 
 
+def _write_small(path: str, table) -> None:
+    """Overwrite a one-file parquet DIRECTORY (Spark-readable layout)
+    with driver-side pyarrow — the quantizer tables are bounded
+    driver data (1 + num_cells + m*k rows); a Spark write job per
+    table is pure overhead (~1-2 s each of commit protocol for a
+    few-KB file)."""
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pq_.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
-    spark.createDataFrame(
-        [
-            (
-                ANN_INDEX_FORMAT_VERSION,
-                meta["dim"],
-                meta["m"],
-                meta["k"],
-                meta["sub_dim"],
-                meta["num_cells"],
-                meta["decimals"],
-                meta["n_generations"],
-            )
-        ],
-        "version int, dim int, m int, k int, sub_dim int, "
-        "num_cells int, decimals int, n_generations int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    import pyarrow as pa
+
+    _write_small(
+        f"{path}/meta",
+        pa.table(
+            {
+                "version": pa.array(
+                    [ANN_INDEX_FORMAT_VERSION], pa.int32()
+                ),
+                "dim": pa.array([meta["dim"]], pa.int32()),
+                "m": pa.array([meta["m"]], pa.int32()),
+                "k": pa.array([meta["k"]], pa.int32()),
+                "sub_dim": pa.array([meta["sub_dim"]], pa.int32()),
+                "num_cells": pa.array([meta["num_cells"]], pa.int32()),
+                "decimals": pa.array([meta["decimals"]], pa.int32()),
+                "n_generations": pa.array(
+                    [meta["n_generations"]], pa.int32()
+                ),
+            }
+        ),
+    )
 
 
 def ann_index_build(
@@ -239,18 +260,36 @@ def ann_index_build(
         dim=dim, decimals=decimals,
     )
 
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [
-            (s, c, books[s][c])
-            for s in range(m)
-            for c in range(len(books[s]))
-        ],
-        "s int, code int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    import pyarrow as pa
+
+    _write_small(
+        f"{path}/centroids",
+        pa.table(
+            {
+                "cell": pa.array(range(len(centroids)), pa.int32()),
+                "centroid": pa.array(
+                    centroids, pa.list_(pa.float64())
+                ),
+            }
+        ),
+    )
+    flat = [
+        (s, c, books[s][c])
+        for s in range(m)
+        for c in range(len(books[s]))
+    ]
+    _write_small(
+        f"{path}/codebooks",
+        pa.table(
+            {
+                "s": pa.array([r[0] for r in flat], pa.int32()),
+                "code": pa.array([r[1] for r in flat], pa.int32()),
+                "centroid": pa.array(
+                    [r[2] for r in flat], pa.list_(pa.float64())
+                ),
+            }
+        ),
+    )
 
     _encode_postings(
         df, centroids, books, id_col, vec_col, generation=0
@@ -272,19 +311,34 @@ def ann_index_build(
     )
 
 
+def _read_small(path: str) -> list[dict]:
+    """Driver-side read of a bounded quantizer table (pyarrow — no
+    Spark job for a few-KB file; the dir stays Spark-readable for
+    external consumers)."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    out: list[dict] = []
+    # glob *.parquet so Spark-written dirs (_SUCCESS markers) read too
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        out.extend(pq_.read_table(f).to_pylist())
+    return out
+
+
 def ann_index_load(spark: SparkSession, path: str) -> AnnIndex:
     """Load the bounded quantizer state (1 + num_cells + m*k rows) —
     never the postings."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    [meta] = _read_small(f"{path}/meta")
     if meta["version"] != ANN_INDEX_FORMAT_VERSION:
         raise ValueError(
             f"unsupported ann index version {meta['version']}"
         )
-    cen_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cen_rows = _read_small(f"{path}/centroids")
     centroids = [None] * len(cen_rows)
     for r in cen_rows:
         centroids[r["cell"]] = [float(x) for x in r["centroid"]]
-    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    book_rows = _read_small(f"{path}/codebooks")
     books: list[list[list[float]]] = [
         [None] * meta["k"] for _ in range(meta["m"])
     ]
