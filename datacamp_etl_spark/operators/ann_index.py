@@ -67,6 +67,7 @@ __all__ = [
     "ann_index_append",
     "ann_index_query",
     "ann_index_cell_stats",
+    "streaming_ann_filter",
 ]
 
 ANN_INDEX_FORMAT_VERSION = 1
@@ -482,3 +483,81 @@ def ann_index_cell_stats(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def _adc_dist_sql(
+    vec_col: str,
+    codes_col: str,
+    codebooks: list[list[list[float]]],
+) -> str:
+    """ADC distance between a live vector column and a persisted
+    posting's codes, as one generated SQL expression: per subspace,
+    the vector-to-centroid squared distances form an inline LUT array
+    and the posting's code indexes it — the streaming-legal form of
+    pq_topk's driver-built LUT (here the 'query' is every arriving
+    row, so the LUT must be an expression over it)."""
+    sub_dim = len(codebooks[0][0])
+
+    def sqd(s: int, cen: list[float]) -> str:
+        sub = (
+            f"transform(slice(`{vec_col}`, {s * sub_dim + 1}, "
+            f"{sub_dim}), x -> CAST(x AS DOUBLE))"
+        )
+        return (
+            f"aggregate(zip_with({sub}, {_sql_arr(cen)}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+        )
+
+    terms = []
+    for s, book in enumerate(codebooks):
+        lut = "array(" + ", ".join(sqd(s, cen) for cen in book) + ")"
+        terms.append(
+            f"element_at({lut}, element_at(`{codes_col}`, {s + 1}) + 1)"
+        )
+    return "round(" + " + ".join(terms) + ", 6)"
+
+
+def streaming_ann_filter(
+    stream: DataFrame,
+    spark: SparkSession,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_dist: float = 1.0,
+) -> DataFrame:
+    """Streaming SEMANTIC near-dup gate against a persisted ANN
+    index: an arriving vector passes only if NO posting in ITS OWN
+    coarse cell sits within ``max_dist`` ADC distance — the vector
+    twin of ``dedup.streaming_near_dup_filter``'s band-collision
+    gate, and the online-ingest half of the persisted-index
+    lifecycle (build once offline; every arriving batch/stream row
+    probes the frozen quantizers).
+
+    Entirely STATELESS: the cell assignment and the per-pair ADC
+    distance are generated-SQL expressions over the arriving row
+    (the LUT that pq_topk builds driver-side per query becomes an
+    inline expression, because here every row IS a query), and the
+    gate is ONE stream-static left_anti join on the cell key with
+    the distance bound as a residual join filter — no watermark, no
+    state store. The static side reads the cell-partitioned postings
+    (codes only, never vectors).
+
+    Conservative by design (same caveat as the band gate): only the
+    row's own argmax cell is probed, so a near-dup straddling a cell
+    boundary can slip through — the documented IVF probe trade; raise
+    coverage by rebuilding with more probes offline.
+    """
+    idx = ann_index_load(spark, path)
+    postings = spark.read.parquet(f"{path}/postings").select(
+        F.col("cell").alias("__pcell"), F.col("codes").alias("__pcodes")
+    )
+    cell = F.expr(_cell_sql(vec_col, idx.centroids))
+    dist = F.expr(
+        _adc_dist_sql(vec_col, "__pcodes", idx.codebooks)
+    )
+    enriched = stream.withColumn("__cell", cell)
+    cond = (F.col("__cell") == F.col("__pcell")) & (
+        dist < F.lit(float(max_dist))
+    )
+    return enriched.join(postings, cond, "left_anti").drop("__cell")

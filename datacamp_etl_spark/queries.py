@@ -8975,24 +8975,24 @@ def _ann_index_demo_path(spark: SparkSession, sf_dir: str) -> str:
     return _ANN_INDEX_DEMO[sf_dir]
 
 
-def _ann_corpus_cte() -> str:
+def _ann_corpus_cte(corpus_pred: str = "vec_id % 10 <> 0") -> str:
     """Shared oracle CTEs replaying the persisted index content: the
     coarse centroids and PQ codebooks derive from the CORPUS subset
     only (what build trained and append froze), the assignment covers
     every vector (base postings + appended generation)."""
-    return """
+    return f"""
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings),
     init AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
                                    x -> round(x, 6)) AS c,
                     row_number() OVER
                         (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
-             FROM embeddings WHERE vec_id % 10 <> 0
+             FROM embeddings WHERE {corpus_pred}
              ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4),
     cen AS (SELECT e AS cv, cell_id FROM (
                 SELECT e, row_number() OVER (
                     ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell_id
-                FROM v WHERE vec_id % 10 <> 0) WHERE cell_id < 16),
+                FROM v WHERE {corpus_pred}) WHERE cell_id < 16),
     assigned AS (SELECT vec_id, e, cell_id FROM (
                 SELECT v.vec_id, v.e, cen.cell_id,
                        row_number() OVER (PARTITION BY v.vec_id
@@ -9654,6 +9654,129 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["mmr_rerank"] = _mmr_oracle_sql()
+
+
+def _streaming_ann_oracle_sql(thr: float = 1.4) -> str:
+    """Batch replay of ann_index.streaming_ann_filter with the even-id
+    corpus index: even rows' PQ codes + cells are the postings; an
+    odd row is a hit when any even posting in its own cell sits
+    within ``thr`` ADC distance (per-odd-row LUT joined on the
+    posting's codes — the ivfpq oracle's w/lut pivot, with the odd
+    row as the query)."""
+    d_branches = "\n".join(
+        f"        SELECT a.vec_id AS ovid, {s} AS s, i.rn - 1 AS code,"
+        f" {_pq_dist('a.e', s)} AS d"
+        f" FROM assigned a CROSS JOIN init i WHERE a.vec_id % 2 = 1"
+        + (" UNION ALL" if s < _PQ_M - 1 else "")
+        for s in range(_PQ_M)
+    )
+    enc_branches = "\n".join(
+        f"        SELECT a.vec_id, a.cell_id, {s} AS s, i.rn - 1 AS code,"
+        f" {_pq_dist('a.e', s)} AS dist"
+        f" FROM assigned a CROSS JOIN init i WHERE a.vec_id % 2 = 0"
+        + (" UNION ALL" if s < _PQ_M - 1 else "")
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH {_ann_corpus_cte("vec_id % 2 = 0")},
+    ed AS (
+{enc_branches}
+    ),
+    ebest AS (SELECT vec_id, cell_id, s, code FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                       ORDER BY dist, code) AS rn2 FROM ed)
+              WHERE rn2 = 1),
+    ew AS (SELECT vec_id, cell_id,
+                  max(CASE WHEN s = 0 THEN code END) AS c0,
+                  max(CASE WHEN s = 1 THEN code END) AS c1,
+                  max(CASE WHEN s = 2 THEN code END) AS c2,
+                  max(CASE WHEN s = 3 THEN code END) AS c3
+           FROM ebest GROUP BY vec_id, cell_id),
+    lutO AS (
+{d_branches}
+    ),
+    hits AS (SELECT DISTINCT o.vec_id
+             FROM assigned o
+             JOIN ew ON ew.cell_id = o.cell_id
+             JOIN lutO l0 ON l0.ovid = o.vec_id AND l0.s = 0
+                          AND l0.code = ew.c0
+             JOIN lutO l1 ON l1.ovid = o.vec_id AND l1.s = 1
+                          AND l1.code = ew.c1
+             JOIN lutO l2 ON l2.ovid = o.vec_id AND l2.s = 2
+                          AND l2.code = ew.c2
+             JOIN lutO l3 ON l3.ovid = o.vec_id AND l3.s = 3
+                          AND l3.code = ew.c3
+             WHERE o.vec_id % 2 = 1
+               AND round(l0.d + l1.d + l2.d + l3.d, 6) < {thr})
+    SELECT e.vec_id FROM embeddings e
+    WHERE e.vec_id % 2 = 1
+      AND e.vec_id NOT IN (SELECT vec_id FROM hits)
+    """
+
+
+@register("streaming_ann_near_dup", _streaming_ann_oracle_sql())
+def q_streaming_ann_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] streaming SEMANTIC near-dup gate
+    (ann_index.streaming_ann_filter): odd-id vectors arrive as a file
+    stream and pass only if no posting of the persisted even-id
+    IVF-PQ index sits within 1.4 ADC distance in their own coarse
+    cell — the vector twin of streaming_near_dup_filter's band gate,
+    and the online-ingest half of the persisted-index lifecycle.
+    Entirely stateless: cell assignment + the per-pair ADC LUT are
+    generated-SQL expressions over the arriving row, the gate ONE
+    stream-static left_anti join on the cell key with the distance
+    bound as a residual filter; postings carry codes only, vectors
+    are never read at probe time. AvailableNow drain into a memory
+    sink; DuckDB replays the batch anti-join."""
+    import tempfile
+
+    from datacamp_etl_spark.operators.ann_index import (
+        ann_index_build,
+        streaming_ann_filter,
+    )
+
+    key = (sf_dir, "stream")
+    if key not in _ANN_INDEX_DEMO:
+        path = tempfile.mkdtemp(prefix="sgannstream_")
+        emb = t(spark, sf_dir, "embeddings")
+        ann_index_build(
+            spark,
+            emb.where(F.col("vec_id") % 2 == 0),
+            path,
+            num_cells=16,
+            m=_PQ_M,
+            k=_PQ_K,
+        )
+        _ANN_INDEX_DEMO[key] = path
+    path = _ANN_INDEX_DEMO[key]
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .where(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+    )
+    filtered = streaming_ann_filter(
+        stream, spark, path, max_dist=1.4
+    )
+    _STREAM_RUN[0] += 1
+    sink = f"stream_ann_{_STREAM_RUN[0]}"
+    q = (
+        filtered.select("vec_id")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("vec_id")
 
 
 # =====================================================================

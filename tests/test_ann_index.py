@@ -164,3 +164,82 @@ def test_version_gate(spark, emb):
             ann_index_load(spark, path)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_streaming_ann_filter_matches_batch_anti_join(spark, emb):
+    """The streaming gate == the batch cell+ADC anti-join on an
+    AvailableNow drain (the batch oracle's own construction)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datacamp_etl_spark.operators.ann_index import (
+        _adc_dist_sql,
+        _cell_sql,
+        ann_index_build,
+        ann_index_load,
+        streaming_ann_filter,
+    )
+
+    path = tempfile.mkdtemp(prefix="sgann_stream_t_")
+    try:
+        corpus = emb.where(F.col("vec_id") % 2 == 0)
+        ann_index_build(spark, corpus, path, num_cells=8, m=4, k=4)
+
+        # batch expectation
+        idx = ann_index_load(spark, path)
+        odd = emb.where(F.col("vec_id") % 2 == 1).withColumn(
+            "__cell", F.expr(_cell_sql("embedding", idx.centroids))
+        )
+        posts = spark.read.parquet(f"{path}/postings").select(
+            F.col("cell").alias("__pcell"),
+            F.col("codes").alias("__pcodes"),
+        )
+        dist = F.expr(
+            _adc_dist_sql("embedding", "__pcodes", idx.codebooks)
+        )
+        want = sorted(
+            r["vec_id"]
+            for r in odd.join(
+                posts,
+                (F.col("__cell") == F.col("__pcell"))
+                & (dist < 1.4),
+                "left_anti",
+            ).collect()
+        )
+        n_odd = emb.where("vec_id % 2 = 1").count()
+        assert 0 < len(want) < n_odd  # gate is non-vacuous
+
+        # streaming drain
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(SF)
+            .where(F.col("vec_id") % 2 == 1)
+            .select("vec_id", "embedding")
+        )
+        out = streaming_ann_filter(stream, spark, path, max_dist=1.4)
+        q = (
+            out.select("vec_id")
+            .writeStream.format("memory")
+            .queryName("ann_stream_test")
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="sgckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            r["vec_id"]
+            for r in spark.table("ann_stream_test").collect()
+        )
+        assert got == want
+    finally:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
