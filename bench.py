@@ -179,6 +179,8 @@ HEADLINE = [
     "mixture_epoch_plan",
     "training_shard_plan",
     "mmr_rerank",
+    "attribution_last_touch",
+    "quality_calibration",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

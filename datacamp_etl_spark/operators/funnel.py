@@ -316,3 +316,63 @@ def funnel_latency(
         F.count("*").cast("long").alias("n_entered")
     )
     return n_entered.crossJoin(F.broadcast(stats))
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    window_s: int = 86_400,
+    direct_label: str = "direct",
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event
+    credits the user's most recent TOUCH event (one of
+    ``touch_types``) within ``window_s`` seconds; conversions with no
+    in-window touch credit ``direct_label`` — the standard marketing
+    attribution rollup, and the IGNORE NULLS window pattern's
+    canonical application (the LOCF carry IS the attribution state).
+
+    One user-partitioned window pass (per-user streams — the same
+    shape as sessionize/transitions) carrying the last touch's type
+    and integer-microsecond timestamp; the window bound is an exact
+    integer compare; one bounded groupBy on the credited channel.
+    Returns ``(channel, n_conversions)``.
+    """
+    if conversion_type in touch_types:
+        raise ValueError("conversion_type cannot also be a touch type")
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    is_touch = F.col(type_col).isin(list(touch_types))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(us, F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        events.withColumn("__us", us)
+        .withColumn(
+            "__lt_type",
+            F.last(F.when(is_touch, F.col(type_col)), True).over(w),
+        )
+        .withColumn(
+            "__lt_us",
+            F.last(F.when(is_touch, F.col("__us")), True).over(w),
+        )
+    )
+    conv = carried.where(F.col(type_col) == conversion_type)
+    channel = F.when(
+        F.col("__lt_us").isNotNull()
+        & (F.col("__us") - F.col("__lt_us") <= window_s * 1_000_000),
+        F.col("__lt_type"),
+    ).otherwise(F.lit(direct_label))
+    return (
+        conv.select(channel.alias("channel"))
+        .groupBy("channel")
+        .agg(F.count("*").cast("long").alias("n_conversions"))
+    )

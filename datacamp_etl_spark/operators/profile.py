@@ -506,3 +506,59 @@ def quantile_normalize(
         df[value_col],
         "q_score",
     )
+
+
+def score_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """Calibration/reliability table for a scorer against 0/1 labels:
+    rows ranked into ``bins`` exact equal-count score bins (ANSI
+    ntile semantics over ``(score, id)`` — via the range-exchange
+    :func:`ids.exact_ntile`, never a single-task global sort), each
+    bin reporting its size, positive count, exact positive rate in
+    ppm and its score range. A calibrated scorer's pos_ppm climbs
+    monotonically with the bin; the table is what ECE/reliability
+    diagrams are read off, kept exact-integer so the replay is
+    hash-stable.
+
+    The quality-scorer loop this closes: rule battery -> weak labels
+    -> logistic margins (classify.logistic_train) -> THIS table says
+    whether the margins can be thresholded where the rules matter.
+    """
+    from datacamp_etl_spark.operators.ids import exact_ntile
+
+    binned = exact_ntile(
+        df.select(
+            F.col(id_col),
+            F.col(score_col).alias("__score"),
+            F.col(label_col).cast("long").alias("__y"),
+        ),
+        ["__score", id_col],
+        bins,
+        bucket_col="bin",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.expr("(1000000 * sum(__y)) DIV count(*)")
+            .cast("long")
+            .alias("pos_ppm"),
+            F.min("__score").alias("min_score"),
+            F.max("__score").alias("max_score"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            "n_pos",
+            "pos_ppm",
+            "min_score",
+            "max_score",
+        )
+    )

@@ -9779,6 +9779,102 @@ def q_streaming_ann_near_dup(
     return spark.table(sink).select("vec_id")
 
 
+@register(
+    "attribution_last_touch",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(ts) AS us FROM events),
+    c AS (SELECT user_id, event_id, us, event_type,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN event_type END IGNORE NULLS)
+                     OVER w AS lt_type,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN us END IGNORE NULLS)
+                     OVER w AS lt_us
+          FROM e WINDOW w AS (PARTITION BY user_id
+                              ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING))
+    SELECT CASE WHEN lt_us IS NOT NULL
+                 AND us - lt_us <= 86400000000
+                THEN lt_type ELSE 'direct' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions
+    FROM c WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] last-touch conversion attribution
+    (funnel.attribution_last_touch): every purchase credits the
+    user's most recent click/view within 24 h, else 'direct' — the
+    standard marketing rollup, and the IGNORE NULLS carry pattern's
+    canonical application (the LOCF state IS the attribution). One
+    user-partitioned window pass + one bounded channel groupBy;
+    exact integer-microsecond window bound."""
+    from datacamp_etl_spark.operators.funnel import (
+        attribution_last_touch,
+    )
+
+    return attribution_last_touch(
+        t(spark, sf_dir, "events"), "purchase", ["click", "view"]
+    )
+
+
+@register(
+    "quality_calibration",
+    f"""
+    WITH g AS ({{GOPHER}}),
+    l AS ({{LOGISTIC}}),
+    j AS (SELECT l.doc_id, l.margin_micros AS score,
+                 CAST(g.keep AS BIGINT) AS y
+          FROM l JOIN g USING (doc_id)),
+    b AS (SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS bin
+          FROM j)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS pos_ppm,
+           min(score) AS min_score, max(score) AS max_score
+    FROM b GROUP BY bin
+    """,
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] scorer calibration table (profile.score_calibration):
+    the pinned logistic quality margins ranked into 10 exact
+    equal-count bins (ANSI ntile over (score, id) via the
+    range-exchange exact_ntile — no single-task global sort), each
+    bin's Gopher-rule positive rate in exact ppm — the reliability
+    diagram that says whether the learned margins can be thresholded
+    where the rule battery matters. Closes the weak-supervision loop:
+    rules -> weak labels -> logistic margins -> calibration."""
+    from datacamp_etl_spark.operators.classify import (
+        FIXTURE_LOGISTIC_V1,
+        logistic_score,
+    )
+    from datacamp_etl_spark.operators.profile import score_calibration
+    from datacamp_etl_spark.operators.quality import gopher_rules
+
+    docs = t(spark, sf_dir, "documents")
+    scored = logistic_score(
+        docs,
+        FIXTURE_LOGISTIC_V1["weights"],
+        FIXTURE_LOGISTIC_V1["bias"],
+    ).select("doc_id", "margin_micros")
+    labeled = scored.join(
+        gopher_rules(docs).select("doc_id", "keep"), "doc_id"
+    )
+    return score_calibration(
+        labeled, "margin_micros", "keep", "doc_id", bins=10
+    )
+
+
+ORACLE["quality_calibration"] = (
+    ORACLE["quality_calibration"]
+    .replace("{GOPHER}", ORACLE["gopher_quality"])
+    .replace("{LOGISTIC}", _logistic_oracle_sql())
+)
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

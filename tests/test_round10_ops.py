@@ -338,3 +338,92 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     # persisted manifest parquet round-trips
     persisted = spark.read.parquet(f"{path}/manifest")
     assert persisted.count() == len(manifest)
+
+
+# ---------------------------------------------------------------------
+# funnel.attribution_last_touch / profile.score_calibration
+# ---------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+
+def test_attribution_credits_most_recent_touch_in_window(spark):
+    import datetime as dt
+
+    from datacamp_etl_spark.operators.funnel import (
+        attribution_last_touch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        # user 1: click then NEWER view -> view credited
+        (1, 1, "click", at(0)), (2, 1, "view", at(1)),
+        (3, 1, "purchase", at(2)),
+        # user 2: touch 30h before purchase -> outside 24h -> direct
+        (4, 2, "click", at(0)), (5, 2, "purchase", at(30)),
+        # user 3: no touches at all -> direct
+        (6, 3, "purchase", at(5)),
+        # user 4: touch AFTER the purchase must not count
+        (7, 4, "purchase", at(1)), (8, 4, "click", at(2)),
+    ]
+    out = {
+        r["channel"]: r["n_conversions"]
+        for r in attribution_last_touch(
+            _events(spark, rows), "purchase", ["click", "view"]
+        ).collect()
+    }
+    assert out == {"view": 1, "direct": 3}
+
+
+def test_attribution_rejects_conversion_as_touch(spark):
+    import pytest as _pytest
+
+    from datacamp_etl_spark.operators.funnel import (
+        attribution_last_touch,
+    )
+
+    with _pytest.raises(ValueError):
+        attribution_last_touch(
+            _events(spark, []), "click", ["click", "view"]
+        )
+
+
+def test_score_calibration_perfect_scorer(spark):
+    from datacamp_etl_spark.operators.profile import score_calibration
+
+    # scores == labels*100: bottom bins all-negative, top all-positive
+    rows = [(i, i, 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, s long, y int")
+    out = {
+        r["bin"]: r
+        for r in score_calibration(df, "s", "y", "doc_id", bins=10)
+        .collect()
+    }
+    assert len(out) == 10 and all(out[b]["n"] == 10 for b in out)
+    for b in range(1, 6):
+        assert out[b]["pos_ppm"] == 0
+    for b in range(6, 11):
+        assert out[b]["pos_ppm"] == 1_000_000
+    assert out[1]["min_score"] == 0 and out[10]["max_score"] == 99
+
+
+def test_score_calibration_ansi_remainder_bins(spark):
+    from datacamp_etl_spark.operators.profile import score_calibration
+
+    # 7 rows into 3 bins: ANSI ntile sizes 3,2,2 (remainder first)
+    rows = [(i, i, 0) for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, s long, y int")
+    sizes = {
+        r["bin"]: r["n"]
+        for r in score_calibration(df, "s", "y", "doc_id", bins=3)
+        .collect()
+    }
+    assert sizes == {1: 3, 2: 2, 3: 2}
