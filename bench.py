@@ -181,6 +181,16 @@ HEADLINE = [
     "mmr_rerank",
     "attribution_last_touch",
     "quality_calibration",
+    "triangle_counts",
+    "clustering_coefficient",
+    "common_neighbor_pairs",
+    "fs_linkage_scores",
+    "seasonal_decompose_daily",
+    "phrase_search_positional",
+    "readability_scores",
+    "lagged_cross_correlation",
+    "attribution_position_based",
+    "kwic_concordance",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -376,3 +376,113 @@ def attribution_last_touch(
         .groupBy("channel")
         .agg(F.count("*").cast("long").alias("n_conversions"))
     )
+
+
+def attribution_position_based(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    window_s: int = 86_400,
+    direct_label: str = "direct",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    conversion splits one unit of credit over ALL its in-window
+    preceding touches — 40% to the first touch, 40% to the last, the
+    middle 20% divided evenly among the rest (1 touch -> 100%,
+    2 touches -> 50/50); conversions with no in-window touch credit
+    ``direct_label``. The standard U-shape complement to
+    :func:`attribution_last_touch` (which answers "what closed?",
+    while this answers "what opened AND closed?").
+
+    Credit is computed in exact integer PARTS-PER-MILLION so every
+    conversion's credit sums to exactly 1,000,000 (the middle share
+    is 200000 div (k-2) with the remainder assigned to the first
+    middle touch — deterministic, replayable in SQL) and the rollup
+    is an exact integer sum at any scale.
+
+    Plan shape: one user-partitioned forward window carries each
+    touch to its NEXT conversion (first_value IGNORE NULLS — the
+    forward twin of last-touch's LOCF carry); one
+    (user, conversion)-partitioned window ranks the touch group; one
+    bounded groupBy on channel; the direct row is a left_anti join of
+    conversions against credited conversion ids. Returns
+    ``(channel, n_touches, credit_ppm, credit)``.
+    """
+    if conversion_type in touch_types:
+        raise ValueError("conversion_type cannot also be a touch type")
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    is_conv = F.col(type_col) == conversion_type
+    is_touch = F.col(type_col).isin(list(touch_types))
+    fwd = (
+        W.partitionBy(user_col)
+        .orderBy(F.col("__us"), F.col(order_col))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = (
+        events.withColumn("__us", us)
+        .withColumn(
+            "__cv_us", F.first(F.when(is_conv, F.col("__us")), True).over(fwd)
+        )
+        .withColumn(
+            "__cv_id",
+            F.first(F.when(is_conv, F.col(order_col)), True).over(fwd),
+        )
+    )
+    touches = carried.where(
+        is_touch
+        & F.col("__cv_id").isNotNull()
+        & (F.col("__cv_us") - F.col("__us") <= window_s * 1_000_000)
+    )
+    grp = W.partitionBy(user_col, "__cv_id")
+    ranked = touches.select(
+        F.col(type_col).alias("channel"),
+        F.col(user_col),
+        "__cv_id",
+        F.row_number()
+        .over(grp.orderBy(F.col("__us"), F.col(order_col)))
+        .alias("__rn"),
+        F.count("*").over(grp).alias("__k"),
+    )
+    share = F.floor(F.lit(200_000) / (F.col("__k") - 2)).cast("long")
+    rem = F.lit(200_000) - (F.col("__k") - 2) * share
+    ppm = (
+        F.when(F.col("__k") == 1, F.lit(1_000_000))
+        .when(F.col("__k") == 2, F.lit(500_000))
+        .when((F.col("__rn") == 1) | (F.col("__rn") == F.col("__k")), 400_000)
+        .when(F.col("__rn") == 2, share + rem)
+        .otherwise(share)
+        .cast("long")
+    )
+    credited = ranked.select("channel", "__cv_id", ppm.alias("__ppm"))
+    agg = credited.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum("__ppm").cast("long").alias("credit_ppm"),
+    )
+    convs = carried.where(is_conv).select(F.col(order_col).alias("__cid"))
+    credited_ids = credited.select(
+        F.col("__cv_id").alias("__cid")
+    ).distinct()
+    direct = (
+        convs.join(credited_ids, "__cid", "left_anti")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            F.lit(direct_label).alias("channel"),
+            F.lit(0).cast("long").alias("n_touches"),
+            (F.col("__n") * 1_000_000).cast("long").alias("credit_ppm"),
+        )
+        .where(F.col("credit_ppm") > 0)
+    )
+    out = agg.unionByName(direct)
+    return out.select(
+        "channel",
+        "n_touches",
+        "credit_ppm",
+        F.round(F.col("credit_ppm").cast("double") / 1e6, 6).alias("credit"),
+    )

@@ -33,6 +33,10 @@ __all__ = [
     "dedup_keep_best",
     "pagerank",
     "label_propagation",
+    "degrees",
+    "triangle_counts",
+    "clustering_coefficient",
+    "common_neighbor_pairs",
 ]
 
 
@@ -436,3 +440,158 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+# ---------------------------------------------------------------------
+# Triangle counting (degree-ordered node-iterator) + derived metrics
+# ---------------------------------------------------------------------
+
+def degrees(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected degree per node over the canonical (deduplicated,
+    self-loop-free) edge set: ``(node, deg)``. One symmetric union +
+    one map-side-combined groupBy."""
+    e = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    return (
+        _sym(e)
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def _oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each canonical edge from the (degree, id)-smaller
+    endpoint to the larger: ``(u, v, dv)`` with dv = deg(v). The
+    degree-ordering bounds every node's out-degree by O(sqrt(m))
+    (Schank & Wagner 2005), which is what keeps the wedge fan-out of
+    the triangle join bounded on power-law graphs — the "curse of the
+    last reducer" fix (Suri & Vassilvitskii, WWW'11)."""
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    j = e.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count over the undirected graph:
+    ``(node, n_triangles)``, every node of the edge set present
+    (0 when triangle-free).
+
+    Degree-ordered node-iterator: orient edges low->high by
+    (degree, id), build wedges by self-joining oriented edges on their
+    source (bounded fan-out, see :func:`_oriented`), close each wedge
+    with an equi-join back to the oriented edge set. Each triangle is
+    generated exactly once. Three shuffles total (degree, wedge join,
+    close join) regardless of graph size; no driver materialization.
+    The reference has no graph surface (equijoins only,
+    lib/etl/loading.rb:232-250) — [EXT] north-star operator.
+    """
+    e = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    deg = degrees(e, src="a", dst="b")
+    o = _oriented(e, deg)
+    o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
+    )
+    tc = corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+    return deg.select("node").join(tc, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998) per node:
+    ``(node, deg, n_triangles, coeff)`` with
+    coeff = 2*T(v) / (deg(v) * (deg(v)-1)), 0.0 for degree < 2.
+    Reuses :func:`triangle_counts`' bounded-fan-out plan plus one
+    broadcast-sized join to the degree table (same shuffle key)."""
+    e = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    deg = degrees(e, src="a", dst="b")
+    tc = triangle_counts(e, src="a", dst="b")
+    return tc.join(deg, "node").select(
+        "node",
+        "deg",
+        "n_triangles",
+        F.when(F.col("deg") >= 2,
+               F.round(
+                   (F.col("n_triangles") * 2).cast("double")
+                   / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                   6,
+               ))
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )
+
+
+def common_neighbor_pairs(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Link-prediction candidates: node pairs sharing >= ``min_common``
+    neighbors, scored by neighbor-set Jaccard
+    (Liben-Nowell & Kleinberg 2003): ``(node_a, node_b, common,
+    jaccard)`` with node_a < node_b.
+
+    Pairs are generated ONLY through shared neighbors (a self-join of
+    the symmetric edge list on the center node) — never all-pairs. The
+    center fan-out is deg(w)^2; on graphs with heavy hubs pass
+    ``max_center_degree`` to drop hub centers from pair GENERATION
+    (standard practice — a hub's neighborhood is uninformative for
+    link prediction and quadratic to expand). Degrees for the Jaccard
+    denominator always use the full graph."""
+    e = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    deg = degrees(e, src="a", dst="b")
+    sym = _sym(e)
+    if max_center_degree is not None:
+        ok = deg.where(F.col("deg") <= max_center_degree).select(
+            F.col("node").alias("a")
+        )
+        sym = sym.join(ok, "a")
+    s1 = sym.select(F.col("a").alias("w"), F.col("b").alias("node_a"))
+    s2 = sym.select(F.col("a").alias("w"), F.col("b").alias("node_b"))
+    cn = (
+        s1.join(s2, "w")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    d1 = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("__da"))
+    d2 = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("__db"))
+    return (
+        cn.join(d1, "node_a")
+        .join(d2, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("__da") + F.col("__db") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -36,6 +36,7 @@ __all__ = [
     "boilerplate_ratio",
     "gopher_rules",
     "c4_rules",
+    "readability_scores",
 ]
 
 
@@ -403,3 +404,68 @@ def c4_rules(
         & (F.col("has_policy_phrase") == 0)
     )
     return sig.withColumn("keep", keep.cast("int"))
+
+
+def readability_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 4,
+) -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade level (Flesch 1948;
+    Kincaid et al. 1975) — the classic length-weighted readability
+    pair, a standard feature in pretraining quality stacks next to
+    the Gopher/C4 rule batteries:
+
+        ease  = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)
+        grade = 0.39*(W/S) + 11.8*(Syl/W) - 15.59
+
+    with W = normalized token count, S = sentence count (terminal
+    punctuation runs ``[.!?]+``, floor 1 so unpunctuated text counts
+    as one sentence), and Syl = the standard vowel-group syllable
+    heuristic (runs of ``[aeiouy]+`` in the lowercased text; word
+    boundaries are non-vowels, so the global count equals the
+    per-word sum without an explode).
+
+    All three counts are JVM-side regexp_count expressions — no
+    tokenizer UDF, no explode, one narrow map stage; the two scores
+    are fixed-order double arithmetic over exact integers, rounded
+    once (cross-engine stable). Docs with zero words carry NULL
+    scores. Returns ``(id_col, n_words, n_sentences, n_syllables,
+    flesch_ease, fk_grade)``.
+    """
+    low = F.lower(F.col(text_col))
+    n_words = F.size(tokens(text_col))
+    n_sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    n_syll = F.regexp_count(low, F.lit(r"[aeiouy]+"))
+    base = docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+            ),
+            decimals,
+        ).alias("flesch_ease"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+            ),
+            decimals,
+        ).alias("fk_grade"),
+    )

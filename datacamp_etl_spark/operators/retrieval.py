@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from datacamp_etl_spark.operators.spread import ensure_parallelism, scoped_cache
 from datacamp_etl_spark.operators.text import tokens
 
-__all__ = ["tfidf_topk_terms", "bm25_search", "mmr_rerank"]
+__all__ = ["tfidf_topk_terms", "bm25_search", "mmr_rerank", "phrase_match"]
 
 
 def tfidf_topk_terms(
@@ -329,4 +329,61 @@ def mmr_rerank(
     spark = df.sparkSession
     return spark.createDataFrame(
         selected, f"rank long, {id_col} long, mmr_score long"
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: list[str] | tuple[str, ...],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase search via POSITIONAL posting lists — the classic
+    inverted-index adjacency join (Manning, Raghavan & Schütze, IIR
+    §2.4): a document matches where the phrase's terms occur at
+    consecutive token positions. Returns
+    ``(id_col, n_matches, first_pos)`` for matching documents only;
+    positions are 0-based token offsets in normalized-token space.
+
+    Plan shape: one posexplode produces (doc, pos, term) postings,
+    FILTERED to the phrase's term set before any shuffle (the data
+    volume through the join is O(matching postings), not O(corpus
+    tokens) — the same pre-shuffle pruning BM25 uses). The phrase is
+    then closed with len(phrase)-1 self-equi-joins on
+    (doc, pos + offset); each join's key includes the doc id, so
+    co-partitioning carries across the chain and AQE collapses the
+    tiny filtered sides to broadcasts. No UDF, no window.
+    """
+    terms = [str(w) for w in phrase]
+    if len(terms) < 2:
+        raise ValueError("phrase_match wants a phrase of >= 2 terms")
+    pos = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(tokens(text_col)).alias("pos", "term"),
+        )
+        .where(F.col("term").isin(terms))
+    )
+    # each chain step renames its (id, pos) columns so the repeated
+    # self-join over the same postings lineage never produces an
+    # ambiguous reference
+    matched = pos.where(F.col("term") == terms[0]).select(
+        F.col(id_col).alias("__pid"), F.col("pos").alias("p0")
+    )
+    for i, w in enumerate(terms[1:], start=1):
+        nxt = pos.where(F.col("term") == w).select(
+            F.col(id_col).alias(f"__pid{i}"), F.col("pos").alias(f"p{i}")
+        )
+        matched = matched.join(
+            nxt,
+            (F.col(f"__pid{i}") == F.col("__pid"))
+            & (F.col(f"p{i}") == F.col("p0") + i),
+        ).drop(f"__pid{i}")
+    return (
+        matched.groupBy(F.col("__pid").alias(id_col))
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("p0").cast("int").alias("first_pos"),
+        )
     )

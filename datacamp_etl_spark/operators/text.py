@@ -641,3 +641,39 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def kwic_concordance(
+    docs: DataFrame,
+    term: str,
+    *,
+    context: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context concordance (the corpus-linguistics KWIC
+    view; Luhn 1960): every occurrence of ``term`` with its ±context
+    surrounding tokens — the audit view a curation reviewer uses to
+    judge a filter term's real usage before adding it to a rule
+    battery (is "spark" the framework or the ignition system?).
+
+    One posexplode filtered to the term BEFORE any downstream work,
+    then a pure slice/join on the carried token array — no
+    self-join, no window, no UDF; output volume is O(occurrences).
+    Returns ``(id_col, pos, context)`` with pos the 0-based token
+    offset and context the space-joined token window (clamped at
+    document edges).
+    """
+    base = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    ex = base.select(
+        id_col, "__toks", F.posexplode("__toks").alias("pos", "term")
+    ).where(F.col("term") == term)
+    lo = F.greatest(F.col("pos") - context, F.lit(0))
+    hi = F.least(F.col("pos") + context, F.size("__toks") - 1)
+    return ex.select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(
+            F.slice("__toks", lo + 1, hi - lo + 1), " "
+        ).alias("context"),
+    )

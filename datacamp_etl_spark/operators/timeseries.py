@@ -385,3 +385,163 @@ def cusum_changepoint(
             ).alias("cusum_stat"),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    *,
+    period: int = 7,
+    scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Seasonal-means decomposition of the per-group DAILY total —
+    the classical additive model (Kendall & Stuart; the moving-average
+    variant is STL's ancestor):
+
+        total(day) = grand_mean + seasonal(phase) + residual(day)
+
+    with phase = (days since epoch) mod ``period`` (period=7 = day of
+    week), seasonal(phase) = mean(total | phase) - grand_mean, and
+    residual whatever is left. The residual series is the
+    deseasonalized signal anomaly detection should run on (a weekly
+    traffic dip is not an incident); the seasonal profile itself is
+    the capacity-planning shape.
+
+    Exactness contract (same as :func:`trend_slope`): daily totals are
+    integer cents (fixed-point ``scale``); both means are formed as
+    exact-integer sums divided in IEEE double with a fixed operation
+    order, so the identical SQL replays bit-for-bit; rounded once.
+
+    Scale shape: one map-side-combined (group, day) aggregation over
+    the facts, then two window passes OVER THAT BOUNDED TABLE (one
+    per-group, one per-(group, phase)) — no fact-sized window, no
+    scalar cross join, no UDF. Returns
+    ``(group_col, day, phase, total, seasonal, residual)``.
+    """
+    daily = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, F.to_date(ts_col).alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+            ).alias("__y")
+        )
+        .withColumn(
+            "phase",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            % period,
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    wg = W.partitionBy(group_col)
+    wp = W.partitionBy(group_col, "phase")
+    out = daily.select(
+        group_col,
+        "day",
+        F.col("phase").cast("int").alias("phase"),
+        "__y",
+        (
+            F.sum(d("__y")).over(wg).cast("double")
+            / F.count("*").over(wg).cast("double")
+        ).alias("__grand"),
+        (
+            F.sum(d("__y")).over(wp).cast("double")
+            / F.count("*").over(wp).cast("double")
+        ).alias("__pmean"),
+    )
+    sc = F.lit(float(scale))
+    return out.select(
+        group_col,
+        "day",
+        "phase",
+        F.round(F.col("__y").cast("double") / sc, decimals).alias("total"),
+        F.round((F.col("__pmean") - F.col("__grand")) / sc, decimals).alias(
+            "seasonal"
+        ),
+        F.round(
+            (F.col("__y").cast("double") - F.col("__pmean")) / sc, decimals
+        ).alias("residual"),
+    )
+
+
+def cross_correlation(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    series_a: str,
+    series_b: str,
+    *,
+    max_lag: int = 3,
+    scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Lagged cross-correlation between two groups' DAILY totals —
+    the lead/lag diagnostic (Box & Jenkins §11): r(L) = Pearson
+    correlation of (a_t, b_{t+L}) for L in [-max_lag, +max_lag]. A
+    peak at L>0 means series_a LEADS series_b by L days (errors lead
+    purchase drops; clicks lead conversions) — the monitoring signal
+    that turns two drift alarms into one causal hypothesis.
+
+    Exactness (same contract as :func:`trend_slope`): daily totals
+    are integer cents; per lag the five sums are exact
+    DECIMAL(38,0); r is formed in fixed-order IEEE double
+    (num / sqrt(varx) / sqrt(vary)) and rounded once. Lags with < 2
+    overlapping days or zero variance on either side carry NULL.
+
+    Scale shape: one map-side-combined (group, day) aggregation over
+    the facts; each lag is one equi-join between the two BOUNDED
+    daily series (2*max_lag+1 joins over day-count-sized tables) and
+    one fold to a single row. Returns ``(lag, n_days, r)``.
+    """
+    daily = (
+        df.where(
+            F.col(value_col).isNotNull()
+            & F.col(group_col).isin([series_a, series_b])
+        )
+        .groupBy(group_col, F.to_date(ts_col).alias("__day"))
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+            ).alias("__y")
+        )
+    )
+    a = daily.where(F.col(group_col) == series_a).select(
+        F.col("__day").alias("__da"), F.col("__y").alias("__x")
+    )
+    b = daily.where(F.col(group_col) == series_b).select(
+        F.col("__day").alias("__db"), F.col("__y").alias("__z")
+    )
+    lagged = None
+    for lag in range(-max_lag, max_lag + 1):
+        j = a.join(b, F.col("__db") == F.date_add(F.col("__da"), lag)).select(
+            F.lit(lag).cast("int").alias("lag"), "__x", "__z"
+        )
+        lagged = j if lagged is None else lagged.unionAll(j)
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = lagged.groupBy("lag").agg(
+        F.count("*").alias("__n"),
+        F.sum(d("__x")).alias("__sx"),
+        F.sum(d("__z")).alias("__sy"),
+        F.sum(d("__x") * d("__z")).alias("__sxy"),
+        F.sum(d("__x") * d("__x")).alias("__sxx"),
+        F.sum(d("__z") * d("__z")).alias("__syy"),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    num = dd("__n") * dd("__sxy") - dd("__sx") * dd("__sy")
+    varx = dd("__n") * dd("__sxx") - dd("__sx") * dd("__sx")
+    vary = dd("__n") * dd("__syy") - dd("__sy") * dd("__sy")
+    return g.select(
+        "lag",
+        F.col("__n").cast("long").alias("n_days"),
+        F.round(
+            F.when(
+                (F.col("__n") >= 2) & (varx > 0) & (vary > 0),
+                num / F.sqrt(varx) / F.sqrt(vary),
+            ),
+            decimals,
+        ).alias("r"),
+    )

@@ -9876,6 +9876,508 @@ ORACLE["quality_calibration"] = (
 
 
 # =====================================================================
+# [EXT] Round-10b: graph analytics (triangles / clustering / link
+# prediction), FS record linkage, seasonal decomposition, positional
+# phrase search, readability
+# =====================================================================
+
+def _doc_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixture graph over documents: within each source
+    (ordered by doc_id) every doc links to its next and next-next
+    neighbor, so each consecutive trio closes a triangle — chain +
+    skip edges, the smallest graph that exercises wedge closing,
+    degree boundaries (endpoints have deg 2/3) and per-node
+    coefficients. Built with two lead() windows partitioned by source
+    (distributed; no collect)."""
+    docs = t(spark, sf_dir, "documents")
+    win = W.partitionBy("source").orderBy("doc_id")
+    d = docs.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(win).alias("n1"),
+        F.lead("doc_id", 2).over(win).alias("n2"),
+    )
+    e1 = d.where(F.col("n1").isNotNull()).select(
+        F.col("doc_id").alias("src"), F.col("n1").alias("dst")
+    )
+    e2 = d.where(F.col("n2").isNotNull()).select(
+        F.col("doc_id").alias("src"), F.col("n2").alias("dst")
+    )
+    return e1.unionAll(e2)
+
+
+#: shared oracle CTEs replaying the fixture graph + degree table
+_GRAPH_SQL = """
+    WITH d AS (SELECT doc_id, source,
+                      lead(doc_id, 1) OVER (PARTITION BY source
+                                            ORDER BY doc_id) AS n1,
+                      lead(doc_id, 2) OVER (PARTITION BY source
+                                            ORDER BY doc_id) AS n2
+               FROM documents),
+    e AS (SELECT doc_id AS a, n1 AS b FROM d WHERE n1 IS NOT NULL
+          UNION ALL
+          SELECT doc_id AS a, n2 AS b FROM d WHERE n2 IS NOT NULL),
+    deg AS (SELECT node, count(*) AS deg
+            FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+            GROUP BY node)
+"""
+
+#: degree-ordered orientation + wedge closing (triangle core)
+_TRI_SQL = """,
+    o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                      THEN e.a ELSE e.b END AS u,
+                 CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                      THEN e.b ELSE e.a END AS v,
+                 CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                      THEN db.deg ELSE da.deg END AS dv
+          FROM e JOIN deg da ON e.a = da.node
+                 JOIN deg db ON e.b = db.node),
+    w AS (SELECT o1.u AS u, o1.v AS v1, o2.v AS v2
+          FROM o o1 JOIN o o2 ON o1.u = o2.u
+          WHERE (o1.dv, o1.v) < (o2.dv, o2.v)),
+    tri AS (SELECT w.u, w.v1, w.v2
+            FROM w JOIN o ON w.v1 = o.u AND w.v2 = o.v),
+    tc AS (SELECT node, count(*) AS n_tri
+           FROM (SELECT u AS node FROM tri
+                 UNION ALL SELECT v1 FROM tri
+                 UNION ALL SELECT v2 FROM tri)
+           GROUP BY node)
+"""
+
+
+@register(
+    "triangle_counts",
+    _GRAPH_SQL + _TRI_SQL + """
+    SELECT deg.node AS node,
+           CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_triangles
+    FROM deg LEFT JOIN tc ON deg.node = tc.node
+    """,
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-node triangle counting (graph.triangle_counts):
+    degree-ordered node-iterator (Suri & Vassilvitskii WWW'11 /
+    Schank & Wagner 2005) — orient edges low->high by (degree, id),
+    wedge self-join on the oriented source (fan-out bounded
+    O(sqrt(m)) per node), close wedges with one equi-join. Exactly
+    one generation per triangle; three shuffles total at any graph
+    size. The oracle replays the same orientation with SQL row-value
+    comparisons."""
+    from datacamp_etl_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_doc_chain_edges(spark, sf_dir))
+
+
+@register(
+    "clustering_coefficient",
+    _GRAPH_SQL + _TRI_SQL + """
+    SELECT deg.node AS node, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.deg >= 2
+                THEN round(CAST(coalesce(tc.n_tri, 0) * 2 AS DOUBLE)
+                           / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
+                ELSE 0.0 END AS coeff
+    FROM deg LEFT JOIN tc ON deg.node = tc.node
+    """,
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] local clustering coefficient (Watts & Strogatz 1998,
+    graph.clustering_coefficient): 2T/(d(d-1)) per node over the
+    triangle core's bounded plan — the transitivity profile used to
+    characterize community structure before running heavier community
+    detection (label_propagation)."""
+    from datacamp_etl_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_doc_chain_edges(spark, sf_dir))
+
+
+@register(
+    "common_neighbor_pairs",
+    _GRAPH_SQL + """,
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    cn AS (SELECT s1.b AS node_a, s2.b AS node_b, count(*) AS common
+           FROM sym s1 JOIN sym s2 ON s1.a = s2.a
+           WHERE s1.b < s2.b
+           GROUP BY s1.b, s2.b)
+    SELECT node_a, node_b, CAST(common AS BIGINT) AS common,
+           round(CAST(common AS DOUBLE)
+                 / CAST(d1.deg + d2.deg - common AS DOUBLE), 6) AS jaccard
+    FROM cn JOIN deg d1 ON cn.node_a = d1.node
+            JOIN deg d2 ON cn.node_b = d2.node
+    """,
+)
+def q_common_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] link-prediction candidates (graph.common_neighbor_pairs,
+    Liben-Nowell & Kleinberg 2003): node pairs sharing a neighbor,
+    scored by neighbor-set Jaccard. Pairs are generated ONLY through
+    shared-neighbor wedges (self-join on the center node — the
+    blocker), never all-pairs; hub centers can be capped via
+    max_center_degree on power-law graphs (unneeded here: fixture
+    degree <= 4)."""
+    from datacamp_etl_spark.operators.graph import common_neighbor_pairs
+
+    return common_neighbor_pairs(_doc_chain_edges(spark, sf_dir))
+
+
+@register(
+    "fs_linkage_scores",
+    """
+    WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                      c_acctbal, substr(c_name, 1, 16) AS blk
+               FROM customer),
+    p AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+                 CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                      THEN 1 ELSE 0 END AS name_agree,
+                 CASE WHEN a.c_nationkey = b.c_nationkey
+                      THEN 1 ELSE 0 END AS nation_agree,
+                 CASE WHEN a.c_mktsegment = b.c_mktsegment
+                      THEN 1 ELSE 0 END AS segment_agree,
+                 CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0
+                      THEN 1 ELSE 0 END AS balance_agree
+          FROM c a JOIN c b ON a.blk = b.blk
+                            AND a.c_custkey < b.c_custkey),
+    s AS (SELECT *,
+            CAST(CASE WHEN name_agree = 1 THEN 4.0 ELSE -1.0 END
+                 AS DECIMAL(8,1))
+          + CAST(CASE WHEN nation_agree = 1 THEN 2.5 ELSE -0.5 END
+                 AS DECIMAL(8,1))
+          + CAST(CASE WHEN segment_agree = 1 THEN 1.5 ELSE -0.5 END
+                 AS DECIMAL(8,1))
+          + CAST(CASE WHEN balance_agree = 1 THEN 2.0 ELSE -1.0 END
+                 AS DECIMAL(8,1)) AS sc
+          FROM p)
+    SELECT key_a, key_b, name_agree, nation_agree, segment_agree,
+           balance_agree, CAST(sc AS DOUBLE) AS score,
+           CASE WHEN sc >= 6.0 THEN 'match'
+                WHEN sc <= 0.0 THEN 'non_match'
+                ELSE 'possible' END AS decision
+    FROM s
+    """,
+)
+def q_fs_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Fellegi–Sunter record linkage (linkage.fs_score_pairs,
+    Fellegi & Sunter JASA 1969): blocked candidate pairs scored by
+    fixed log-odds field weights (name edit distance, nation, market
+    segment, balance proximity) and classified match / possible /
+    non_match against two thresholds. The block equi-join is the only
+    pair generator (block size bounds task work); scoring is a pure
+    decimal column expression — exact for the oracle, codegen'd on
+    Spark."""
+    from datacamp_etl_spark.operators.linkage import (
+        FieldComparator,
+        blocked_pairs,
+        fs_score_pairs,
+    )
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    pairs = blocked_pairs(c, "c_custkey", "blk")
+    comparators = [
+        FieldComparator(
+            "name", F.levenshtein("c_name_a", "c_name_b") <= 1, "4.0", "-1.0"
+        ),
+        FieldComparator(
+            "nation",
+            F.col("c_nationkey_a") == F.col("c_nationkey_b"),
+            "2.5",
+            "-0.5",
+        ),
+        FieldComparator(
+            "segment",
+            F.col("c_mktsegment_a") == F.col("c_mktsegment_b"),
+            "1.5",
+            "-0.5",
+        ),
+        FieldComparator(
+            "balance",
+            F.abs(F.col("c_acctbal_a") - F.col("c_acctbal_b")) <= 100.0,
+            "2.0",
+            "-1.0",
+        ),
+    ]
+    scored = fs_score_pairs(
+        pairs, comparators, match_threshold="6.0", non_match_threshold="0.0"
+    )
+    return scored.select(
+        F.col("c_custkey_a").alias("key_a"),
+        F.col("c_custkey_b").alias("key_b"),
+        "name_agree",
+        "nation_agree",
+        "segment_agree",
+        "balance_agree",
+        F.col("score").cast("double").alias("score"),
+        "decision",
+    )
+
+
+@register(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (SELECT event_type,
+                          CAST(date_trunc('day', ts) AS DATE) AS day,
+                          sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+                   FROM events WHERE value IS NOT NULL
+                   GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)),
+    d2 AS (SELECT event_type, day, y,
+                  datediff('day', DATE '1970-01-01', day) % 7 AS phase
+           FROM daily),
+    m AS (SELECT event_type, day, CAST(phase AS INT) AS phase, y,
+                 CAST(sum(y) OVER (PARTITION BY event_type) AS DOUBLE)
+                   / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE)
+                   AS grand,
+                 CAST(sum(y) OVER (PARTITION BY event_type, phase) AS DOUBLE)
+                   / CAST(count(*) OVER (PARTITION BY event_type, phase)
+                          AS DOUBLE) AS pmean
+          FROM d2)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, phase,
+           round(CAST(y AS DOUBLE) / 100.0, 6) AS total,
+           round((pmean - grand) / 100.0, 6) AS seasonal,
+           round((CAST(y AS DOUBLE) - pmean) / 100.0, 6) AS residual
+    FROM m
+    """,
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] additive seasonal-means decomposition
+    (timeseries.seasonal_decompose): per event type, daily total =
+    grand mean + day-of-week effect + residual — the deseasonalized
+    residual is what anomaly detection should run on (completes the
+    drift trio PSI/KS/trend with the WHY-is-Monday-low view). Exact
+    contract: integer-cent daily totals, both means as exact sums
+    divided in fixed-order IEEE double, rounded once. Both window
+    passes run over the bounded (group, day) aggregate, never the
+    facts."""
+    from datacamp_etl_spark.operators.timeseries import seasonal_decompose
+
+    ev = t(spark, sf_dir, "events")
+    out = seasonal_decompose(ev, "ts", "value", "event_type")
+    # render the date as a string for the cross-engine hash (same
+    # convention as cusum_changepoint_events' cp_day)
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+@register(
+    "phrase_search_positional",
+    f"""
+    {_TOKS_CTE},
+    pos AS (SELECT doc_id, ti.i - 1 AS pos, toks[ti.i] AS term
+            FROM tk, unnest(range(1, len(toks) + 1)) AS ti(i)
+            WHERE toks[ti.i] IN ('table', 'part')),
+    m AS (SELECT p0.doc_id, p0.pos
+          FROM pos p0 JOIN pos p1
+            ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+          WHERE p0.term = 'table' AND p1.term = 'part')
+    SELECT doc_id, count(*) AS n_matches, CAST(min(pos) AS INT) AS first_pos
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact-phrase search over a positional inverted index
+    (retrieval.phrase_match, IIR §2.4): postings (doc, pos, term)
+    filtered to the phrase's terms BEFORE any shuffle, then adjacency
+    equi-joins close the phrase "table part". Data through the join is
+    O(matching postings), not O(corpus tokens) — the positional-index
+    discipline BM25-style bag-of-words search cannot express."""
+    from datacamp_etl_spark.operators.retrieval import phrase_match
+
+    docs = t(spark, sf_dir, "documents")
+    return phrase_match(docs, ["table", "part"])
+
+
+@register(
+    "readability_scores",
+    f"""
+    {_TOKS_CTE},
+    base AS (SELECT doc_id,
+                    CAST(len(toks) AS BIGINT) AS n_words,
+                    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                         AS BIGINT) AS n_sentences,
+                    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                         AS BIGINT) AS n_syllables
+             FROM tk)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(CASE WHEN n_words > 0 THEN
+                 206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)) END, 4) AS flesch_ease,
+           round(CASE WHEN n_words > 0 THEN
+                 0.39 * (CAST(n_words AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+                 - 15.59 END, 4) AS fk_grade
+    FROM base
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Flesch reading-ease + Flesch–Kincaid grade
+    (quality.readability_scores; Flesch 1948, Kincaid 1975): the
+    classic readability pair from JVM-side regexp counts (words,
+    terminal-punctuation sentences, vowel-group syllables) — one
+    narrow map stage, no explode, no UDF; fixed-order double
+    arithmetic rounded once for the oracle."""
+    from datacamp_etl_spark.operators.quality import readability_scores
+
+    docs = t(spark, sf_dir, "documents")
+    return readability_scores(docs)
+
+
+@register(
+    "lagged_cross_correlation",
+    """
+    WITH daily AS (SELECT event_type,
+                          CAST(date_trunc('day', ts) AS DATE) AS day,
+                          sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+                   FROM events
+                   WHERE value IS NOT NULL
+                     AND event_type IN ('click', 'purchase')
+                   GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)),
+    a AS (SELECT day, y AS x FROM daily WHERE event_type = 'click'),
+    b AS (SELECT day, y AS z FROM daily WHERE event_type = 'purchase'),
+    lags AS (SELECT CAST(unnest(range(-3, 4)) AS INT) AS lag),
+    j AS (SELECT l.lag, a.x, b.z
+          FROM lags l JOIN a ON TRUE
+          JOIN b ON b.day = a.day + INTERVAL (l.lag) DAY),
+    g AS (SELECT lag, count(*) AS n,
+                 sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                 sum(CAST(z AS DECIMAL(38,0))) AS sy,
+                 sum(CAST(x AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)))
+                   AS sxy,
+                 sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                   AS sxx,
+                 sum(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)))
+                   AS syy
+          FROM j GROUP BY lag)
+    SELECT lag, CAST(n AS BIGINT) AS n_days,
+           round(CASE WHEN n >= 2
+                       AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                 END, 6) AS r
+    FROM g
+    """,
+)
+def q_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] lagged cross-correlation (timeseries.cross_correlation,
+    Box & Jenkins §11): Pearson r between click and purchase daily
+    totals at lags -3..+3 — the lead/lag diagnostic that turns two
+    drift alarms into one causal hypothesis. Exact-integer sums per
+    lag (DECIMAL(38,0)); each lag one equi-join between the two
+    bounded daily series; the DuckDB oracle's lags x days cross join
+    is the same bounded shape."""
+    from datacamp_etl_spark.operators.timeseries import cross_correlation
+
+    ev = t(spark, sf_dir, "events")
+    return cross_correlation(ev, "ts", "value", "event_type",
+                             "click", "purchase")
+
+
+@register(
+    "attribution_position_based",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(ts) AS us FROM events),
+    s AS (SELECT user_id, event_id, event_type, us,
+                 first_value(CASE WHEN event_type = 'purchase'
+                                  THEN us END IGNORE NULLS)
+                     OVER w AS cv_us,
+                 first_value(CASE WHEN event_type = 'purchase'
+                                  THEN event_id END IGNORE NULLS)
+                     OVER w AS cv_id
+          FROM e WINDOW w AS (PARTITION BY user_id
+                              ORDER BY us, event_id
+                              ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING)),
+    tch AS (SELECT user_id, event_id, event_type, us, cv_id
+            FROM s WHERE event_type IN ('click', 'view')
+              AND cv_id IS NOT NULL
+              AND cv_us - us <= 86400000000),
+    rk AS (SELECT event_type AS channel, user_id, cv_id,
+                  row_number() OVER (PARTITION BY user_id, cv_id
+                                     ORDER BY us, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id, cv_id) AS k
+           FROM tch),
+    cr AS (SELECT channel, cv_id,
+                  CASE WHEN k = 1 THEN 1000000
+                       WHEN k = 2 THEN 500000
+                       WHEN rn = 1 OR rn = k THEN 400000
+                       WHEN rn = 2 THEN 200000 // (k - 2)
+                            + 200000 - (k - 2) * (200000 // (k - 2))
+                       ELSE 200000 // (k - 2) END AS ppm
+           FROM rk),
+    agg AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+                   CAST(sum(ppm) AS BIGINT) AS credit_ppm
+            FROM cr GROUP BY channel),
+    direct AS (SELECT 'direct' AS channel, CAST(0 AS BIGINT) AS n_touches,
+                      CAST(1000000 * count(*) AS BIGINT) AS credit_ppm
+               FROM s WHERE event_type = 'purchase'
+                 AND event_id NOT IN (SELECT DISTINCT cv_id FROM cr)
+               HAVING count(*) > 0),
+    u AS (SELECT * FROM agg UNION ALL SELECT * FROM direct)
+    SELECT channel, n_touches, credit_ppm,
+           round(CAST(credit_ppm AS DOUBLE) / 1e6, 6) AS credit
+    FROM u
+    """,
+)
+def q_attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] position-based (U-shaped) multi-touch attribution
+    (funnel.attribution_position_based): each purchase splits exactly
+    1,000,000 ppm of credit over its in-window click/view touches —
+    40% first, 40% last, middle 20% split evenly (integer ppm with
+    deterministic remainder placement, so the rollup is an exact
+    integer sum). Forward IGNORE NULLS carry assigns touches to their
+    next conversion; one bounded channel groupBy; untouched purchases
+    roll to 'direct'."""
+    from datacamp_etl_spark.operators.funnel import (
+        attribution_position_based,
+    )
+
+    return attribution_position_based(
+        t(spark, sf_dir, "events"), "purchase", ["click", "view"]
+    )
+
+
+@register(
+    "kwic_concordance",
+    f"""
+    {_TOKS_CTE},
+    pos AS (SELECT doc_id, toks, ti.i AS i
+            FROM tk, unnest(range(1, len(toks) + 1)) AS ti(i)
+            WHERE toks[ti.i] = 'spark')
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           array_to_string(
+               toks[greatest(i - 2, 1):least(i + 2, len(toks))], ' ')
+             AS context
+    FROM pos
+    """,
+)
+def q_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] keyword-in-context concordance (text.kwic_concordance,
+    Luhn 1960): every occurrence of 'spark' with ±2 surrounding
+    tokens — the audit view for judging a filter term's real usage
+    before it enters a rule battery. One term-filtered posexplode +
+    a pure array slice; output O(occurrences)."""
+    from datacamp_etl_spark.operators.text import kwic_concordance
+
+    docs = t(spark, sf_dir, "documents")
+    return kwic_concordance(docs, "spark", context=2)
+
+
+# =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================
 # The round driver oracle-checks the FIRST-50 prefix of this registry

@@ -1,0 +1,448 @@
+"""Round-10b operators: triangle counting / clustering coefficient /
+common-neighbor link prediction (graph.py), Fellegi–Sunter linkage
+(linkage.py), seasonal decomposition (timeseries.py), positional
+phrase search (retrieval.py), readability (quality.py).
+
+Every assertion is against a hand-computed ground truth on a fixture
+small enough to verify on paper."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacamp_etl_spark.operators.graph import (
+    clustering_coefficient,
+    common_neighbor_pairs,
+    degrees,
+    triangle_counts,
+)
+from datacamp_etl_spark.operators.linkage import (
+    FieldComparator,
+    blocked_pairs,
+    fs_score_pairs,
+)
+from datacamp_etl_spark.operators.quality import readability_scores
+from datacamp_etl_spark.operators.retrieval import phrase_match
+from datacamp_etl_spark.operators.timeseries import seasonal_decompose
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+# ---------------------------------------------------------------- graph
+
+def test_triangle_counts_k4(spark):
+    # K4: every one of the 4 triangles touches 3 of the 4 nodes ->
+    # each node is in C(3,2) = 3 triangles
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_edges(spark, k4)).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_triangle_free_and_dupes(spark):
+    # path graph, duplicate + reversed + self-loop edges must not count
+    e = [(1, 2), (2, 1), (2, 3), (2, 3), (3, 4), (4, 4)]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_edges(spark, e)).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_clustering_coefficient_paper_case(spark):
+    # triangle 1-2-3 plus pendant 3-4:
+    # deg = {1:2, 2:2, 3:3, 4:1}; T = {1:1, 2:1, 3:1, 4:0}
+    # coeff(3) = 2*1/(3*2) = 0.333333; coeff(4) = 0 (deg < 2)
+    e = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    rows = {
+        r["node"]: r for r in clustering_coefficient(_edges(spark, e)).collect()
+    }
+    assert rows[1]["coeff"] == 1.0 and rows[1]["deg"] == 2
+    assert rows[3]["coeff"] == pytest.approx(0.333333)
+    assert rows[4]["coeff"] == 0.0 and rows[4]["n_triangles"] == 0
+
+
+def test_degrees(spark):
+    e = [(1, 2), (2, 3), (2, 3), (3, 2)]  # dupes collapse
+    got = {r["node"]: r["deg"] for r in degrees(_edges(spark, e)).collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_common_neighbor_pairs_jaccard(spark):
+    # star 0-{1,2,3} plus edge 1-2:
+    # N(1)={0,2}, N(2)={0,1}, N(3)={0}
+    # pair (1,2): common={0} -> 1/(2+2-1) = 1/3
+    # pair (1,3): common={0} -> 1/(2+1-1) = 1/2 ; (2,3) likewise
+    # pair (0,2) via center 1: N(0)={1,2,3}, N(2)={0,1} common={1} -> 1/4
+    e = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    rows = {
+        (r["node_a"], r["node_b"]): r
+        for r in common_neighbor_pairs(_edges(spark, e)).collect()
+    }
+    assert rows[(1, 2)]["common"] == 1
+    assert rows[(1, 2)]["jaccard"] == pytest.approx(0.333333)
+    assert rows[(1, 3)]["jaccard"] == pytest.approx(0.5)
+    assert rows[(0, 2)]["jaccard"] == pytest.approx(0.25)
+
+
+def test_common_neighbor_hub_cap(spark):
+    # capping the center degree drops pairs generated THROUGH the hub
+    e = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    capped = common_neighbor_pairs(_edges(spark, e), max_center_degree=2)
+    got = {(r["node_a"], r["node_b"]) for r in capped.collect()}
+    # hub 0 (deg 3) no longer generates (1,2)/(1,3)/(2,3); centers 1
+    # and 2 (deg 2) still generate (0,2) and (0,1)
+    assert (1, 3) not in got and (2, 3) not in got
+    assert (0, 2) in got and (0, 1) in got
+
+
+# -------------------------------------------------------------- linkage
+
+def test_blocked_pairs_and_fs_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ann", "b1", 10.0),
+            (2, "ann", "b1", 50.0),
+            (3, "bob", "b1", 500.0),
+            (4, "ann", "b2", 10.0),  # other block: never paired with 1-3
+        ],
+        "id long, name string, blk string, bal double",
+    )
+    pairs = blocked_pairs(df, "id", "blk")
+    assert pairs.count() == 3  # C(3,2) within b1
+    scored = fs_score_pairs(
+        pairs,
+        [
+            FieldComparator(
+                "name", F.col("name_a") == F.col("name_b"), "3.0", "-1.0"
+            ),
+            FieldComparator(
+                "bal",
+                F.abs(F.col("bal_a") - F.col("bal_b")) <= 100.0,
+                "2.0",
+                "-2.0",
+            ),
+        ],
+        match_threshold="5.0",
+        non_match_threshold="0.0",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r for r in scored.collect()
+    }
+    # (1,2): name agree + bal agree -> 5.0 match
+    assert float(rows[(1, 2)]["score"]) == 5.0
+    assert rows[(1, 2)]["decision"] == "match"
+    # (1,3): both disagree -> -3.0 non_match
+    assert float(rows[(1, 3)]["score"]) == -3.0
+    assert rows[(1, 3)]["decision"] == "non_match"
+    assert rows[(1, 3)]["name_agree"] == 0
+    # (2,3): name disagree, bal disagree (450 gap) -> -3.0
+    assert rows[(2, 3)]["decision"] == "non_match"
+
+
+def test_fs_possible_band(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "b", 0.0), (2, "x", "b", 400.0)],
+        "id long, name string, blk string, bal double",
+    )
+    scored = fs_score_pairs(
+        blocked_pairs(df, "id", "blk"),
+        [
+            FieldComparator(
+                "name", F.col("name_a") == F.col("name_b"), "3.0", "-1.0"
+            ),
+            FieldComparator(
+                "bal",
+                F.abs(F.col("bal_a") - F.col("bal_b")) <= 100.0,
+                "2.0",
+                "-2.0",
+            ),
+        ],
+        match_threshold="5.0",
+        non_match_threshold="0.0",
+    )
+    r = scored.collect()[0]
+    assert float(r["score"]) == 1.0 and r["decision"] == "possible"
+
+
+# ----------------------------------------------------------- timeseries
+
+def test_seasonal_decompose_exact(spark):
+    # 2 full weeks, group g: value = 10 on phase 0 days, 20 otherwise.
+    # 1970-01-01 is phase 0 by the epoch-mod definition.
+    rows = [
+        ("g", f"1970-01-{d:02d} 12:00:00", 10.0 if (d - 1) % 7 == 0 else 20.0)
+        for d in range(1, 15)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), F.col("v").alias("v")
+    )
+    out = seasonal_decompose(df, "ts", "v", "g").collect()
+    by_day = {str(r["day"]): r for r in out}
+    assert len(by_day) == 14
+    # grand mean = (2*10 + 12*20)/14 = 260/14; phase-0 mean = 10
+    grand = 260.0 / 14
+    r0 = by_day["1970-01-01"]
+    assert r0["phase"] == 0
+    assert r0["total"] == 10.0
+    assert r0["seasonal"] == pytest.approx(round(10 - grand, 6), abs=1e-6)
+    assert r0["residual"] == pytest.approx(0.0)
+    r1 = by_day["1970-01-02"]
+    assert r1["seasonal"] == pytest.approx(round(20 - grand, 6), abs=1e-6)
+    # identity: total = grand + seasonal + residual on every day
+    for r in out:
+        assert r["total"] == pytest.approx(
+            grand + r["seasonal"] + r["residual"], abs=1e-5
+        )
+
+
+def test_seasonal_decompose_null_values_excluded(spark):
+    df = spark.createDataFrame(
+        [("g", "1970-01-01 00:00:00", None), ("g", "1970-01-02 00:00:00", 5.0)],
+        "g string, ts string, v double",
+    ).select("g", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = seasonal_decompose(df, "ts", "v", "g").collect()
+    assert len(out) == 1 and out[0]["total"] == 5.0
+
+
+# ------------------------------------------------------------ retrieval
+
+def test_phrase_match_positions_and_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "big table part small table part"),  # matches at 1 and 4
+            (2, "table part"),  # match at 0
+            (3, "part table"),  # reversed: no match
+            (4, "table and part"),  # not adjacent: no match
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match(docs, ["table", "part"]).collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 0)}
+
+
+def test_phrase_match_repeated_word_overlap(spark):
+    # "table table table" contains the phrase (table, table) TWICE
+    # (positions 0-1 and 1-2) — substring counting would see one
+    docs = spark.createDataFrame(
+        [(1, "table table table")], "doc_id long, text string"
+    )
+    r = phrase_match(docs, ["table", "table"]).collect()[0]
+    assert (r["n_matches"], r["first_pos"]) == (2, 0)
+
+
+def test_phrase_match_three_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in phrase_match(docs, ["a", "b", "c"]).collect()}
+    assert got == {1}
+
+
+def test_phrase_match_rejects_single_term(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        phrase_match(docs, ["x"])
+
+
+# -------------------------------------------------------------- quality
+
+def test_readability_counts_and_scores(spark):
+    # "the cat sat. it ran!" -> words 5, sentences 2,
+    # syllables: e/a/a/i/a -> 5 vowel groups
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. it ran!"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    r = rows[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 5)
+    wps, spw = 5 / 2, 5 / 5
+    assert r["flesch_ease"] == pytest.approx(
+        round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+    )
+    assert r["fk_grade"] == pytest.approx(
+        round(0.39 * wps + 11.8 * spw - 15.59, 4)
+    )
+    # empty doc: zero words, sentence floor 1, NULL scores
+    r2 = rows[2]
+    assert (r2["n_words"], r2["n_sentences"]) == (0, 1)
+    assert r2["flesch_ease"] is None and r2["fk_grade"] is None
+
+
+def test_readability_unpunctuated_floor(spark):
+    docs = spark.createDataFrame(
+        [(1, "no punctuation here")], "doc_id long, text string"
+    )
+    r = readability_scores(docs).collect()[0]
+    assert r["n_sentences"] == 1 and r["n_words"] == 3
+
+
+# ----------------------------------------------------- cross-correlation
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    )
+    return df.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+        F.monotonically_increasing_id().alias("event_id"),
+    )
+
+
+def test_cross_correlation_perfect_lead(spark):
+    from datacamp_etl_spark.operators.timeseries import cross_correlation
+
+    # b at day d+1 = 2 * a at day d  ->  r(lag=+1) == 1.0 exactly
+    rows = []
+    vals = [10.0, 30.0, 20.0, 50.0, 40.0]
+    for i, v in enumerate(vals, start=1):
+        rows.append((1, f"1970-01-{i:02d} 01:00:00", "a", v))
+        rows.append((1, f"1970-01-{i+1:02d} 01:00:00", "b", 2 * v))
+    out = cross_correlation(
+        _ev(spark, rows), "ts", "value", "event_type", "a", "b", max_lag=2
+    )
+    r = {row["lag"]: row for row in out.collect()}
+    assert r[1]["r"] == pytest.approx(1.0)
+    assert r[1]["n_days"] == 5
+    # lag 0 overlaps on days 2..5 (4 points) with imperfect alignment
+    assert r[0]["n_days"] == 4
+    assert r[0]["r"] is None or abs(r[0]["r"]) < 1.0
+
+
+def test_cross_correlation_null_on_degenerate(spark):
+    from datacamp_etl_spark.operators.timeseries import cross_correlation
+
+    # constant series -> zero variance -> NULL r, never a div-by-zero
+    rows = [
+        (1, "1970-01-01 01:00:00", "a", 5.0),
+        (1, "1970-01-02 01:00:00", "a", 5.0),
+        (1, "1970-01-01 02:00:00", "b", 1.0),
+        (1, "1970-01-02 02:00:00", "b", 9.0),
+    ]
+    out = cross_correlation(
+        _ev(spark, rows), "ts", "value", "event_type", "a", "b", max_lag=0
+    ).collect()
+    assert len(out) == 1 and out[0]["r"] is None
+
+
+# ------------------------------------------------ position-based attribution
+
+def test_attribution_u_shape_exact_ppm(spark):
+    from datacamp_etl_spark.operators.funnel import attribution_position_based
+
+    # one user: click, view, click, then purchase -> k=3:
+    # first click 400000, middle view 200000, last click 400000
+    rows = [
+        (1, "1970-01-01 00:01:00", "click", 1.0),
+        (1, "1970-01-01 00:02:00", "view", 1.0),
+        (1, "1970-01-01 00:03:00", "click", 1.0),
+        (1, "1970-01-01 00:04:00", "purchase", 1.0),
+    ]
+    out = attribution_position_based(
+        _ev(spark, rows), "purchase", ["click", "view"]
+    )
+    got = {r["channel"]: r for r in out.collect()}
+    assert got["click"]["credit_ppm"] == 800_000
+    assert got["view"]["credit_ppm"] == 200_000
+    assert got["click"]["n_touches"] == 2
+    assert "direct" not in got
+
+
+def test_attribution_remainder_and_conservation(spark):
+    from datacamp_etl_spark.operators.funnel import attribution_position_based
+
+    # k=5 touches: shares 400000/66668/66666/66666/400000 (remainder 2
+    # goes to the FIRST middle) — total exactly 1_000_000
+    rows = [
+        (1, f"1970-01-01 00:0{i}:00", "click", 1.0) for i in range(1, 6)
+    ] + [(1, "1970-01-01 00:06:00", "purchase", 1.0)]
+    out = attribution_position_based(
+        _ev(spark, rows), "purchase", ["click", "view"]
+    ).collect()
+    assert sum(r["credit_ppm"] for r in out) == 1_000_000
+
+
+def test_attribution_direct_and_window(spark):
+    from datacamp_etl_spark.operators.funnel import attribution_position_based
+
+    rows = [
+        # user 1: touch 2 days before purchase -> outside 24h -> direct
+        (1, "1970-01-01 00:00:00", "click", 1.0),
+        (1, "1970-01-03 00:00:00", "purchase", 1.0),
+        # user 2: clean single-touch conversion
+        (2, "1970-01-01 00:00:00", "view", 1.0),
+        (2, "1970-01-01 01:00:00", "purchase", 1.0),
+    ]
+    out = attribution_position_based(
+        _ev(spark, rows), "purchase", ["click", "view"]
+    )
+    got = {r["channel"]: r for r in out.collect()}
+    assert got["direct"]["credit_ppm"] == 1_000_000
+    assert got["view"]["credit_ppm"] == 1_000_000
+    assert "click" not in got
+
+
+def test_attribution_two_touch_split(spark):
+    from datacamp_etl_spark.operators.funnel import attribution_position_based
+
+    rows = [
+        (1, "1970-01-01 00:01:00", "click", 1.0),
+        (1, "1970-01-01 00:02:00", "view", 1.0),
+        (1, "1970-01-01 00:03:00", "purchase", 1.0),
+    ]
+    got = {
+        r["channel"]: r["credit_ppm"]
+        for r in attribution_position_based(
+            _ev(spark, rows), "purchase", ["click", "view"]
+        ).collect()
+    }
+    assert got == {"click": 500_000, "view": 500_000}
+
+
+# ------------------------------------------------------------------ KWIC
+
+def test_kwic_contexts_and_edges(spark):
+    from datacamp_etl_spark.operators.text import kwic_concordance
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b spark c d"),
+            (2, "spark x"),
+            (3, "y spark"),
+            (4, "no match here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["pos"]): r["context"]
+        for r in kwic_concordance(docs, "spark", context=2).collect()
+    }
+    assert got == {
+        (1, 2): "a b spark c d",
+        (2, 0): "spark x",
+        (3, 1): "y spark",
+    }
+
+
+def test_kwic_multiple_occurrences(spark):
+    from datacamp_etl_spark.operators.text import kwic_concordance
+
+    docs = spark.createDataFrame(
+        [(1, "spark a spark")], "doc_id long, text string"
+    )
+    rows = kwic_concordance(docs, "spark", context=1).collect()
+    got = {(r["pos"], r["context"]) for r in rows}
+    assert got == {(0, "spark a"), (2, "a spark")}
