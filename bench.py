@@ -191,6 +191,10 @@ HEADLINE = [
     "lagged_cross_correlation",
     "attribution_position_based",
     "kwic_concordance",
+    "ngram_novelty_scores",
+    "vocab_growth_curve",
+    "interarrival_burstiness",
+    "gini_doc_length_by_source",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

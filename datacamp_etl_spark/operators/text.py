@@ -677,3 +677,114 @@ def kwic_concordance(
             F.slice("__toks", lo + 1, hi - lo + 1), " "
         ).alias("context"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty against the whole corpus: the
+    fraction of a document's distinct word k-shingles whose FIRST
+    corpus occurrence (minimum ``id_col``) is this document — the
+    diversity/redundancy signal a curation pipeline reads before
+    sampling (a low-novelty tail is boilerplate even when no single
+    pair crosses a near-dup threshold; cf. the coverage/novelty
+    framing in deduplication studies, Lee et al. 2022).
+
+    One shingle explode (distinct within doc by construction), one
+    groupBy(gram) for the first-occurrence table, one join back, one
+    per-doc fold — all map-side-combinable equi-shuffles on the gram
+    hash. Returns ``(id_col, n_grams, n_novel, novelty)`` for every
+    document (short docs carry 0 grams and NULL novelty).
+    """
+    from datacamp_etl_spark.operators.dedup import shingles
+
+    ex = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("gram")
+    )
+    first = ex.groupBy("gram").agg(F.min(id_col).alias("__first"))
+    per = (
+        ex.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    base = docs.select(id_col)
+    return base.join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+            ),
+            decimals,
+        ).alias("novelty"),
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    *,
+    buckets: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law view): documents are split
+    into ``buckets`` equal-count strata by ``id_col`` order, and each
+    stratum reports its token volume, its NEW word types (types whose
+    first corpus occurrence falls in that stratum) and the cumulative
+    curve — the corpus-health diagnostic that shows whether new data
+    still adds vocabulary or only repeats it.
+
+    Scale posture: the per-DOCUMENT total order that a naive
+    cumulative curve needs is deliberately coarsened to a bucket
+    granularity — bucketing uses the range-exchange
+    :func:`~datacamp_etl_spark.operators.ids.exact_ntile` (parallel,
+    never a single-task global window) and the only ordered window
+    runs over the <= ``buckets``-row aggregate. Returns
+    ``(bucket, n_tokens, new_types, cum_tokens, cum_types)``.
+    """
+    from pyspark.sql import Window as W
+
+    from datacamp_etl_spark.operators.ids import exact_ntile
+
+    binned = exact_ntile(
+        docs.select(F.col(id_col), tokens(text_col).alias("__toks")),
+        [id_col],
+        buckets,
+        bucket_col="bucket",
+    )
+    vol = binned.groupBy("bucket").agg(
+        F.sum(F.size("__toks")).cast("long").alias("n_tokens")
+    )
+    types = binned.select(
+        "bucket", F.explode("__toks").alias("tok")
+    ).where(F.col("tok") != "")
+    first = types.groupBy("tok").agg(F.min("bucket").alias("__fb"))
+    new_types = first.groupBy(F.col("__fb").alias("bucket")).agg(
+        F.count("*").cast("long").alias("new_types")
+    )
+    per = vol.join(new_types, "bucket", "left").select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per.select(
+        "bucket",
+        "n_tokens",
+        "new_types",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_types").over(w).cast("long").alias("cum_types"),
+    )

@@ -10377,6 +10377,155 @@ def q_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kwic_concordance(docs, "spark", context=2)
 
 
+@register(
+    "ngram_novelty_scores",
+    f"""
+    {_SHINGLES_CTE},
+    first AS (SELECT shingle, min(doc_id) AS f FROM sh GROUP BY shingle),
+    per AS (SELECT sh.doc_id AS doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN first.f = sh.doc_id THEN 1 ELSE 0 END)
+                     AS n_novel
+            FROM sh JOIN first ON sh.shingle = first.shingle
+            GROUP BY sh.doc_id)
+    SELECT d.doc_id, CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CASE WHEN per.n_grams > 0
+                 THEN CAST(per.n_novel AS DOUBLE)
+                      / CAST(per.n_grams AS DOUBLE) END, 6) AS novelty
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def q_ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-doc corpus novelty (text.ngram_novelty): fraction of
+    the doc's distinct 3-shingles whose FIRST corpus occurrence (min
+    doc_id) is this doc — the redundancy signal below the near-dup
+    threshold (Lee et al. 2022's coverage view). One shingle explode
+    + first-occurrence groupBy + join-back; all equi-shuffles on the
+    gram hash."""
+    from datacamp_etl_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "vocab_growth_curve",
+    f"""
+    {_TOKS_CTE},
+    b AS (SELECT doc_id, toks, ntile(20) OVER (ORDER BY doc_id) AS bucket
+          FROM tk),
+    vol AS (SELECT bucket, sum(len(toks)) AS n_tokens FROM b GROUP BY bucket),
+    tokexp AS (SELECT bucket, unnest(toks) AS tok FROM b),
+    firstb AS (SELECT tok, min(bucket) AS fb FROM tokexp WHERE tok <> ''
+               GROUP BY tok),
+    nt AS (SELECT fb AS bucket, count(*) AS new_types FROM firstb
+           GROUP BY fb),
+    per AS (SELECT CAST(vol.bucket AS INT) AS bucket,
+                   CAST(vol.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types
+            FROM vol LEFT JOIN nt ON vol.bucket = nt.bucket)
+    SELECT bucket, n_tokens, new_types,
+           CAST(sum(n_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED
+                PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(sum(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED
+                PRECEDING) AS BIGINT) AS cum_types
+    FROM per
+    """,
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] vocabulary growth / Heaps-law curve (text.vocab_growth):
+    20 equal-count doc strata (range-exchange exact_ntile, never a
+    single-task global window over the data) with per-stratum token
+    volume, first-seen word types and the cumulative curve — does new
+    data still add vocabulary? The only ordered window runs over the
+    20-row aggregate (allowlisted)."""
+    from datacamp_etl_spark.operators.text import vocab_growth
+
+    return vocab_growth(t(spark, sf_dir, "documents"), buckets=20)
+
+
+@register(
+    "interarrival_burstiness",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+    g AS (SELECT user_id,
+                 us - lag(us) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS gap
+          FROM e),
+    a AS (SELECT user_id, count(*) AS n_ev, count(gap) AS n,
+                 sum(CAST(gap AS DECIMAL(38,0))) AS s,
+                 sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+                   AS q
+          FROM g GROUP BY user_id HAVING count(*) >= 3)
+    SELECT user_id, CAST(n_ev AS BIGINT) AS n_events,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+             AS mean_gap_s,
+           round(CASE WHEN sqrt(greatest(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0))
+                           / CAST(n AS DOUBLE)
+                       + CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0
+                 THEN (sqrt(greatest(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0))
+                            / CAST(n AS DOUBLE)
+                       - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / (sqrt(greatest(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0))
+                              / CAST(n AS DOUBLE)
+                         + CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 END, 6) AS burstiness
+    FROM a
+    """,
+)
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] inter-arrival burstiness B = (σ−μ)/(σ+μ) per user
+    (timeseries.interarrival_burstiness, Goh & Barabási 2008): the
+    metronome-vs-burst behavioral fingerprint separating schedulers
+    and scrapers from organic users. Exact integer-microsecond gaps,
+    DECIMAL(38,0) sums, fixed-order double formula — bit-replayed by
+    the oracle."""
+    from datacamp_etl_spark.operators.timeseries import (
+        interarrival_burstiness,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    return interarrival_burstiness(
+        ev, "ts", "user_id", order_col="event_id", min_events=3
+    )
+
+
+@register(
+    "gini_doc_length_by_source",
+    """
+    WITH r AS (SELECT source, CAST(n_chars AS DECIMAL(38,0)) AS x,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars, doc_id) AS i
+               FROM documents),
+    a AS (SELECT source, count(*) AS n, sum(x) AS s,
+                 sum(CAST(i AS DECIMAL(38,0)) * x) AS t
+          FROM r GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_rows,
+           round(CASE WHEN s > 0 THEN
+                 (2.0 * CAST(t AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+                 END, 6) AS gini
+    FROM a
+    """,
+)
+def q_gini_doc_length_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] per-source Gini concentration of document length
+    (profile.gini_by_group, Sen 1973 rank form): the
+    full-distribution complement to key_skew_report's top-k share —
+    a source at G→1 is one giant document wearing many doc_ids.
+    Ranks from one source-partitioned window with deterministic
+    tiebreak; exact decimal sums; fixed-order double formula."""
+    from datacamp_etl_spark.operators.profile import gini_by_group
+
+    docs = t(spark, sf_dir, "documents")
+    return gini_by_group(docs, "source", "n_chars", "doc_id")
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

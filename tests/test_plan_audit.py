@@ -95,10 +95,17 @@ ALLOWED_BNLJ = {
 
 #: Partitionless-Window allowlist: query -> why the window's input is
 #: bounded by construction (NOT by luck of the current data size).
-#: Currently EMPTY — every registered query plans zero global windows
+#: One entry: vocab_growth_curve's cumulative curve — its ordered
+#: window runs over the <= buckets-row (20) bucket AGGREGATE produced
+#: by the range-exchange exact_ntile, never over document rows; the
+#: single-task input is bounded by the buckets constant, not the data.
 #: (hybrid RRF's bounded pool rankings were rewritten as self-join
 #: counts precisely so this list could stay empty).
-ALLOWED_GLOBAL_WINDOW: dict[str, str] = {}
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
+    "vocab_growth_curve": "cumulative sums over the <=20-row bucket "
+    "aggregate (exact_ntile output), bounded by the buckets constant "
+    "at any data size",
+}
 
 
 def _plannable(name: str) -> bool:

@@ -446,3 +446,114 @@ def test_kwic_multiple_occurrences(spark):
     rows = kwic_concordance(docs, "spark", context=1).collect()
     got = {(r["pos"], r["context"]) for r in rows}
     assert got == {(0, "spark a"), (2, "a spark")}
+
+
+# ------------------------------------------------------------- novelty
+
+def test_ngram_novelty_copy_detection(spark):
+    from datacamp_etl_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # all 3 shingles first seen here
+            (2, "a b c d e"),       # verbatim copy -> novelty 0
+            (3, "x y z w"),         # fresh -> novelty 1
+            (4, "a b"),             # too short for 3-shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, k=3).collect()}
+    assert got[1]["n_grams"] == 3 and got[1]["novelty"] == 1.0
+    assert got[2]["n_grams"] == 3 and got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0
+    assert got[4]["n_grams"] == 0 and got[4]["novelty"] is None
+
+
+def test_vocab_growth_two_buckets(spark):
+    from datacamp_etl_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a"),      # bucket 1: 3 tokens, types {a, b}
+            (2, "b c"),        # bucket 2: 2 tokens, new type {c}
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["bucket"]: r for r in vocab_growth(docs, buckets=2).collect()}
+    assert got[1]["n_tokens"] == 3 and got[1]["new_types"] == 2
+    assert got[2]["n_tokens"] == 2 and got[2]["new_types"] == 1
+    assert got[2]["cum_tokens"] == 5 and got[2]["cum_types"] == 3
+
+
+# ----------------------------------------------------------- burstiness
+
+def test_burstiness_metronome_and_cutoff(spark):
+    from datacamp_etl_spark.operators.timeseries import (
+        interarrival_burstiness,
+    )
+
+    rows = [
+        # user 1: perfect metronome, gap 60s -> sigma 0 -> B = -1
+        (1, "1970-01-01 00:01:00", "click", 1.0),
+        (1, "1970-01-01 00:02:00", "click", 1.0),
+        (1, "1970-01-01 00:03:00", "click", 1.0),
+        (1, "1970-01-01 00:04:00", "click", 1.0),
+        # user 2: only 2 events -> below min_events, dropped
+        (2, "1970-01-01 00:01:00", "click", 1.0),
+        (2, "1970-01-01 00:02:00", "click", 1.0),
+    ]
+    out = interarrival_burstiness(
+        _ev(spark, rows), "ts", "user_id", order_col="event_id"
+    )
+    got = {r["user_id"]: r for r in out.collect()}
+    assert set(got) == {1}
+    assert got[1]["burstiness"] == pytest.approx(-1.0)
+    assert got[1]["mean_gap_s"] == pytest.approx(60.0)
+    assert got[1]["n_events"] == 4
+
+
+def test_burstiness_bursty_user_positive_shift(spark):
+    from datacamp_etl_spark.operators.timeseries import (
+        interarrival_burstiness,
+    )
+
+    # gaps 1s, 1s, 3598s — replicate the exact formula in Python
+    rows = [
+        (1, "1970-01-01 00:00:00", "c", 1.0),
+        (1, "1970-01-01 00:00:01", "c", 1.0),
+        (1, "1970-01-01 00:00:02", "c", 1.0),
+        (1, "1970-01-01 01:00:00", "c", 1.0),
+    ]
+    import math
+
+    gaps = [1e6, 1e6, 3598e6]
+    mu = sum(gaps) / 3
+    sigma = math.sqrt(sum(g * g for g in gaps) * 3 - sum(gaps) ** 2) / 3
+    expect = round((sigma - mu) / (sigma + mu), 6)
+    out = interarrival_burstiness(
+        _ev(spark, rows), "ts", "user_id", order_col="event_id"
+    ).collect()
+    assert out[0]["burstiness"] == pytest.approx(expect)
+    assert 0 < out[0]["burstiness"] < 1
+
+
+# ------------------------------------------------------------------ gini
+
+def test_gini_uniform_and_concentrated(spark):
+    from datacamp_etl_spark.operators.profile import gini_by_group
+
+    df = spark.createDataFrame(
+        [
+            ("even", 1, 10), ("even", 2, 10), ("even", 3, 10),
+            ("conc", 4, 0), ("conc", 5, 0), ("conc", 6, 10),
+            ("zero", 7, 0),
+        ],
+        "src string, id long, x long",
+    )
+    got = {
+        r["src"]: r for r in gini_by_group(df, "src", "x", "id").collect()
+    }
+    assert got["even"]["gini"] == pytest.approx(0.0)
+    # (0,0,10): G = 2*30/(3*10) - 4/3 = 2/3
+    assert got["conc"]["gini"] == pytest.approx(round(2 / 3, 6))
+    assert got["zero"]["gini"] is None
