@@ -195,6 +195,9 @@ HEADLINE = [
     "vocab_growth_curve",
     "interarrival_burstiness",
     "gini_doc_length_by_source",
+    "rfm_segments",
+    "basket_pair_lift",
+    "image_dedup_clusters",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

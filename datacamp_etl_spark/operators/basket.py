@@ -1,0 +1,101 @@
+"""Market-basket co-occurrence analysis [EXT] — pairwise association
+rules (support / confidence / lift) over order baskets.
+
+The classic Agrawal-Srikant (SIGMOD'93) frequent-itemset view cut to
+its pairwise core, which is what retail/affinity dashboards actually
+consume: for items a, b
+
+    support(a,b)    = P(a and b)          = n_ab / N
+    confidence(a→b) = P(b | a)            = n_ab / n_a
+    lift(a,b)       = P(ab) / (P(a)P(b))  = N * n_ab / (n_a * n_b)
+
+Spark-first design: one distinct (basket, item) projection, a within-
+basket self equi-join for pairs (the shuffle key is the basket id, so
+per-task work is bounded by the largest basket's square — pass
+``max_basket_size`` to drop degenerate mega-baskets, the standard
+guard), item counts from one map-side-combined groupBy, and the single
+scalar N broadcast as a one-row crossJoin. All ratios are fixed-order
+IEEE double over exact integer counts, rounded once — replayable in
+ANSI SQL for the oracle gate.
+
+The reference has no basket surface (equijoin ETL only,
+lib/etl/loading.rb:232-250); [EXT] north-star operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["basket_pair_lift"]
+
+
+def basket_pair_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 2,
+    max_basket_size: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise association rules over baskets: returns
+    ``(item_a, item_b, n_pair, support, confidence_ab, lift)`` for
+    unordered item pairs (item_a < item_b) co-occurring in at least
+    ``min_pair_count`` baskets; ``confidence_ab`` is P(b|a).
+
+    Exactness: n_pair / n_a / n_b / N are exact integer counts; the
+    three ratios are formed in a fixed operation order and rounded
+    once. Basket multiplicity is ignored (distinct items per basket),
+    matching the standard itemset semantics.
+    """
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_size is not None:
+        sz = Window.partitionBy("__b")
+        items = (
+            items.withColumn("__sz", F.count("*").over(sz))
+            .where(F.col("__sz") <= max_basket_size)
+            .drop("__sz")
+        )
+    n_baskets = items.select("__b").distinct().agg(
+        F.count("*").alias("__N")
+    )
+    item_counts = items.groupBy("__i").agg(F.count("*").alias("__n"))
+    a = items.select("__b", F.col("__i").alias("item_a"))
+    b = items.select("__b", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    ca = item_counts.select(
+        F.col("__i").alias("item_a"), F.col("__n").alias("__na")
+    )
+    cb = item_counts.select(
+        F.col("__i").alias("item_b"), F.col("__n").alias("__nb")
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        # 1-row basket-count scalar: the only non-equi join, bounded
+        # to one row at any data size (plan-audit allowlisted)
+        .crossJoin(n_baskets)
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(dd("n_pair") / dd("__N"), decimals).alias("support"),
+            F.round(dd("n_pair") / dd("__na"), decimals).alias(
+                "confidence_ab"
+            ),
+            F.round(
+                dd("__N") * dd("n_pair") / (dd("__na") * dd("__nb")),
+                decimals,
+            ).alias("lift"),
+        )
+    )

@@ -614,3 +614,50 @@ def gini_by_group(
         F.col("__n").cast("long").alias("n_rows"),
         F.round(F.when(F.col("__s") > 0, g), decimals).alias("gini"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    *,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    ntiles: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """RFM segmentation (Hughes 1994): every customer scored 1..n on
+    Recency (last order date), Frequency (order count) and Monetary
+    (lifetime spend), each as an exact equal-count quantile — the
+    classic lifecycle segmentation (r=f=m=n is the champion corner,
+    r=1 the churned). Ascending semantics on all three axes: higher
+    score = more recent / more frequent / higher spend.
+
+    Exactness & scale: spend accumulates in integer cents; each axis
+    is binned by :func:`~datacamp_etl_spark.operators.ids.exact_ntile`
+    (range-exchange + parallel per-partition windows — ANSI-ntile
+    values WITHOUT the single-task global sort ``ntile().over()``
+    would plan), with the customer key as deterministic tiebreak.
+    Returns ``(cust_col, r, f, m, segment)`` with segment = r*100 +
+    f*10 + m.
+    """
+    from datacamp_etl_spark.operators.ids import exact_ntile
+
+    per = orders.groupBy(cust_col).agg(
+        F.max(date_col).alias("__last"),
+        F.count("*").alias("__f"),
+        F.sum(
+            F.floor(F.col(amount_col) * scale + F.lit(0.5)).cast("long")
+        ).alias("__m"),
+    )
+    binned = exact_ntile(per, ["__last", cust_col], ntiles, bucket_col="r")
+    binned = exact_ntile(binned, ["__f", cust_col], ntiles, bucket_col="f")
+    binned = exact_ntile(binned, ["__m", cust_col], ntiles, bucket_col="m")
+    return binned.select(
+        cust_col,
+        F.col("r").cast("int").alias("r"),
+        F.col("f").cast("int").alias("f"),
+        F.col("m").cast("int").alias("m"),
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("int")
+        .alias("segment"),
+    )

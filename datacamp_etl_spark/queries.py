@@ -10526,6 +10526,123 @@ def q_gini_doc_length_by_source(
     return gini_by_group(docs, "source", "n_chars", "doc_id")
 
 
+@register(
+    "rfm_segments",
+    """
+    WITH per AS (SELECT o_custkey,
+                        max(o_orderdate) AS last_dt,
+                        count(*) AS fr,
+                        sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                          AS mo
+                 FROM orders GROUP BY o_custkey),
+    nt AS (SELECT o_custkey,
+                  ntile(5) OVER (ORDER BY last_dt, o_custkey) AS r,
+                  ntile(5) OVER (ORDER BY fr, o_custkey) AS f,
+                  ntile(5) OVER (ORDER BY mo, o_custkey) AS m
+           FROM per)
+    SELECT o_custkey, CAST(r AS INT) AS r, CAST(f AS INT) AS f,
+           CAST(m AS INT) AS m,
+           CAST(r * 100 + f * 10 + m AS INT) AS segment
+    FROM nt
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] RFM lifecycle segmentation (profile.rfm_segments, Hughes
+    1994): recency / frequency / monetary quintiles per customer with
+    exact ANSI-ntile values — but via the range-exchange exact_ntile
+    three times, never the single-task global sort the naive window
+    would plan. Spend in integer cents; customer key as deterministic
+    tiebreak on every axis."""
+    from datacamp_etl_spark.operators.profile import rfm_segments
+
+    return rfm_segments(t(spark, sf_dir, "orders"))
+
+
+@register(
+    "basket_pair_lift",
+    """
+    WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                FROM lineitem),
+    nb AS (SELECT count(DISTINCT b) AS N FROM it),
+    ic AS (SELECT i, count(*) AS n FROM it GROUP BY i),
+    pr AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_pair
+           FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+           GROUP BY a.i, c.i
+           HAVING count(*) >= 2)
+    SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_pair,
+           round(CAST(n_pair AS DOUBLE) / CAST(nb.N AS DOUBLE), 6)
+             AS support,
+           round(CAST(n_pair AS DOUBLE) / CAST(ca.n AS DOUBLE), 6)
+             AS confidence_ab,
+           round(CAST(nb.N AS DOUBLE) * CAST(n_pair AS DOUBLE)
+                 / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)), 6)
+             AS lift
+    FROM pr JOIN ic ca ON pr.item_a = ca.i
+            JOIN ic cb ON pr.item_b = cb.i
+            CROSS JOIN nb
+    """,
+)
+def q_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] market-basket association rules
+    (basket.basket_pair_lift, Agrawal & Srikant SIGMOD'93 pairwise
+    core): support / confidence / lift for part pairs co-ordered in
+    >= 2 orders. The pair join shuffles on the basket id (per-task
+    work bounded by the largest basket's square — max 13 items here);
+    N is the one allowlisted 1-row scalar crossJoin; ratios are
+    fixed-order doubles over exact counts."""
+    from datacamp_etl_spark.operators.basket import basket_pair_lift
+
+    li = t(spark, sf_dir, "lineitem")
+    return basket_pair_lift(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )
+
+
+@register(
+    "image_dedup_clusters",
+    _DHASH_SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+    pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+              FROM sig a JOIN sig b ON a.media_id < b.media_id
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= 4),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT s.media_id, coalesce(c.component, s.media_id) AS cluster_id,
+           s.media_id = coalesce(c.component, s.media_id) AS keep
+    FROM sig s LEFT JOIN comp c ON s.media_id = c.node
+    """,
+)
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] image dedup END-TO-END: real-BMP dHash signatures →
+    banded Hamming near-pairs (exact for <= 4 bits) → connected
+    components → every image labeled with its cluster's canonical id
+    and a keep flag — the multimodal twin of dedup_clusters, closing
+    the perceptual-dedup lifecycle (signatures and pairs were already
+    gated; this gates the ASSIGNMENT). Oracle replays the whole chain
+    arithmetically + a recursive CTE."""
+    from datacamp_etl_spark.operators.graph import dedup_clusters
+    from datacamp_etl_spark.operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash,
+        synthetic_bmp_media,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sig = image_dhash(synthetic_bmp_media(docs))
+    pairs = dhash_near_pairs(sig, max_hamming=4, bands=7)
+    out = dedup_clusters(
+        sig.select(F.col("media_id").alias("doc_id")), pairs
+    )
+    return out.select(
+        F.col("doc_id").alias("media_id"), "cluster_id", "keep"
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

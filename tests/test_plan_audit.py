@@ -74,6 +74,9 @@ ALLOWED_BNLJ = {
     "ks_drift_events": "1-row temporal-midpoint scalar broadcast "
     "(min/max ts aggregate) into the pre/post split — same bounded "
     "shape as psi_drift_events",
+    "basket_pair_lift": "1-row basket-count scalar (the lift "
+    "denominator N) crossJoined onto the bounded pair-aggregate table "
+    "— same shape as tfidf's corpus-stats broadcast",
     "kmv_users_set_ops": "group-pairs scaffold: a `<` self-join over "
     "the per-group sketch-summary table (|event types| rows — "
     "label-domain cardinality, not data size); every fact-sized "

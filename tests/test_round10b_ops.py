@@ -557,3 +557,72 @@ def test_gini_uniform_and_concentrated(spark):
     # (0,0,10): G = 2*30/(3*10) - 4/3 = 2/3
     assert got["conc"]["gini"] == pytest.approx(round(2 / 3, 6))
     assert got["zero"]["gini"] is None
+
+
+# ---------------------------------------------------------------- basket
+
+def test_basket_pair_lift_hand_case(spark):
+    from datacamp_etl_spark.operators.basket import basket_pair_lift
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"),
+            (1, "a")]  # duplicate line in basket 1 must not double-count
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = basket_pair_lift(df, "b", "i", min_pair_count=1)
+    got = {(r["item_a"], r["item_b"]): r for r in out.collect()}
+    # N=3, n_a=3, n_b=2, n_c=1, n_ab=2
+    ab = got[("a", "b")]
+    assert ab["n_pair"] == 2
+    assert ab["support"] == pytest.approx(round(2 / 3, 6))
+    assert ab["confidence_ab"] == pytest.approx(round(2 / 3, 6))
+    assert ab["lift"] == pytest.approx(1.0)
+    assert got[("b", "c")]["lift"] == pytest.approx(1.5)
+    # threshold filters singleton pairs
+    only = basket_pair_lift(df, "b", "i", min_pair_count=2).collect()
+    assert {(r["item_a"], r["item_b"]) for r in only} == {("a", "b")}
+
+
+def test_basket_pair_lift_mega_basket_cap(spark):
+    from datacamp_etl_spark.operators.basket import basket_pair_lift
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = basket_pair_lift(
+        df, "b", "i", min_pair_count=1, max_basket_size=2
+    ).collect()
+    # basket 1 (3 items) dropped entirely: only basket 2's pair remains
+    # and N counts surviving baskets only (N=1)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["n_pair"]) == ("a", "b", 1)
+    assert r["support"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------------------- rfm
+
+def test_rfm_segments_quintile_semantics(spark):
+    from datacamp_etl_spark.operators.profile import rfm_segments
+
+    # 4 customers, ntiles=2: customer 4 is most recent, most frequent,
+    # highest spend -> (2,2,2); customer 1 the opposite -> (1,1,1)
+    rows = []
+    for c, (n_orders, day, price) in {
+        1: (1, "1996-01-01", 10.0),
+        2: (2, "1996-02-01", 20.0),
+        3: (3, "1996-03-01", 30.0),
+        4: (4, "1996-04-01", 40.0),
+    }.items():
+        for k in range(n_orders):
+            rows.append((c, f"{day} 00:00:00", price))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate string, o_totalprice double"
+    ).select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    got = {r["o_custkey"]: r for r in rfm_segments(df, ntiles=2).collect()}
+    assert (got[1]["r"], got[1]["f"], got[1]["m"]) == (1, 1, 1)
+    assert (got[4]["r"], got[4]["f"], got[4]["m"]) == (2, 2, 2)
+    assert got[4]["segment"] == 222 and got[1]["segment"] == 111
+    # monetary = count * price: cust2 2*20=40 < cust3 3*30=90
+    assert got[2]["m"] == 1 and got[3]["m"] == 2
