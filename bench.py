@@ -198,6 +198,10 @@ HEADLINE = [
     "rfm_segments",
     "basket_pair_lift",
     "image_dedup_clusters",
+    "seasonal_naive_backtest_daily",
+    "language_confusion_matrix",
+    "dedup_cluster_stats",
+    "shard_uniformity_chi2",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -132,3 +132,54 @@ def key_skew_report(
         F.col("max_n").cast("long").alias("max_n"),
         F.round(F.col("__top") / F.col("n_rows"), 6).alias("top_share"),
     )
+
+
+def shard_uniformity_chi2(
+    df: DataFrame,
+    bucket_col,
+    n_buckets: int,
+    *,
+    critical_value: float | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pearson chi-square goodness-of-fit of a shard/bucket assignment
+    against the uniform distribution — the pre-flight gate for any
+    hash-sharding scheme (a skewed shard map becomes a straggler at
+    every downstream stage). Uses the algebraic identity
+
+        χ² = Σ (o_i − n/k)² / (n/k)  =  k·Σo_i² / n  −  n
+
+    so the statistic is formed from two EXACT integer sums (row count
+    n and Σo², with absent buckets contributing 0 automatically) in
+    fixed-order double arithmetic — oracle-replayable. Pass the
+    chi-square critical value for k−1 degrees of freedom (e.g. 44.985
+    for k=32, α=0.05) to also emit a boolean ``uniform`` verdict.
+
+    One map-side-combined groupBy(bucket) over the rows + one k-row
+    fold. Returns one row ``(n_buckets, n_rows, chi2[, uniform])``.
+    """
+    counts = df.groupBy(
+        F.col(bucket_col).alias("__bk")
+        if isinstance(bucket_col, str)
+        else bucket_col.alias("__bk")
+    ).agg(F.count("*").alias("__o"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = counts.agg(
+        F.sum("__o").alias("__n"),
+        F.sum(d("__o") * d("__o")).alias("__ssq"),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    chi2 = F.round(
+        F.lit(float(n_buckets)) * dd("__ssq") / dd("__n") - dd("__n"),
+        decimals,
+    )
+    out = agg.select(
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
+        F.col("__n").cast("long").alias("n_rows"),
+        chi2.alias("chi2"),
+    )
+    if critical_value is not None:
+        out = out.withColumn(
+            "uniform", F.col("chi2") <= F.lit(float(critical_value))
+        )
+    return out

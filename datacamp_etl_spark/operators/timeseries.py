@@ -602,3 +602,69 @@ def interarrival_burstiness(
             F.when((sigma + mu) > 0, (sigma - mu) / (sigma + mu)), decimals
         ).alias("burstiness"),
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    *,
+    season_days: int = 7,
+    scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (ŷ(d) = y(d − season))
+    per group: the standard forecasting BASELINE (Hyndman &
+    Athanasopoulos §5.2) every fancier model must beat, and the
+    capacity-alert sanity floor — if "same day last week" predicts
+    traffic within a few percent, a fancy model's residual alarm
+    threshold has to be tighter than that.
+
+    Reported per group over all days with a same-season predecessor:
+    ``n_days``, ``mae`` (mean absolute error, value units) and
+    ``wape`` (weighted absolute percentage error Σ|err|/Σ|y| — the
+    aggregate-ratio form chosen over per-day MAPE because it is
+    formed from two EXACT integer sums, so the oracle replays it
+    bit-for-bit; per-day ratio averages would sum doubles in
+    engine-dependent order). Groups with Σ|y| = 0 carry NULL wape.
+
+    One (group, day) aggregation over the facts, one bounded
+    self-equi-join at day − season, one fold per group.
+    """
+    daily = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, F.to_date(ts_col).alias("__day"))
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+            ).alias("__y")
+        )
+    )
+    prev = daily.select(
+        F.col(group_col).alias("__g2"),
+        F.date_add(F.col("__day"), season_days).alias("__day"),
+        F.col("__y").alias("__yhat"),
+    )
+    joined = daily.join(
+        prev,
+        (daily[group_col] == F.col("__g2"))
+        & (daily["__day"] == prev["__day"]),
+    ).select(group_col, daily["__day"], "__y", "__yhat")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = joined.groupBy(group_col).agg(
+        F.count("*").alias("__n"),
+        F.sum(F.abs(d("__y") - d("__yhat"))).alias("__ae"),
+        F.sum(F.abs(d("__y"))).alias("__ay"),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    return agg.select(
+        group_col,
+        F.col("__n").cast("long").alias("n_days"),
+        F.round(dd("__ae") / dd("__n") / F.lit(float(scale)), decimals).alias(
+            "mae"
+        ),
+        F.round(
+            F.when(F.col("__ay") > 0, dd("__ae") / dd("__ay")), decimals
+        ).alias("wape"),
+    )

@@ -10643,6 +10643,168 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seasonal_naive_backtest_daily",
+    """
+    WITH daily AS (SELECT event_type,
+                          CAST(date_trunc('day', ts) AS DATE) AS day,
+                          sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+                   FROM events WHERE value IS NOT NULL
+                   GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)),
+    j AS (SELECT a.event_type AS event_type, a.y AS y, b.y AS yhat
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type
+           AND b.day = a.day - INTERVAL 7 DAY),
+    g AS (SELECT event_type, count(*) AS n,
+                 sum(abs(CAST(y AS DECIMAL(38,0))
+                         - CAST(yhat AS DECIMAL(38,0)))) AS ae,
+                 sum(abs(CAST(y AS DECIMAL(38,0)))) AS ay
+          FROM j GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(CAST(ae AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mae,
+           round(CASE WHEN ay > 0
+                 THEN CAST(ae AS DOUBLE) / CAST(ay AS DOUBLE) END, 6)
+             AS wape
+    FROM g
+    """,
+)
+def q_seasonal_naive_backtest_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] seasonal-naive forecast backtest
+    (timeseries.seasonal_naive_backtest, Hyndman & Athanasopoulos
+    §5.2): ŷ(d) = y(d−7) per event type, scored by MAE and WAPE
+    (Σ|err|/Σ|y| — two exact integer sums, bit-replayable, unlike a
+    per-day MAPE average). The baseline every fancier forecaster and
+    every alert threshold must beat."""
+    from datacamp_etl_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    return seasonal_naive_backtest(
+        ev, "ts", "value", "event_type", season_days=7
+    )
+
+
+@register(
+    "language_confusion_matrix",
+    f"""
+    WITH conf AS (SELECT lang, lang_pred, count(*) AS n
+                  FROM ({{LANG_ID}}) GROUP BY lang, lang_pred),
+    tot AS (SELECT lang, sum(n) AS n_lang FROM conf GROUP BY lang)
+    SELECT c.lang, c.lang_pred, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE), 6) AS rate
+    FROM conf c JOIN tot t ON c.lang = t.lang
+    """,
+)
+def q_language_confusion_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] language-ID confusion matrix: declared lang × predicted
+    lang with per-declared-lang rates — the eval view that turns the
+    language_id heuristic from a column into a measured classifier
+    (which langs leak into 'und'? where does es/fr confuse?). One
+    bounded groupBy over the scored docs + one |langs|-row join."""
+    from datacamp_etl_spark.operators import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    lid = docs.select(
+        "lang", X.language_id("text").alias("lang_pred")
+    )
+    conf = lid.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    tot = conf.groupBy("lang").agg(F.sum("n").alias("__n_lang"))
+    return conf.join(tot, "lang").select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.col("__n_lang").cast("double"), 6
+        ).alias("rate"),
+    )
+
+
+ORACLE["language_confusion_matrix"] = ORACLE[
+    "language_confusion_matrix"
+].replace("{LANG_ID}", ORACLE["language_id"])
+
+
+@register(
+    "dedup_cluster_stats",
+    """
+    WITH sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                   FROM ({DEDUP_CLUSTERS}) GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] dedup cluster-size histogram: how much of the corpus sits
+    in how-big duplicate groups — THE one-glance dedup report (a fat
+    tail of large clusters means the corpus is template spam; total
+    dup mass = Σ(size−1)·n_clusters). Rolls up the gated
+    dedup_clusters assignment with two bounded groupBys."""
+    from datacamp_etl_spark.operators.dedup import lsh_candidate_pairs
+    from datacamp_etl_spark.operators.graph import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    assigned = dedup_clusters(docs, lsh_candidate_pairs(docs))
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    ).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs"),
+    )
+
+
+ORACLE["dedup_cluster_stats"] = ORACLE["dedup_cluster_stats"].replace(
+    "{DEDUP_CLUSTERS}", ORACLE["dedup_clusters"]
+)
+
+
+@register(
+    "shard_uniformity_chi2",
+    f"""
+    WITH b AS (SELECT {_hash_bucket_sql("CAST(doc_id AS VARCHAR)")} % 32
+                        AS bk
+               FROM documents),
+    c AS (SELECT bk, count(*) AS o FROM b GROUP BY bk),
+    g AS (SELECT sum(o) AS n,
+                 sum(CAST(o AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0)))
+                   AS ssq
+          FROM c)
+    SELECT CAST(32 AS INT) AS n_buckets, CAST(n AS BIGINT) AS n_rows,
+           round(32.0 * CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE), 6) AS chi2,
+           round(32.0 * CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE), 6) <= 44.985 AS uniform
+    FROM g
+    """,
+)
+def q_shard_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] shard-uniformity chi-square gate
+    (skew.shard_uniformity_chi2): Pearson GOF of the md5-derived
+    32-way shard assignment vs uniform, via χ² = k·Σo²/n − n (two
+    exact integer sums); verdict against the k−1=31 d.f. α=0.05
+    critical value 44.985. The pre-flight check that a sharding
+    scheme won't manufacture stragglers."""
+    from datacamp_etl_spark.operators.skew import shard_uniformity_chi2
+
+    docs = t(spark, sf_dir, "documents")
+    binned = docs.select(
+        (_hash_bucket_col(F.col("doc_id")) % 32).alias("bk")
+    )
+    return shard_uniformity_chi2(binned, "bk", 32, critical_value=44.985)
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

@@ -626,3 +626,62 @@ def test_rfm_segments_quintile_semantics(spark):
     assert got[4]["segment"] == 222 and got[1]["segment"] == 111
     # monetary = count * price: cust2 2*20=40 < cust3 3*30=90
     assert got[2]["m"] == 1 and got[3]["m"] == 2
+
+
+# ------------------------------------------------------ seasonal-naive
+
+def test_seasonal_naive_backtest_exact(spark):
+    from datacamp_etl_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    # week 1: 10 every day; week 2: 13 every day
+    # -> 7 scored days, every error = 3, MAE = 3, WAPE = 21/91
+    rows = [
+        ("g", f"1970-01-{d:02d} 01:00:00", 10.0 if d <= 7 else 13.0)
+        for d in range(1, 15)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = seasonal_naive_backtest(df, "ts", "v", "g").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 7
+    assert r["mae"] == pytest.approx(3.0)
+    assert r["wape"] == pytest.approx(round(21 / 91, 6))
+
+
+def test_seasonal_naive_backtest_no_overlap(spark):
+    from datacamp_etl_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    # 3 days of data, season 7 -> no (day, day-7) pairs -> no rows
+    rows = [("g", f"1970-01-{d:02d} 01:00:00", 5.0) for d in range(1, 4)]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    assert seasonal_naive_backtest(df, "ts", "v", "g").count() == 0
+
+
+# -------------------------------------------------------------- chi2
+
+def test_shard_chi2_perfectly_uniform(spark):
+    from datacamp_etl_spark.operators.skew import shard_uniformity_chi2
+
+    df = spark.range(0, 320).select((F.col("id") % 32).alias("bk"))
+    r = shard_uniformity_chi2(df, "bk", 32, critical_value=44.985).collect()[0]
+    assert r["chi2"] == pytest.approx(0.0)
+    assert bool(r["uniform"]) is True
+    assert r["n_rows"] == 320
+
+
+def test_shard_chi2_degenerate_skew(spark):
+    from datacamp_etl_spark.operators.skew import shard_uniformity_chi2
+
+    # all rows in one bucket of 32: chi2 = k*n^2/n - n = n*(k-1)
+    df = spark.range(0, 100).select(F.lit(0).alias("bk"))
+    r = shard_uniformity_chi2(df, "bk", 32, critical_value=44.985).collect()[0]
+    assert r["chi2"] == pytest.approx(100 * 31)
+    assert bool(r["uniform"]) is False
