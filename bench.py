@@ -202,6 +202,9 @@ HEADLINE = [
     "language_confusion_matrix",
     "dedup_cluster_stats",
     "shard_uniformity_chi2",
+    "personalized_pagerank",
+    "degree_distribution",
+    "ab_test_conversion",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -34,6 +34,8 @@ __all__ = [
     "pagerank",
     "label_propagation",
     "degrees",
+    "personalized_pagerank",
+    "degree_distribution",
     "triangle_counts",
     "clustering_coefficient",
     "common_neighbor_pairs",
@@ -594,4 +596,120 @@ def common_neighbor_pairs(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala WWW'02; Page et al. 1998 §6)
+    — PageRank whose teleport vector is concentrated on a SEED set,
+    so rank measures proximity/relevance TO the seeds instead of
+    global authority: the "more like these" primitive behind seed-set
+    corpus expansion (grow a curated domain list along the link
+    graph) and related-item retrieval.
+
+    Per iteration, with restart(v) = 1/|S| on seeds else 0:
+
+        r'(v) = (1−d)·restart(v) + d·in_mass(v) + d·dm·restart(v)
+
+    where in_mass flows along edges (each node's rank split over its
+    out-edges) and the dangling mass dm teleports BACK TO THE SEEDS
+    (the PPR convention — mass never leaks to non-seed sinks). Ranks
+    conserve to 1 every round. Init r = restart.
+
+    Same scale shape as :func:`pagerank`: one shuffle per iteration
+    (ranks ⋈ edges on src, groupBy dst), 1-row dangling scalar riding
+    the same action, localCheckpoint per round, fixed iteration
+    budget. Returns ``(node, rank)`` over all edge-endpoint nodes.
+    """
+    if not 0 < damping < 1:
+        raise ValueError("damping must be in (0, 1)")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    restart = (
+        nodes.join(sd.withColumn("__isseed", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__isseed").isNotNull(), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("rv"),
+        )
+        .localCheckpoint()
+    )
+    out_deg = e.groupBy("a").agg(F.count("*").alias("deg")).localCheckpoint()
+    ranks = restart.select("node", F.col("rv").alias("rank")).localCheckpoint()
+    d = damping
+    for _ in range(iterations):
+        send = ranks.join(out_deg, ranks.node == out_deg.a, "left").select(
+            "node",
+            "rank",
+            (F.col("rank") / F.col("deg")).alias("per_edge"),
+            F.col("deg").isNull().alias("dangling"),
+        ).cache()
+        dm = send.where("dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        contrib = (
+            e.join(send.select("node", "per_edge"), e.a == F.col("node"))
+            .groupBy("b")
+            .agg(F.sum("per_edge").alias("in_mass"))
+        )
+        ranks = (
+            restart.join(contrib, restart.node == contrib.b, "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0 - d) * F.col("rv"))
+                    + (F.lit(d) * F.coalesce("in_mass", F.lit(0.0)))
+                    + ((F.lit(d) * F.col("__dm")) * F.col("rv"))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        send.unpersist()
+    return ranks
+
+
+def degree_distribution(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    log2_buckets: bool = False,
+) -> DataFrame:
+    """Degree histogram of the undirected canonical graph:
+    ``(deg, n_nodes)`` — the first thing to look at before ANY graph
+    job (a power-law tail predicts skewed shuffles and motivates the
+    hub caps in :func:`common_neighbor_pairs`). With
+    ``log2_buckets=True`` degrees collapse to floor(log2(deg))
+    buckets (``deg`` = bucket's lower bound), the usual rendering for
+    power-law graphs. Two map-side-combined groupBys."""
+    deg = degrees(edges, src=src, dst=dst)
+    key = (
+        F.pow(F.lit(2.0), F.floor(F.log2("deg"))).cast("long")
+        if log2_buckets
+        else F.col("deg")
+    )
+    return (
+        deg.select(key.alias("deg"))
+        .groupBy("deg")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
     )

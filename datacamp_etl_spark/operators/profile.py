@@ -661,3 +661,79 @@ def rfm_segments(
         .cast("int")
         .alias("segment"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    *,
+    group_a,
+    group_b,
+    critical_z: float = 1.96,
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-proportion pooled z-test (the standard A/B conversion
+    test): for units labeled ``group_a`` / ``group_b`` with a 0/1
+    ``success_col``,
+
+        z = (p_a − p_b) / sqrt( p̂(1−p̂) (1/n_a + 1/n_b) ),
+        p̂ = (x_a + x_b) / (n_a + n_b)
+
+    with ``significant`` = |z| > ``critical_z`` (1.96 = two-sided
+    α=0.05). Joins the drift family (PSI/KS/chi²) as the EXPERIMENT
+    verdict: not "did the distribution move" but "is B's conversion
+    rate different from A's beyond sampling noise".
+
+    Exactness: counts are exact integers from one map-side-combined
+    groupBy; every derived quantity is fixed-order IEEE double
+    rounded once — oracle-replayable. Degenerate pools (p̂ = 0 or 1,
+    or an empty arm) carry NULL z. Returns one row
+    ``(n_a, x_a, n_b, x_b, p_a, p_b, z, significant)``.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    s = F.col(success_col).cast("long")
+    agg = df.where(
+        F.col(group_col).isin([group_a, group_b])
+    ).agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias(
+            "n_a"
+        ),
+        F.sum(F.when(F.col(group_col) == group_a, s).otherwise(0)).alias(
+            "x_a"
+        ),
+        F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias(
+            "n_b"
+        ),
+        F.sum(F.when(F.col(group_col) == group_b, s).otherwise(0)).alias(
+            "x_b"
+        ),
+    )
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    pa = dd("x_a") / dd("n_a")
+    pb = dd("x_b") / dd("n_b")
+    pool = (dd("x_a") + dd("x_b")) / (dd("n_a") + dd("n_b"))
+    se = F.sqrt(
+        (pool * (F.lit(1.0) - pool))
+        * (F.lit(1.0) / dd("n_a") + F.lit(1.0) / dd("n_b"))
+    )
+    z = F.round(
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0),
+            (pa - pb) / se,
+        ),
+        decimals,
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("x_a").cast("long").alias("x_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("x_b").cast("long").alias("x_b"),
+        F.round(F.when(F.col("n_a") > 0, pa), decimals).alias("p_a"),
+        F.round(F.when(F.col("n_b") > 0, pb), decimals).alias("p_b"),
+        z.alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(critical_z))).alias(
+            "significant"
+        ),
+    )

@@ -10805,6 +10805,164 @@ def q_shard_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_uniformity_chi2(binned, "bk", 32, critical_value=44.985)
 
 
+def _ppr_iter_sql(prev: str) -> str:
+    """One unrolled personalized-PageRank round (damping 0.85): same
+    IEEE operation order as the Spark update expression."""
+    return f"""
+    SELECT r.node,
+           (0.15 * r.rv)
+           + (0.85 * coalesce(c.in_mass, 0.0))
+           + ((0.85 * d.m) * r.rv) AS rank
+    FROM restart r
+    LEFT JOIN (SELECT e.b AS node, sum(p.rank / dg.deg) AS in_mass
+               FROM e JOIN {prev} p ON e.a = p.node
+                      JOIN dout dg ON e.a = dg.a
+               GROUP BY e.b) c ON r.node = c.node
+    CROSS JOIN (SELECT coalesce(sum(p.rank), 0.0) AS m
+                FROM {prev} p LEFT JOIN dout dg ON p.node = dg.a
+                WHERE dg.a IS NULL) d
+    """
+
+
+@register(
+    "personalized_pagerank",
+    f"""
+    WITH dd0 AS (SELECT doc_id, source,
+                        lead(doc_id, 1) OVER (PARTITION BY source
+                                              ORDER BY doc_id) AS n1,
+                        lead(doc_id, 2) OVER (PARTITION BY source
+                                              ORDER BY doc_id) AS n2
+                 FROM documents),
+    e AS (SELECT doc_id AS a, n1 AS b FROM dd0 WHERE n1 IS NOT NULL
+          UNION ALL
+          SELECT doc_id AS a, n2 AS b FROM dd0 WHERE n2 IS NOT NULL),
+    nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+    seeds AS (SELECT min(doc_id) AS node FROM documents GROUP BY source),
+    restart AS (SELECT n.node,
+                       CASE WHEN s.node IS NOT NULL
+                            THEN 1.0 / (SELECT count(*) FROM seeds)
+                            ELSE 0.0 END AS rv
+                FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+    dout AS (SELECT a, count(*) AS deg FROM e GROUP BY a),
+    r0 AS (SELECT node, rv AS rank FROM restart),
+    r1 AS ({{I1}}),
+    r2 AS ({{I2}}),
+    r3 AS ({{I3}})
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] personalized PageRank (graph.personalized_pagerank,
+    Haveliwala WWW'02): teleport concentrated on the per-source FIRST
+    document over the directed chain+skip graph — rank becomes
+    proximity to the seeds (forward diffusion decaying with distance),
+    the seed-set corpus-expansion primitive. 3 fixed rounds, each one
+    shuffle + a 1-row dangling scalar teleporting back to the seeds;
+    the oracle unrolls the identical IEEE update 3 times."""
+    from datacamp_etl_spark.operators.graph import personalized_pagerank
+
+    docs = t(spark, sf_dir, "documents")
+    seeds = docs.groupBy("source").agg(F.min("doc_id").alias("node"))
+    pr = personalized_pagerank(
+        _doc_chain_edges(spark, sf_dir), seeds, iterations=3
+    )
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+ORACLE["personalized_pagerank"] = (
+    ORACLE["personalized_pagerank"]
+    .replace("{I1}", _ppr_iter_sql("r0"))
+    .replace("{I2}", _ppr_iter_sql("r1"))
+    .replace("{I3}", _ppr_iter_sql("r2"))
+)
+
+
+@register(
+    "degree_distribution",
+    _GRAPH_SQL + """
+    SELECT dg.deg AS deg, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg dg GROUP BY dg.deg
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] degree histogram (graph.degree_distribution): the
+    first-look structure profile before any graph job — a power-law
+    tail here predicts skewed shuffles and motivates the hub caps.
+    Two map-side-combined groupBys."""
+    from datacamp_etl_spark.operators.graph import degree_distribution
+
+    return degree_distribution(_doc_chain_edges(spark, sf_dir))
+
+
+@register(
+    "ab_test_conversion",
+    f"""
+    WITH u AS (SELECT user_id,
+                      max(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS converted
+               FROM events GROUP BY user_id),
+    g AS (SELECT CASE WHEN {_hash_bucket_sql("CAST(user_id AS VARCHAR)")}
+                           % 2 = 0
+                      THEN 'A' ELSE 'B' END AS grp, converted
+          FROM u),
+    a AS (SELECT sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS n_a,
+                 sum(CASE WHEN grp = 'A' THEN converted ELSE 0 END) AS x_a,
+                 sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS n_b,
+                 sum(CASE WHEN grp = 'B' THEN converted ELSE 0 END) AS x_b
+          FROM g),
+    z AS (SELECT *,
+                 (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+          FROM a),
+    zz AS (SELECT *,
+                  sqrt((pool * (1.0 - pool))
+                       * (1.0 / CAST(n_a AS DOUBLE)
+                          + 1.0 / CAST(n_b AS DOUBLE))) AS se
+           FROM z)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+           round(CASE WHEN n_a > 0
+                 THEN CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) END, 6)
+             AS p_a,
+           round(CASE WHEN n_b > 0
+                 THEN CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) END, 6)
+             AS p_b,
+           round(CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+                 THEN (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / se
+                 END, 6) AS z,
+           CASE WHEN se > 0 THEN
+                abs(round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / se, 6))
+                > 1.96 END AS significant
+    FROM zz
+    """,
+)
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] two-proportion pooled z-test
+    (profile.two_proportion_ztest): users split A/B by the
+    engine-replayable md5 bucket, success = any purchase; the
+    experiment verdict (is B's conversion different beyond sampling
+    noise?) completing the drift family (PSI/KS/χ² ask about
+    distributions, this asks about the metric). Exact counts, fixed-
+    order double formula."""
+    from datacamp_etl_spark.operators.profile import two_proportion_ztest
+
+    ev = t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    grp = F.when(
+        _hash_bucket_col(F.col("user_id")) % 2 == 0, F.lit("A")
+    ).otherwise(F.lit("B"))
+    return two_proportion_ztest(
+        users.withColumn("grp", grp), "grp", "converted",
+        group_a="A", group_b="B",
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

@@ -685,3 +685,99 @@ def test_shard_chi2_degenerate_skew(spark):
     r = shard_uniformity_chi2(df, "bk", 32, critical_value=44.985).collect()[0]
     assert r["chi2"] == pytest.approx(100 * 31)
     assert bool(r["uniform"]) is False
+
+
+# ------------------------------------------------------------------- ppr
+
+def test_personalized_pagerank_two_node_hand_case(spark):
+    from datacamp_etl_spark.operators.graph import personalized_pagerank
+
+    e = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    # hand-rolled: r0=(1,0); round1 -> (0.15, 0.85);
+    # round2: dangling mass 0.85 teleports to seed ->
+    #   r(1)=0.15+0.85*0.85=0.8725, r(2)=0.85*0.15=0.1275
+    out = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, seeds, iterations=2).collect()
+    }
+    assert out[1] == pytest.approx(0.8725)
+    assert out[2] == pytest.approx(0.1275)
+    assert sum(out.values()) == pytest.approx(1.0)
+
+
+def test_personalized_pagerank_conserves_and_localizes(spark):
+    from datacamp_etl_spark.operators.graph import personalized_pagerank
+
+    # two disjoint chains; seed only in the first -> second chain
+    # keeps rank 0 (teleport never reaches it)
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (11, 12)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, seeds, iterations=3).collect()
+    }
+    assert sum(out.values()) == pytest.approx(1.0)
+    assert out[10] == 0.0 and out[11] == 0.0 and out[12] == 0.0
+    assert out[1] > out[3] > 0  # decays with distance from the seed
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    from datacamp_etl_spark.operators.graph import personalized_pagerank
+
+    e = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(e, seeds)
+
+
+def test_degree_distribution_plain_and_log2(spark):
+    from datacamp_etl_spark.operators.graph import degree_distribution
+
+    # star 0-{1..5}: hub deg 5, leaves deg 1
+    e = [(0, i) for i in range(1, 6)]
+    got = {
+        r["deg"]: r["n_nodes"]
+        for r in degree_distribution(_edges(spark, e)).collect()
+    }
+    assert got == {5: 1, 1: 5}
+    log2 = {
+        r["deg"]: r["n_nodes"]
+        for r in degree_distribution(
+            _edges(spark, e), log2_buckets=True
+        ).collect()
+    }
+    assert log2 == {4: 1, 1: 5}  # 5 -> bucket 2^2=4, 1 -> 2^0=1
+
+
+# ---------------------------------------------------------------- z-test
+
+def test_two_proportion_ztest_hand_case(spark):
+    import math
+
+    from datacamp_etl_spark.operators.profile import two_proportion_ztest
+
+    rows = (
+        [("A", 1)] * 30 + [("A", 0)] * 70 + [("B", 1)] * 10 + [("B", 0)] * 90
+    )
+    df = spark.createDataFrame(rows, "grp string, conv int")
+    r = two_proportion_ztest(
+        df, "grp", "conv", group_a="A", group_b="B"
+    ).collect()[0]
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (100, 30, 100, 10)
+    pool = 40 / 200
+    se = math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert r["z"] == pytest.approx(round((0.3 - 0.1) / se, 6))
+    assert bool(r["significant"]) is True
+
+
+def test_two_proportion_ztest_degenerate_null(spark):
+    from datacamp_etl_spark.operators.profile import two_proportion_ztest
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 1)], "grp string, conv int"
+    )
+    r = two_proportion_ztest(
+        df, "grp", "conv", group_a="A", group_b="B"
+    ).collect()[0]
+    assert r["z"] is None and r["significant"] is None
