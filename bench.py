@@ -205,6 +205,8 @@ HEADLINE = [
     "personalized_pagerank",
     "degree_distribution",
     "ab_test_conversion",
+    "session_duration_histogram",
+    "lang_source_association",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -10963,6 +10963,114 @@ def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_duration_histogram",
+    """
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                     OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000000
+                    THEN 1 ELSE 0 END AS new_s,
+               ts, event_id
+        FROM events),
+    s AS (SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sn,
+                 ts
+          FROM g),
+    d AS (SELECT user_id, sn,
+                 (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s
+          FROM s GROUP BY user_id, sn),
+    b AS (SELECT CASE WHEN dur_s <= 0 THEN 0
+                      ELSE CAST(power(2.0, floor(log2(CAST(dur_s AS DOUBLE))))
+                           AS BIGINT) END AS bucket_s
+          FROM d)
+    SELECT bucket_s, count(*) AS n_sessions
+    FROM b GROUP BY bucket_s
+    """,
+)
+def q_session_duration_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] session-duration histogram on power-of-two buckets
+    (bucket = largest 2^k <= seconds; 0 for single-event sessions) —
+    the engagement-shape report on top of the gated gap
+    sessionization: a mass at 0 is bounce traffic, a fat right tail
+    is scripted sessions. Exact integer-microsecond durations; one
+    session groupBy + one bounded histogram groupBy."""
+    from datacamp_etl_spark.streaming.incremental import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_minutes=30, tiebreak_cols=("event_id",))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = sess.groupBy("session_id").agg(
+        F.floor((F.max(us) - F.min(us)) / F.lit(1_000_000)).alias("dur_s")
+    )
+    bucket = F.when(F.col("dur_s") <= 0, F.lit(0).cast("long")).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.log2(F.col("dur_s").cast("double"))))
+        .cast("long")
+    )
+    return (
+        d.select(bucket.alias("bucket_s"))
+        .groupBy("bucket_s")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+
+
+@register(
+    "lang_source_association",
+    """
+    WITH c AS (SELECT lang, source, count(*) AS n
+               FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, sum(n) AS nl FROM c GROUP BY lang),
+    cl AS (SELECT source, sum(n) AS ns FROM c GROUP BY source),
+    tot AS (SELECT sum(n) AS N FROM c)
+    SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) * CAST(tot.N AS DOUBLE)
+                 / (CAST(r.nl AS DOUBLE) * CAST(cl.ns AS DOUBLE)), 6)
+             AS lift,
+           round(ln(CAST(c.n AS DOUBLE) * CAST(tot.N AS DOUBLE)
+                    / (CAST(r.nl AS DOUBLE) * CAST(cl.ns AS DOUBLE))), 6)
+             AS pmi
+    FROM c JOIN r ON c.lang = r.lang
+           JOIN cl ON c.source = cl.source
+           CROSS JOIN tot
+    """,
+)
+def q_lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] lang × source association table: observed count, lift
+    (observed / independence-expected) and PMI per cell — the
+    mixture-audit view (is a language over-concentrated in one
+    source?) whose cell values are each a single fixed-order double
+    expression over exact counts (no multi-addend float sums, unlike
+    a scalar MI), so the hash gate replays them bit-for-bit. The
+    1-row corpus total is the allowlisted scalar crossJoin."""
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    r = c.groupBy("lang").agg(F.sum("n").alias("__nl"))
+    cl = c.groupBy("source").agg(F.sum("n").alias("__ns"))
+    tot = c.agg(F.sum("n").alias("__N"))
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    lift = dd("n") * dd("__N") / (dd("__nl") * dd("__ns"))
+    return (
+        c.join(r, "lang")
+        .join(cl, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast("long").alias("n"),
+            F.round(lift, 6).alias("lift"),
+            F.round(F.log(lift), 6).alias("pmi"),
+        )
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

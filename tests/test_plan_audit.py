@@ -59,6 +59,9 @@ ALLOWED_BNLJ = {
     "source_kl_divergence": "1-row corpus-total token count "
     "crossJoined onto the per-(source, token) aggregate as a "
     "single-row literal",
+    "lang_source_association": "1-row corpus-total scalar crossJoined "
+    "onto the bounded lang x source cell table — same shape as "
+    "source_kl_divergence's total broadcast",
     "personalized_pagerank": "1-row dangling-mass scalar aggregate "
     "crossJoined into each round's rank update - same bounded shape "
     "as pagerank (the mass teleports to the seed restart vector)",

@@ -781,3 +781,37 @@ def test_two_proportion_ztest_degenerate_null(spark):
         df, "grp", "conv", group_a="A", group_b="B"
     ).collect()[0]
     assert r["z"] is None and r["significant"] is None
+
+
+# ------------------------------------------------- composition entries
+
+def test_session_duration_histogram_buckets(spark, sf_dir):
+    from datacamp_etl_spark.queries import QUERIES
+
+    rows = QUERIES["session_duration_histogram"](spark, sf_dir).collect()
+    got = {r["bucket_s"]: r["n_sessions"] for r in rows}
+    # buckets are powers of two (or 0), counts positive
+    for b, n in got.items():
+        assert b == 0 or (b & (b - 1)) == 0
+        assert n > 0
+
+
+def test_lang_source_association_consistency(spark, sf_dir):
+    import math
+
+    from datacamp_etl_spark.queries import QUERIES
+
+    rows = QUERIES["lang_source_association"](spark, sf_dir).collect()
+    n_total = sum(r["n"] for r in rows)
+    assert n_total > 0
+    # recompute lift/pmi from the exact counts (pmi is ln of the RAW
+    # lift, not of the rounded one)
+    nl = {}
+    ns = {}
+    for r in rows:
+        nl[r["lang"]] = nl.get(r["lang"], 0) + r["n"]
+        ns[r["source"]] = ns.get(r["source"], 0) + r["n"]
+    for r in rows:
+        raw = r["n"] * n_total / (nl[r["lang"]] * ns[r["source"]])
+        assert r["lift"] == pytest.approx(round(raw, 6), abs=2e-6)
+        assert r["pmi"] == pytest.approx(round(math.log(raw), 6), abs=2e-6)
