@@ -207,6 +207,9 @@ HEADLINE = [
     "ab_test_conversion",
     "session_duration_histogram",
     "lang_source_association",
+    "churn_label_rates",
+    "event_cooccurrence_lift",
+    "bm25_mrr_eval",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -486,3 +486,62 @@ def attribution_position_based(
         "credit_ppm",
         F.round(F.col("credit_ppm").cast("double") / 1e6, 6).alias("credit"),
     )
+
+
+def churn_rates(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """Churn labeling over the observation window's temporal halves:
+    users active in the FIRST half who never reappear in the second
+    are churned — the standard label builder for retention modeling,
+    and the one-number health metric behind every cohort table.
+    The midpoint is (min_ts + max_ts)/2 in exact integer microseconds
+    (a 1-row scalar aggregate broadcast into the split — the same
+    bounded shape as the PSI/KS drift splits).
+
+    Plan: one bounds aggregate, two distinct user sets (each one
+    map-side-combined shuffle on the user key), one semi/anti split,
+    one fold. Returns one row
+    ``(n_active_early, n_retained, n_churned, churn_rate)``.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(F.col(user_col).alias("__u"), us.alias("__us"))
+    bounds = base.agg(
+        ((F.min("__us") + F.max("__us")) / 2).cast("long").alias("__mid")
+    )
+    with_mid = base.crossJoin(F.broadcast(bounds))
+    early = (
+        with_mid.where(F.col("__us") <= F.col("__mid"))
+        .select("__u")
+        .distinct()
+    )
+    late = (
+        with_mid.where(F.col("__us") > F.col("__mid"))
+        .select("__u")
+        .distinct()
+    )
+    retained = early.join(late, "__u", "left_semi")
+    agg = early.agg(F.count("*").alias("n_active_early")).crossJoin(
+        retained.agg(F.count("*").alias("n_retained"))
+    )
+    return agg.select(
+        F.col("n_active_early").cast("long").alias("n_active_early"),
+        F.col("n_retained").cast("long").alias("n_retained"),
+        (F.col("n_active_early") - F.col("n_retained"))
+        .cast("long")
+        .alias("n_churned"),
+        F.round(
+            F.when(
+                F.col("n_active_early") > 0,
+                (F.col("n_active_early") - F.col("n_retained")).cast(
+                    "double"
+                )
+                / F.col("n_active_early").cast("double"),
+            ),
+            decimals,
+        ).alias("churn_rate"),
+    )

@@ -11071,6 +11071,157 @@ def q_lang_source_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "churn_label_rates",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    b AS (SELECT CAST((min(us) + max(us)) // 2 AS BIGINT) AS mid FROM e),
+    early AS (SELECT DISTINCT user_id FROM e, b WHERE e.us <= b.mid),
+    late AS (SELECT DISTINCT user_id FROM e, b WHERE e.us > b.mid),
+    a AS (SELECT count(*) AS n_active FROM early),
+    r AS (SELECT count(*) AS n_ret FROM early
+          WHERE user_id IN (SELECT user_id FROM late))
+    SELECT CAST(a.n_active AS BIGINT) AS n_active_early,
+           CAST(r.n_ret AS BIGINT) AS n_retained,
+           CAST(a.n_active - r.n_ret AS BIGINT) AS n_churned,
+           round(CASE WHEN a.n_active > 0
+                 THEN CAST(a.n_active - r.n_ret AS DOUBLE)
+                      / CAST(a.n_active AS DOUBLE) END, 6) AS churn_rate
+    FROM a CROSS JOIN r
+    """,
+)
+def q_churn_label_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] churn labeling over temporal halves (funnel.churn_rates):
+    first-half-active users who never reappear in the second half —
+    the retention-model label builder and the one-number health
+    metric. Midpoint is an exact integer-microsecond 1-row scalar
+    (same bounded split shape as PSI/KS drift, allowlisted)."""
+    from datacamp_etl_spark.operators.funnel import churn_rates
+
+    return churn_rates(t(spark, sf_dir, "events"))
+
+
+@register(
+    "event_cooccurrence_lift",
+    """
+    WITH it AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+    nb AS (SELECT count(DISTINCT b) AS N FROM it),
+    ic AS (SELECT i, count(*) AS n FROM it GROUP BY i),
+    pr AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_pair
+           FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+           GROUP BY a.i, c.i
+           HAVING count(*) >= 1)
+    SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_pair,
+           round(CAST(n_pair AS DOUBLE) / CAST(nb.N AS DOUBLE), 6)
+             AS support,
+           round(CAST(n_pair AS DOUBLE) / CAST(ca.n AS DOUBLE), 6)
+             AS confidence_ab,
+           round(CAST(nb.N AS DOUBLE) * CAST(n_pair AS DOUBLE)
+                 / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)), 6)
+             AS lift
+    FROM pr JOIN ic ca ON pr.item_a = ca.i
+            JOIN ic cb ON pr.item_b = cb.i
+            CROSS JOIN nb
+    """,
+)
+def q_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] behavior co-engagement lift (basket.basket_pair_lift with
+    user = basket, event type = item): which behaviors co-occur in
+    the same users beyond independence — the bipartite-projection
+    view of the event log (do purchasers also view? is error
+    anti-correlated with purchase?). Same bounded pair join keyed on
+    the user; the label-domain item set keeps the output tiny."""
+    from datacamp_etl_spark.operators.basket import basket_pair_lift
+
+    ev = t(spark, sf_dir, "events")
+    return basket_pair_lift(ev, "user_id", "event_type", min_pair_count=1)
+
+
+@register(
+    "bm25_mrr_eval",
+    """
+    WITH ranked AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id)
+                             AS rnk
+                    FROM ({BM25})),
+    rel AS (SELECT doc_id FROM ({TOKS_WRAP})
+            WHERE list_contains(toks, 'spark')
+              AND list_contains(toks, 'filter')
+              AND list_contains(toks, 'window')),
+    nrel AS (SELECT count(*) AS n_relevant FROM rel),
+    hits AS (SELECT r.rnk FROM ranked r JOIN rel ON r.doc_id = rel.doc_id),
+    h AS (SELECT count(*) AS n_hits,
+                 min(rnk) AS first_rank FROM hits)
+    SELECT CAST(nrel.n_relevant AS BIGINT) AS n_relevant,
+           CAST(h.n_hits AS BIGINT) AS hits_at_10,
+           round(CAST(h.n_hits AS DOUBLE) / 10.0, 6) AS precision_at_10,
+           round(CASE WHEN nrel.n_relevant > 0
+                 THEN CAST(h.n_hits AS DOUBLE)
+                      / CAST(nrel.n_relevant AS DOUBLE) END, 6)
+             AS recall_at_10,
+           round(CASE WHEN h.first_rank IS NOT NULL
+                 THEN 1.0 / CAST(h.first_rank AS DOUBLE)
+                 ELSE 0.0 END, 6) AS mrr_at_10
+    FROM nrel CROSS JOIN h
+    """,
+)
+def q_bm25_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] lexical-retrieval quality eval: precision@10, recall@10
+    and MRR@10 of the gated BM25 top-10 against boolean-AND relevance
+    (docs containing ALL query terms) — the retrieval twin of
+    ann_recall_eval, closing the eval story for the lexical path.
+    Rank ties are broken on the rounded score + doc id so both
+    engines rank identically; the metrics are single fixed-order
+    ratios over exact counts."""
+    from datacamp_etl_spark.operators.retrieval import bm25_search
+    from datacamp_etl_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    terms = ["spark", "filter", "window"]
+    top = bm25_search(docs, terms, top_k=10)
+    w = W.orderBy(F.desc("score"), "doc_id")
+    ranked = top.select("doc_id", F.row_number().over(w).alias("rnk"))
+    tk = docs.select("doc_id", tokens("text").alias("__toks"))
+    rel = tk.where(
+        F.array_contains("__toks", terms[0])
+        & F.array_contains("__toks", terms[1])
+        & F.array_contains("__toks", terms[2])
+    ).select("doc_id")
+    nrel = rel.agg(F.count("*").alias("n_relevant"))
+    hits = ranked.join(rel, "doc_id").agg(
+        F.count("*").alias("n_hits"), F.min("rnk").alias("first_rank")
+    )
+    return nrel.crossJoin(F.broadcast(hits)).select(
+        F.col("n_relevant").cast("long").alias("n_relevant"),
+        F.col("n_hits").cast("long").alias("hits_at_10"),
+        F.round(F.col("n_hits").cast("double") / 10.0, 6).alias(
+            "precision_at_10"
+        ),
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_relevant").cast("double"),
+            ),
+            6,
+        ).alias("recall_at_10"),
+        F.round(
+            F.when(
+                F.col("first_rank").isNotNull(),
+                F.lit(1.0) / F.col("first_rank").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mrr_at_10"),
+    )
+
+
+ORACLE["bm25_mrr_eval"] = (
+    ORACLE["bm25_mrr_eval"]
+    .replace("{BM25}", ORACLE["bm25_search"])
+    .replace("{TOKS_WRAP}", _TOKS_CTE + " SELECT doc_id, toks FROM tk")
+)
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

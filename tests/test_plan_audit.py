@@ -80,6 +80,16 @@ ALLOWED_BNLJ = {
     "ks_drift_events": "1-row temporal-midpoint scalar broadcast "
     "(min/max ts aggregate) into the pre/post split — same bounded "
     "shape as psi_drift_events",
+    "event_cooccurrence_lift": "1-row user-count scalar (the lift "
+    "denominator N) crossJoined onto the label-domain-sized pair "
+    "table — same shape as basket_pair_lift",
+    "churn_label_rates": "1-row temporal-midpoint scalar broadcast "
+    "into the early/late split plus the 1-row x 1-row count fold — "
+    "same bounded shape as psi_drift_events",
+    "bm25_mrr_eval": "1-row relevant-count x 1-row hit-stats scalar "
+    "cross join over the TakeOrdered-bounded BM25 top-10 (inherits "
+    "bm25_search's 1-row corpus-stats broadcast) — same shape as "
+    "ann_recall_eval",
     "basket_pair_lift": "1-row basket-count scalar (the lift "
     "denominator N) crossJoined onto the bounded pair-aggregate table "
     "— same shape as tfidf's corpus-stats broadcast",

@@ -815,3 +815,47 @@ def test_lang_source_association_consistency(spark, sf_dir):
         raw = r["n"] * n_total / (nl[r["lang"]] * ns[r["source"]])
         assert r["lift"] == pytest.approx(round(raw, 6), abs=2e-6)
         assert r["pmi"] == pytest.approx(round(math.log(raw), 6), abs=2e-6)
+
+
+# ----------------------------------------------------------------- churn
+
+def test_churn_rates_hand_case(spark):
+    from datacamp_etl_spark.operators.funnel import churn_rates
+
+    # window 00:00..02:00, midpoint 01:00.
+    # user 1: early only -> churned; user 2: both halves -> retained;
+    # user 3: late only -> not counted in the early base
+    rows = [
+        (1, "1970-01-01 00:10:00", "c", 1.0),
+        (2, "1970-01-01 00:20:00", "c", 1.0),
+        (2, "1970-01-01 01:50:00", "c", 1.0),
+        (3, "1970-01-01 02:00:00", "c", 1.0),
+    ]
+    r = churn_rates(_ev(spark, rows)).collect()[0]
+    assert (r["n_active_early"], r["n_retained"], r["n_churned"]) == (2, 1, 1)
+    assert r["churn_rate"] == pytest.approx(0.5)
+
+
+def test_churn_rates_boundary_is_early(spark):
+    from datacamp_etl_spark.operators.funnel import churn_rates
+
+    # two events exactly at min and max: midpoint event counts early
+    rows = [
+        (1, "1970-01-01 00:00:00", "c", 1.0),
+        (1, "1970-01-01 02:00:00", "c", 1.0),
+        (2, "1970-01-01 01:00:00", "c", 1.0),  # exactly the midpoint
+    ]
+    r = churn_rates(_ev(spark, rows)).collect()[0]
+    # user 1 retained (both halves), user 2 early-only -> churned
+    assert (r["n_active_early"], r["n_churned"]) == (2, 1)
+
+
+def test_bm25_mrr_eval_bounds(spark, sf_dir):
+    from datacamp_etl_spark.queries import QUERIES
+
+    r = QUERIES["bm25_mrr_eval"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["precision_at_10"] <= 1.0
+    assert 0.0 <= r["mrr_at_10"] <= 1.0
+    assert r["hits_at_10"] <= min(10, r["n_relevant"])
+    if r["n_relevant"] > 0 and r["hits_at_10"] > 0:
+        assert r["mrr_at_10"] > 0
