@@ -124,6 +124,8 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "vocab_growth_curve": "cumulative sums over the <=20-row bucket "
     "aggregate (exact_ntile output), bounded by the buckets constant "
     "at any data size",
+    "bm25_mrr_eval": "row_number over the TakeOrdered-bounded BM25 "
+    "top-10 (<= top_k rows at any corpus size)",
 }
 
 
