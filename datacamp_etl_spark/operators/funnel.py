@@ -460,17 +460,26 @@ def attribution_position_based(
         .otherwise(share)
         .cast("long")
     )
-    credited = ranked.select("channel", "__cv_id", ppm.alias("__ppm"))
+    credited = ranked.select(
+        "channel", user_col, "__cv_id", ppm.alias("__ppm")
+    )
     agg = credited.groupBy("channel").agg(
         F.count("*").cast("long").alias("n_touches"),
         F.sum("__ppm").cast("long").alias("credit_ppm"),
     )
-    convs = carried.where(is_conv).select(F.col(order_col).alias("__cid"))
+    # Direct credit = conversions with no credited touch. Anti-join on
+    # the (user, conversion-id) PAIR — keying on the id alone would
+    # require order_col to be globally unique: with per-user-unique ids
+    # another user's credited conversion sharing the same id would
+    # wrongly suppress this user's direct credit.
+    convs = carried.where(is_conv).select(
+        F.col(user_col).alias("__cu"), F.col(order_col).alias("__cid")
+    )
     credited_ids = credited.select(
-        F.col("__cv_id").alias("__cid")
+        F.col(user_col).alias("__cu"), F.col("__cv_id").alias("__cid")
     ).distinct()
     direct = (
-        convs.join(credited_ids, "__cid", "left_anti")
+        convs.join(credited_ids, ["__cu", "__cid"], "left_anti")
         .agg(F.count("*").alias("__n"))
         .select(
             F.lit(direct_label).alias("channel"),
@@ -510,8 +519,15 @@ def churn_rates(
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = events.select(F.col(user_col).alias("__u"), us.alias("__us"))
+    # Midpoint via arithmetic shift-right: exact floor((min+max)/2) on
+    # longs at ANY magnitude/sign — matches the oracle's DuckDB `//`
+    # (floor division) even past 2^53 µs, where a double round-trip
+    # would lose bits, and for negative epochs, where truncation and
+    # floor diverge.
     bounds = base.agg(
-        ((F.min("__us") + F.max("__us")) / 2).cast("long").alias("__mid")
+        F.shiftright((F.min("__us") + F.max("__us")).cast("long"), 1)
+        .cast("long")
+        .alias("__mid")
     )
     with_mid = base.crossJoin(F.broadcast(bounds))
     early = (

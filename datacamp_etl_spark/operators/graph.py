@@ -643,6 +643,20 @@ def personalized_pagerank(
     n_seeds = sd.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
+    # Conservation guard: the restart vector is materialized over the
+    # edge-endpoint node set, so a seed that is NOT an edge endpoint
+    # would silently leak 1/|S| of restart mass every round and ranks
+    # would no longer sum to 1 (the docstring's conservation claim).
+    # Raise instead of leaking; callers with isolated seeds should add
+    # self-loops or drop them explicitly.
+    n_matched = sd.join(nodes, "node", "left_semi").count()
+    if n_matched != n_seeds:
+        raise ValueError(
+            f"personalized_pagerank: {n_seeds - n_matched} seed(s) are "
+            "not edge endpoints; restart mass would leak and ranks "
+            "would not conserve to 1. Drop isolated seeds or add "
+            "self-loop edges for them."
+        )
     restart = (
         nodes.join(sd.withColumn("__isseed", F.lit(1)), "node", "left")
         .select(

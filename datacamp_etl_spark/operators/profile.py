@@ -571,6 +571,7 @@ def gini_by_group(
     order_col: str,
     *,
     decimals: int = 6,
+    scale: int = 1,
 ) -> DataFrame:
     """Per-group Gini coefficient of a non-negative measure via the
     exact rank formula over ascending values,
@@ -583,6 +584,15 @@ def gini_by_group(
     :func:`~datacamp_etl_spark.operators.skew.key_skew_report`
     (top-k share) with the full-distribution statistic.
 
+    **Values must be integral** (counts, bytes, integer cents): the
+    accumulator casts to DECIMAL(38,0), which rounds a fractional
+    measure half-up to whole units before the rank formula. For a
+    fractional measure pass ``scale`` (e.g. 100 for cent precision)
+    to pre-scale to fixed-point first — G is scale-invariant, so any
+    ``scale`` preserving the needed precision yields the same
+    coefficient (same convention as :func:`rfm_segments`). With the
+    default ``scale=1`` integral inputs pass through bit-exact.
+
     Exactness: ranks come from one group-partitioned window ordered
     by (value, ``order_col``) — the tiebreak makes ranks
     deterministic and the formula is tie-invariant in value terms;
@@ -592,11 +602,18 @@ def gini_by_group(
     """
     from pyspark.sql import Window as W
 
+    if scale < 1:
+        raise ValueError("scale must be a positive integer")
     w = W.partitionBy(group_col).orderBy(F.col(value_col), F.col(order_col))
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = (
+        F.floor(F.col(value_col) * scale + F.lit(0.5))
+        if scale != 1
+        else F.col(value_col)
+    )
     ranked = df.select(
         group_col,
-        d(F.col(value_col)).alias("__x"),
+        d(x).alias("__x"),
         F.row_number().over(w).alias("__i"),
     )
     agg = ranked.groupBy(group_col).agg(

@@ -10309,7 +10309,7 @@ def q_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY us, event_id) AS rn,
                   count(*) OVER (PARTITION BY user_id, cv_id) AS k
            FROM tch),
-    cr AS (SELECT channel, cv_id,
+    cr AS (SELECT channel, user_id, cv_id,
                   CASE WHEN k = 1 THEN 1000000
                        WHEN k = 2 THEN 500000
                        WHEN rn = 1 OR rn = k THEN 400000
@@ -10323,7 +10323,9 @@ def q_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct AS (SELECT 'direct' AS channel, CAST(0 AS BIGINT) AS n_touches,
                       CAST(1000000 * count(*) AS BIGINT) AS credit_ppm
                FROM s WHERE event_type = 'purchase'
-                 AND event_id NOT IN (SELECT DISTINCT cv_id FROM cr)
+                 AND NOT EXISTS (SELECT 1 FROM cr
+                                 WHERE cr.user_id = s.user_id
+                                   AND cr.cv_id = s.event_id)
                HAVING count(*) > 0),
     u AS (SELECT * FROM agg UNION ALL SELECT * FROM direct)
     SELECT channel, n_touches, credit_ppm,
@@ -10807,10 +10809,16 @@ def q_shard_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ppr_iter_sql(prev: str) -> str:
     """One unrolled personalized-PageRank round (damping 0.85): same
-    IEEE operation order as the Spark update expression."""
+    IEEE operation order as the Spark update expression. The restart
+    coefficient is written ``(1 - 0.85)`` — NOT the literal 0.15 —
+    because the Spark side computes ``F.lit(1.0 - d)`` (graph.py) and
+    the two are different IEEE doubles (0.15000000000000002 vs
+    0.14999999999999999); bit-replay-before-rounding requires deriving
+    every constant the same way Spark does (same convention as
+    ``_pagerank_iter_sql``)."""
     return f"""
     SELECT r.node,
-           (0.15 * r.rv)
+           ((1 - 0.85) * r.rv)
            + (0.85 * coalesce(c.in_mass, 0.0))
            + ((0.85 * d.m) * r.rv) AS rank
     FROM restart r

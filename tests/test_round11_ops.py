@@ -1,0 +1,154 @@
+"""Round-11 regression tests for the ADVICE r10 findings: the PPR
+oracle restart-constant parity + seed-conservation guard (graph.py /
+queries.py), the churn midpoint's exact floor division (funnel.py),
+the position-based attribution direct anti-join keyed per user
+(funnel.py), and gini_by_group's integral-value contract + fixed-point
+scale (profile.py).
+
+Every assertion is against a hand-computed ground truth on a fixture
+small enough to verify on paper."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    )
+    return df.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+        F.monotonically_increasing_id().alias("event_id"),
+    )
+
+
+# ------------------------------------------------ personalized PageRank
+
+def test_ppr_seed_not_endpoint_raises(spark):
+    # A seed absent from the edge set would silently leak 1/|S| of
+    # restart mass every round (ranks no longer sum to 1) — the
+    # operator must refuse instead.
+    from datacamp_etl_spark.operators.graph import personalized_pagerank
+
+    e = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    with pytest.raises(ValueError, match="not edge endpoints"):
+        personalized_pagerank(e, seeds, iterations=1)
+
+
+def test_ppr_oracle_restart_constant_derived_not_literal():
+    # Bit-replay contract: Spark computes F.lit(1.0 - 0.85), which is
+    # NOT the same IEEE double as the literal 0.15 — the oracle must
+    # derive the constant the same way (same convention as the plain
+    # pagerank oracle).
+    from datacamp_etl_spark.queries import ORACLE
+
+    sql = ORACLE["personalized_pagerank"]
+    assert "(1 - 0.85)" in sql
+    assert "0.15" not in sql
+    assert (1 - 0.85) != 0.15  # the two doubles really differ
+
+
+# ------------------------------------------------------- churn midpoint
+
+def test_churn_midpoint_exact_floor_past_2_53(spark):
+    # min+max = 2^58 + 3 µs: the double path rounds the sum to 2^58
+    # and yields midpoint 2^57, while exact floor((min+max)/2) is
+    # 2^57 + 1. A user whose only event sits exactly at 2^57 + 1 is
+    # EARLY under exact integer semantics (and was late under the
+    # old double division).
+    from datacamp_etl_spark.operators.funnel import churn_rates
+
+    m1 = 2**57 - 100
+    m2 = 2**58 + 3 - m1
+    true_mid = (m1 + m2) >> 1  # 2^57 + 1
+    assert int(float(m1 + m2) / 2.0) != true_mid  # old path diverges
+    df = spark.createDataFrame(
+        [(1, m1), (1, m2), (2, true_mid)], "user_id long, us long"
+    ).select("user_id", F.timestamp_micros("us").alias("ts"))
+    r = churn_rates(df).collect()[0]
+    # user 1 spans both halves -> retained; user 2 at the exact
+    # midpoint -> early-only -> churned
+    assert (r["n_active_early"], r["n_retained"], r["n_churned"]) == (
+        2,
+        1,
+        1,
+    )
+
+
+# ------------------------------- position-based attribution direct row
+
+def test_attribution_direct_keyed_per_user_not_global_id(spark):
+    # user 1's credited conversion and user 2's untouched conversion
+    # share event_id=7 (ids only per-user-unique): user 2 must still
+    # get direct credit — the anti-join keys on (user, id), not id.
+    from datacamp_etl_spark.operators.funnel import (
+        attribution_position_based,
+    )
+
+    rows = [
+        (7, 1, "click", "1970-01-01 00:01:00"),
+        (7, 1, "purchase", "1970-01-01 00:02:00"),
+        (7, 2, "purchase", "1970-01-01 00:03:00"),
+    ]
+    # NOTE: build events directly so event_id collides across users
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    got = {
+        r["channel"]: r["credit_ppm"]
+        for r in attribution_position_based(
+            df, "purchase", ["click", "view"]
+        ).collect()
+    }
+    assert got["click"] == 1_000_000  # user 1's single-touch credit
+    assert got["direct"] == 1_000_000  # user 2 NOT suppressed
+
+
+# --------------------------------------------------- gini fixed-point
+
+def test_gini_scale_matches_prescaled_integers(spark):
+    from datacamp_etl_spark.operators.profile import gini_by_group
+
+    frac = [("g", 0.01 * i, i) for i in range(1, 21)]
+    df_f = spark.createDataFrame(frac, "grp string, v double, id long")
+    df_i = spark.createDataFrame(
+        [("g", round(v * 100), i) for (_, v, i) in frac],
+        "grp string, v long, id long",
+    )
+    g_scaled = gini_by_group(df_f, "grp", "v", "id", scale=100).collect()[0]
+    g_int = gini_by_group(df_i, "grp", "v", "id").collect()[0]
+    assert g_scaled["gini"] == g_int["gini"]
+    assert g_scaled["n_rows"] == 20
+
+
+def test_gini_rejects_nonpositive_scale(spark):
+    from datacamp_etl_spark.operators.profile import gini_by_group
+
+    df = spark.createDataFrame([("g", 1, 1)], "grp string, v long, id long")
+    with pytest.raises(ValueError, match="scale"):
+        gini_by_group(df, "grp", "v", "id", scale=0)
+
+
+def test_gini_default_scale_integral_passthrough(spark):
+    from datacamp_etl_spark.operators.profile import gini_by_group
+
+    # perfectly even integral distribution -> G = 0 exactly
+    df = spark.createDataFrame(
+        [("g", 5, i) for i in range(10)], "grp string, v long, id long"
+    )
+    assert gini_by_group(df, "grp", "v", "id").collect()[0]["gini"] == 0.0
