@@ -31,7 +31,12 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["FieldComparator", "blocked_pairs", "fs_score_pairs"]
+__all__ = [
+    "FieldComparator",
+    "block_stats",
+    "blocked_pairs",
+    "fs_score_pairs",
+]
 
 #: decimal type wide enough for any realistic weight sum, scale 1 so
 #: one-decimal weights stay exact and render identically cross-engine
@@ -56,13 +61,36 @@ def blocked_pairs(
     block_col: str,
     *,
     suffixes: tuple[str, str] = ("_a", "_b"),
+    max_block_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate pairs within each block: every column of ``records``
     appears twice with the given suffixes; pairs are ordered
     (key_a < key_b) so each unordered pair appears once. The block
     equi-join is the only shuffle; per-task work is bounded by the
     square of the largest block (the blocker's contract, same as LSH
-    banding's mega-bucket story)."""
+    banding's mega-bucket story).
+
+    ``max_block_size`` is that contract made ENFORCEABLE: one skewed
+    block key (a common surname prefix at 100 TB) holding m records
+    would emit m^2/2 pairs from a single join key — a straggler task
+    no AQE split can break up. Blocks above the cap are dropped
+    entirely, mirroring ``dedup.lsh_candidate_pairs``'
+    ``max_bucket_size`` mega-bucket guard (an over-cap block carries
+    no linkage signal a reviewer could act on anyway — it means the
+    blocking key is too coarse and should be refined, e.g. a longer
+    prefix or a compound key). Set ``None`` to disable. The window
+    count rides the SAME exchange the pair join shuffles on — one
+    extra aggregation, no extra shuffle.
+    """
+    if max_block_size is not None:
+        from pyspark.sql import Window as W
+
+        wcnt = W.partitionBy(block_col)
+        records = (
+            records.withColumn("__blkn", F.count("*").over(wcnt))
+            .where(F.col("__blkn") <= max_block_size)
+            .drop("__blkn")
+        )
     sa, sb = suffixes
     a = records.select(
         [F.col(c).alias(f"{c}{sa}") for c in records.columns]
@@ -74,6 +102,35 @@ def blocked_pairs(
         b,
         (F.col(f"{block_col}{sa}") == F.col(f"{block_col}{sb}"))
         & (F.col(f"{key_col}{sa}") < F.col(f"{key_col}{sb}")),
+    )
+
+
+def block_stats(
+    records: DataFrame,
+    block_col: str,
+    *,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Blocking-key pre-flight report: per block, the record count,
+    the pair count it would emit (n*(n-1)/2 — the per-task work the
+    join actually does) and whether :func:`blocked_pairs` would drop
+    it at ``max_block_size``. Run this BEFORE a linkage job to see
+    what a blocking key costs and what the guard will skip — the
+    linkage twin of ``skew.key_skew_report``. One map-side-combined
+    groupBy; output is one row per distinct block key."""
+    return (
+        records.groupBy(F.col(block_col).alias("block"))
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "block",
+            F.col("__n").cast("long").alias("n_records"),
+            F.shiftright(
+                (F.col("__n") * (F.col("__n") - 1)).cast("long"), 1
+            )
+            .cast("long")
+            .alias("n_pairs"),
+            (F.col("__n") > max_block_size).alias("over_cap"),
+        )
     )
 
 

@@ -1101,6 +1101,7 @@ def dhash_near_pairs(
     max_hamming: int = 4,
     bands: int = 7,
     nbits: int = 56,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate image pairs from dHash signatures via pigeonhole
     band blocking — EXACT for ``max_hamming < bands`` (a pair
@@ -1109,6 +1110,16 @@ def dhash_near_pairs(
     pairs as the quadratic scan while only equi-joining per segment —
     never an all-pairs join (same machinery as the SimHash blocker,
     applied to the image modality).
+
+    ``max_bucket_size`` is the mega-bucket guard (the enforceable
+    form of the adversarial-cluster bound): a degenerate band value
+    shared by m signatures — a solid-color thumbnail plastered across
+    the corpus — emits O(m^2) candidate comparisons from ONE join
+    key, a straggler task no AQE split fixes. Band buckets above the
+    cap are dropped entirely, exactly like
+    ``dedup.lsh_candidate_pairs``; with the cap active the pigeonhole
+    exactness guarantee holds only for pairs whose shared band
+    buckets are all under the cap. Set ``None`` to disable.
 
     Returns ``(id_a, id_b, hamming)``, ``id_a < id_b``.
     """
@@ -1120,22 +1131,32 @@ def dhash_near_pairs(
 
     width = nbits // bands
     mask = (1 << width) - 1
-    banded = scoped_cache(
-        sig.select(
-            "media_id",
-            "dhash",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(i).alias("band_i"),
-                        F.shiftright("dhash", i * width)
-                        .bitwiseAND(F.lit(mask)).alias("band_v"),
-                    )
-                    for i in range(bands)
-                ])
-            ).alias("b"),
-        ).select("media_id", "dhash", "b.band_i", "b.band_v")
-    )
+    banded = sig.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_i"),
+                    F.shiftright("dhash", i * width)
+                    .bitwiseAND(F.lit(mask)).alias("band_v"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("b"),
+    ).select("media_id", "dhash", "b.band_i", "b.band_v")
+    if max_bucket_size is not None:
+        # window count over the SAME (band_i, band_v) key the pair
+        # join shuffles on — one exchange, reused by the join
+        from pyspark.sql import Window as W
+
+        wcnt = W.partitionBy("band_i", "band_v")
+        banded = (
+            banded.withColumn("__n", F.count("*").over(wcnt))
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    banded = scoped_cache(banded)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(
         F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))

@@ -176,6 +176,7 @@ def anomaly_zscore(
     min_history: int = 8,
     threshold: int = 3,
     scale: int = 100,
+    accumulator: str = "decimal",
 ) -> DataFrame:
     """Rolling z-score anomaly detector — flag a measurement that sits
     more than ``threshold`` population standard deviations from the
@@ -208,16 +209,51 @@ def anomaly_zscore(
     the flagged rows only. Returns the anomalous rows as
     ``(key, *order_cols, value, n_ref, direction)`` with ``direction``
     'high' | 'low' vs the trailing mean.
+
+    ``accumulator`` picks the integer arithmetic: ``"decimal"``
+    (default) runs the full documented range on DECIMAL(38,0);
+    ``"bigint"`` is a VALIDATED-BOUND fast path — native long window
+    sums and products (~2x faster: the r9 DECIMAL correctness fix
+    doubled this operator's warm time) that first verifies, with one
+    cheap max(abs(x)) aggregate, that every term of the identity fits
+    int64: max|x·scale| <= floor(sqrt((2^63-1) / max(4, 2·t^2)) /
+    lookback) (num^2 <= (2·L·M)^2 and t^2·var·n^2 <= 2t^2·L^2·M^2 are
+    the binding terms). Out-of-bound data raises with instructions to
+    use ``"decimal"`` — it never silently overflows, and both paths
+    flag identical rows inside the validated range.
     """
     if lookback < min_history or min_history < 2:
         raise ValueError("need lookback >= min_history >= 2")
+    if accumulator not in ("decimal", "bigint"):
+        raise ValueError("accumulator must be 'decimal' or 'bigint'")
     x = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
     w = (
         W.partitionBy(key_col)
         .orderBy(*order_cols)
         .rowsBetween(-lookback, -1)
     )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    if accumulator == "bigint":
+        import math
+
+        bound = int(
+            math.isqrt((2**63 - 1) // max(4, 2 * threshold * threshold))
+            // lookback
+        )
+        probe = (
+            df.where(F.col(value_col).isNotNull())
+            .agg(F.max(F.abs(x)).alias("__m"))
+            .collect()[0]["__m"]
+        )
+        if probe is not None and probe > bound:
+            raise ValueError(
+                f"anomaly_zscore(accumulator='bigint'): max |value*scale|"
+                f" = {probe} exceeds the int64-safe bound {bound} for "
+                f"lookback={lookback}, threshold={threshold}; use "
+                "accumulator='decimal' (exact to ~2.4e17) instead"
+            )
+        dec = lambda c: c.cast("long")  # noqa: E731
+    else:
+        dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     d = (
         df.where(F.col(value_col).isNotNull())
         .withColumn("__x", x)

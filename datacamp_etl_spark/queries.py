@@ -8108,7 +8108,10 @@ def q_anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n*x - s)^2 > 9*(n*ssq - s^2) — zero float accumulation, so the
     SQL replay is bit-exact. One window pass partitioned by user
     (per-user streams: short and numerous), output filtered to the
-    flagged rows."""
+    flagged rows. Uses the validated-bound BIGINT accumulator (event
+    cents are far inside the int64-safe bound; a cheap max-abs probe
+    enforces it) — the DECIMAL(38,0) path stays the operator default
+    for unbounded inputs."""
     from datacamp_etl_spark.operators.timeseries import anomaly_zscore
 
     out = anomaly_zscore(
@@ -8119,6 +8122,7 @@ def q_anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback=20,
         min_history=8,
         threshold=3,
+        accumulator="bigint",
     )
     return out.select(
         "event_id",

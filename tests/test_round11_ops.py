@@ -152,3 +152,99 @@ def test_gini_default_scale_integral_passthrough(spark):
         [("g", 5, i) for i in range(10)], "grp string, v long, id long"
     )
     assert gini_by_group(df, "grp", "v", "id").collect()[0]["gini"] == 0.0
+
+
+# ------------------------------------------- linkage max_block_size
+
+def test_blocked_pairs_mega_block_dropped(spark):
+    from datacamp_etl_spark.operators.linkage import blocked_pairs
+
+    rows = [(i, "BIG" if i <= 5 else "ok") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "k long, blk string")
+    # cap 4: the 5-record BIG block is dropped, the 2-record ok block
+    # still pairs
+    got = blocked_pairs(df, "k", "blk", max_block_size=4).collect()
+    assert len(got) == 1
+    assert (got[0]["k_a"], got[0]["k_b"]) == (6, 7)
+    # uncapped: C(5,2) + C(2,2) = 10 + 1
+    assert len(blocked_pairs(df, "k", "blk", max_block_size=None).collect()) == 11
+
+
+def test_block_stats_reports_over_cap(spark):
+    from datacamp_etl_spark.operators.linkage import block_stats
+
+    rows = [(i, "BIG" if i <= 5 else "ok") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "k long, blk string")
+    got = {
+        r["block"]: r for r in block_stats(df, "blk", max_block_size=4).collect()
+    }
+    assert got["BIG"]["n_records"] == 5 and got["BIG"]["n_pairs"] == 10
+    assert bool(got["BIG"]["over_cap"]) is True
+    assert got["ok"]["n_pairs"] == 1 and bool(got["ok"]["over_cap"]) is False
+
+
+# --------------------------------------------- dhash mega-bucket cap
+
+def test_dhash_near_pairs_bucket_cap(spark):
+    from datacamp_etl_spark.operators.multimodal import dhash_near_pairs
+
+    # 5 identical signatures (every band bucket holds 5) + 1 far one
+    sig = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(9, (1 << 56) - 1)],
+        "media_id long, dhash long",
+    )
+    # cap 4: all shared buckets over cap -> no pairs at all
+    assert dhash_near_pairs(sig, max_bucket_size=4).count() == 0
+    # cap high enough: C(5,2) = 10 exact-dup pairs
+    assert dhash_near_pairs(sig, max_bucket_size=10).count() == 10
+    assert dhash_near_pairs(sig, max_bucket_size=None).count() == 10
+
+
+# ----------------------------------------- anomaly_zscore fast path
+
+def _series(spark, vals):
+    return spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(vals)],
+        "k long, i long, v double",
+    )
+
+
+def test_anomaly_zscore_bigint_matches_decimal(spark):
+    from datacamp_etl_spark.operators.timeseries import anomaly_zscore
+
+    vals = [10.0] * 10 + [10.5] + [10.0] * 5 + [99.0] + [10.0] * 4
+    kw = dict(lookback=8, min_history=4, threshold=3)
+    a = sorted(
+        (r["i"], r["direction"])
+        for r in anomaly_zscore(
+            _series(spark, vals), "k", ["i"], "v", **kw
+        ).collect()
+    )
+    b = sorted(
+        (r["i"], r["direction"])
+        for r in anomaly_zscore(
+            _series(spark, vals), "k", ["i"], "v",
+            accumulator="bigint", **kw
+        ).collect()
+    )
+    assert a == b and len(a) >= 1
+
+
+def test_anomaly_zscore_bigint_out_of_bound_raises(spark):
+    from datacamp_etl_spark.operators.timeseries import anomaly_zscore
+
+    # |v*scale| = 1e17 is beyond the int64-safe bound for lookback=20
+    df = _series(spark, [1e15] * 30)
+    with pytest.raises(ValueError, match="int64-safe bound"):
+        anomaly_zscore(
+            df, "k", ["i"], "v", accumulator="bigint"
+        ).collect()
+
+
+def test_anomaly_zscore_rejects_unknown_accumulator(spark):
+    from datacamp_etl_spark.operators.timeseries import anomaly_zscore
+
+    with pytest.raises(ValueError, match="accumulator"):
+        anomaly_zscore(
+            _series(spark, [1.0]), "k", ["i"], "v", accumulator="float"
+        )
