@@ -210,6 +210,8 @@ HEADLINE = [
     "churn_label_rates",
     "event_cooccurrence_lift",
     "bm25_mrr_eval",
+    "band_index_staleness",
+    "streaming_image_near_dup",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

@@ -40,6 +40,8 @@ __all__ = [
     "shingles",
     "minhash_signature",
     "band_signatures",
+    "band_index_append",
+    "band_index_stats",
     "lsh_candidate_pairs",
     "incremental_dedup",
     "ngram_jaccard_pairs",
@@ -374,6 +376,116 @@ def incremental_dedup(
         .distinct()
     )
     return batch.join(hit_ids, on=id_col, how="left_anti")
+
+
+def band_index_append(
+    corpus_bands: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    bands: int | str = 4,
+    threshold: float | None = None,
+    k: int = 3,
+    generation: int = 1,
+) -> DataFrame:
+    """Append a new batch to a persisted band-signature index,
+    stamping each appended row with ``generation`` (existing rows
+    without a ``generation`` column are the base build, generation 0)
+    — the MinHash twin of ``ann_index.ann_index_append``'s
+    frozen-quantizer append. The "quantizer" here is the deterministic
+    minhash seed family, so consistency only requires passing the SAME
+    ``num_hashes``/``bands``/``k`` (or ``threshold``) the base index
+    was built with; there is nothing to retrain, but the index still
+    DRIFTS: new content concentrating in existing buckets degrades the
+    incremental-dedup probe exactly like cell drift degrades an IVF
+    probe. Track it with :func:`band_index_stats` and rebuild when the
+    appended share grows past policy.
+
+    Returns the unioned index ``(id, band, band_sig, generation)``;
+    at scale, write the appended slice to the same bucketed table
+    instead of materializing the union.
+    """
+    bands = _resolve_bands(num_hashes, bands, threshold)
+    base = corpus_bands
+    if "generation" not in base.columns:
+        base = base.withColumn("generation", F.lit(0))
+    bb = band_signatures(
+        batch, id_col, text_col, num_hashes=num_hashes, bands=bands, k=k
+    ).withColumn("generation", F.lit(generation))
+    return base.select(id_col, "band", "band_sig", "generation").unionByName(
+        bb.select(id_col, "band", "band_sig", "generation")
+    )
+
+
+def band_index_stats(
+    corpus_bands: DataFrame,
+    *,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Staleness / drift report over a persisted band-signature index
+    — the rebuild trigger for :func:`incremental_dedup`, and the
+    direct twin of ``ann_index.ann_index_cell_stats``: per band, the
+    base-build posting count (generation 0), the appended count
+    (generation > 0), the total's exact share in millionths, plus the
+    bucket-shape gauges the probe cost actually depends on — distinct
+    bucket count, the largest bucket, and how many buckets exceed
+    ``max_bucket_size`` (the cap :func:`lsh_candidate_pairs` drops
+    at). Appends piling into few, ever-larger buckets mean the corpus
+    has drifted onto degenerate band keys: incremental-dedup probes
+    get more skewed and pair recall decays — rebuild with a different
+    banding (or raise ``num_hashes``) when ``n_over_cap`` or the
+    appended share crosses policy.
+
+    Input without a ``generation`` column is treated as all-base.
+    One aggregated pass over the (id, band, band_sig) postings
+    (groupBy bucket, then groupBy band — both map-side combined); the
+    grand total is a 1-row scalar broadcast onto the <= ``bands``-row
+    per-band table. Returns ``(band, n_base, n_appended, n_total,
+    share_ppm, n_buckets, max_bucket, n_over_cap)`` ordered by band.
+    """
+    idx = corpus_bands
+    if "generation" not in idx.columns:
+        idx = idx.withColumn("generation", F.lit(0))
+    per_bucket = idx.groupBy("band", "band_sig").agg(
+        F.sum(F.when(F.col("generation") == 0, 1).otherwise(0)).alias(
+            "__b"
+        ),
+        F.sum(F.when(F.col("generation") > 0, 1).otherwise(0)).alias(
+            "__a"
+        ),
+        F.count("*").alias("__n"),
+    )
+    per_band = per_bucket.groupBy("band").agg(
+        F.sum("__b").alias("n_base"),
+        F.sum("__a").alias("n_appended"),
+        F.sum("__n").alias("n_total"),
+        F.count("*").alias("n_buckets"),
+        F.max("__n").alias("max_bucket"),
+        F.sum(
+            F.when(F.col("__n") > max_bucket_size, 1).otherwise(0)
+        ).alias("n_over_cap"),
+    )
+    total = per_band.agg(F.sum("n_total").alias("__grand"))
+    return (
+        per_band.crossJoin(F.broadcast(total))
+        .select(
+            F.col("band").cast("int").alias("band"),
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_appended").cast("long").alias("n_appended"),
+            F.col("n_total").cast("long").alias("n_total"),
+            # integer DIV: the exact floor both engines compute
+            # identically (same convention as ann_index_cell_stats)
+            F.expr("(1000000 * n_total) DIV __grand")
+            .cast("long")
+            .alias("share_ppm"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("max_bucket").cast("long").alias("max_bucket"),
+            F.col("n_over_cap").cast("long").alias("n_over_cap"),
+        )
+        .orderBy("band")
+    )
 
 
 def lsh_candidate_pairs(

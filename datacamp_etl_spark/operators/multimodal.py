@@ -68,6 +68,7 @@ __all__ = [
     "synthetic_bmp_media",
     "image_dhash",
     "dhash_near_pairs",
+    "streaming_image_near_dup_filter",
 ]
 
 #: Canonical media-row schema: opaque bytes + typed metadata.
@@ -1176,3 +1177,125 @@ def dhash_near_pairs(
         )
         .distinct()
     )
+
+
+def streaming_image_near_dup_filter(
+    media_stream: DataFrame,
+    index_sigs: DataFrame,
+    *,
+    max_hamming: int = 4,
+    bands: int = 7,
+    nbits: int = 56,
+    grid: int = 8,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Streaming IMAGE near-dup gate against a persisted dHash
+    signature index: an arriving image passes only if its dHash sits
+    more than ``max_hamming`` bits from EVERY index signature — the
+    image-modality member of the online-ingest gate family
+    (``dedup.streaming_near_dup_filter`` for text bands,
+    ``ann_index.streaming_ann_filter`` for vectors), closing the
+    multimodal ingest gap.
+
+    Entirely STATELESS, and — unlike the text band gate — VERIFIED:
+    the dHash is one Arrow ``mapInPandas`` projection carrying the
+    media payload through; the index is pre-aggregated per band into
+    ``(band_value, sorted signature list)`` buckets (bounded by
+    ``max_bucket_size`` — over-cap degenerate buckets, e.g. a
+    solid-color thumbnail signature, are dropped like every sibling
+    pair generator's cap); the probe is one stream-static LEFT join
+    per band on the band value plus a JVM ``exists(sigs, s ->
+    bit_count(s XOR dhash) <= max_hamming)`` over the bucket list.
+    Because each static side is one row per band value, stream rows
+    never multiply; because pigeonhole blocking is exact for
+    ``max_hamming < bands``, the gate drops EXACTLY the rows whose
+    true minimum Hamming distance to the (under-cap) index is
+    ``<= max_hamming`` — no false drops, no misses. No watermark, no
+    state store; works identically on a batch frame.
+
+    ``index_sigs`` is the output shape of :func:`image_dhash`
+    (``media_id``, ``dhash``) — at scale a persisted table, with each
+    band's bucket aggregation written once, partitioned by band.
+    Non-image rows and NULL content pass through (no signature — the
+    gate has no opinion). Returns the surviving media frame
+    ``(media_id, kind, mime, content, dhash)``.
+    """
+    if nbits % bands:
+        raise ValueError("bands must divide nbits")
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole exactness needs max_hamming < bands")
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
+    width = nbits // bands
+    mask = (1 << width) - 1
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, kinds, mimes, blobs, sigs = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                sig = None
+                if row.kind == "image" and row.content is not None:
+                    w, h, px = _decode(bytes(row.content), row.mime)
+                    sig = 0
+                    for r in range(grid):
+                        sr = r * h // grid
+                        for c in range(grid - 1):
+                            a = px[sr * w + (c * w // grid)]
+                            b = px[sr * w + ((c + 1) * w // grid)]
+                            sig = (sig << 1) | (1 if a > b else 0)
+                ids.append(row.media_id)
+                kinds.append(row.kind)
+                mimes.append(row.mime)
+                blobs.append(row.content)
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "mime": mimes,
+                    "content": blobs,
+                    "dhash": sigs,
+                }
+            )
+
+    out = media_stream.select(
+        "media_id", "kind", "mime", "content"
+    ).mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, kind string, mime string, "
+            "content binary, dhash long"
+        ),
+    )
+    miss = None
+    for bi in range(bands):
+        band_v = F.shiftright("dhash", bi * width).bitwiseAND(F.lit(mask))
+        # one row per band value: sorted signature lists, over-cap
+        # degenerate buckets dropped (the mega-bucket guard); the
+        # static side is re-read every micro-batch — cache it
+        idx = scoped_cache(
+            index_sigs.select(
+                F.shiftright("dhash", bi * width)
+                .bitwiseAND(F.lit(mask))
+                .alias(f"__k{bi}"),
+                F.col("dhash").alias("__s"),
+            )
+            .groupBy(f"__k{bi}")
+            .agg(F.sort_array(F.collect_list("__s")).alias(f"__sigs{bi}"))
+            .where(F.size(f"__sigs{bi}") <= max_bucket_size)
+        )
+        out = out.join(idx, band_v == F.col(f"__k{bi}"), "left").drop(
+            f"__k{bi}"
+        )
+        hit = F.coalesce(
+            F.exists(
+                F.col(f"__sigs{bi}"),
+                lambda s: F.bit_count(s.bitwiseXOR(F.col("dhash")))
+                <= max_hamming,
+            ),
+            F.lit(False),
+        )
+        miss = ~hit if miss is None else (miss & ~hit)
+    return out.where(miss).drop(*[f"__sigs{bi}" for bi in range(bands)])

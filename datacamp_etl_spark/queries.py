@@ -11235,6 +11235,140 @@ ORACLE["bm25_mrr_eval"] = (
 
 
 # =====================================================================
+# [EXT] Round 11: index-lifecycle symmetry (band-index staleness,
+# streaming image near-dup gate)
+# =====================================================================
+
+
+@register(
+    "band_index_staleness",
+    f"""
+    {_SHINGLES_CTE},
+    {_minhash_sig_cte()},
+    bs AS (SELECT doc_id, seed // 4 AS band,
+                  md5(array_to_string(list_sort(list(minhash)), '|'))
+                      AS band_sig
+           FROM sig GROUP BY doc_id, seed // 4),
+    pb AS (SELECT band, band_sig,
+                  sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS b,
+                  sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS a,
+                  count(*) AS n
+           FROM bs GROUP BY band, band_sig),
+    pband AS (SELECT band, sum(b) AS n_base, sum(a) AS n_appended,
+                     sum(n) AS n_total, count(*) AS n_buckets,
+                     max(n) AS max_bucket,
+                     sum(CASE WHEN n > 10000 THEN 1 ELSE 0 END)
+                         AS n_over_cap
+              FROM pb GROUP BY band),
+    g AS (SELECT sum(n_total) AS grand FROM pband)
+    SELECT CAST(band AS INT) AS band,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_appended AS BIGINT) AS n_appended,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST((1000000 * n_total) // grand AS BIGINT) AS share_ppm,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(max_bucket AS BIGINT) AS max_bucket,
+           CAST(n_over_cap AS BIGINT) AS n_over_cap
+    FROM pband CROSS JOIN g ORDER BY band
+    """,
+)
+def q_band_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] band-index staleness / drift report
+    (dedup.band_index_stats over dedup.band_index_append): the even
+    lifecycle twin of ann_index_staleness — the persisted MinHash band
+    index (base = doc_id % 5 != 0, the incremental-dedup fixture)
+    takes the % 5 == 0 batch as a generation-1 append, and the report
+    gives per band the base/appended posting counts, the exact ppm
+    share, and the bucket-shape gauges probe cost depends on (distinct
+    buckets, largest bucket, over-cap count) — the rebuild trigger an
+    incremental corpus dedup run reads before trusting its index. Two
+    map-side-combined groupBys over the postings; the grand total is a
+    1-row scalar broadcast onto the <= bands-row table."""
+    from datacamp_etl_spark.operators.dedup import (
+        band_index_append,
+        band_index_stats,
+        band_signatures,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    idx = band_signatures(corpus)
+    appended = band_index_append(idx, batch)
+    return band_index_stats(appended)
+
+
+@register(
+    "streaming_image_near_dup",
+    _DHASH_SIG_SQL + """,
+    hits AS (SELECT DISTINCT o.media_id
+             FROM sig o JOIN sig e
+               ON (o.media_id // 50) % 2 = 1 AND e.media_id % 50 < 25
+              AND bit_count(xor(o.dhash, e.dhash)) <= 4)
+    SELECT s.media_id FROM sig s
+    WHERE (s.media_id // 50) % 2 = 1
+      AND s.media_id NOT IN (SELECT media_id FROM hits)
+    """,
+)
+def q_streaming_image_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] streaming IMAGE near-dup gate
+    (multimodal.streaming_image_near_dup_filter): the odd REPLICAS
+    (doc_id div 50 odd — replicas of one class sit 50 apart) arrive
+    as a file stream of real BMPs, run the decode->dHash path in one
+    Arrow projection, and pass only if their signature sits more than
+    4 Hamming bits from every persisted index signature; the index
+    covers classes 0..24 only, so streamed replicas of indexed
+    classes are dropped and the unindexed classes survive — both
+    verdicts exercised, not a vacuous pass-through. The image member
+    of the online-ingest gate family (text bands:
+    streaming_near_dup_filter; vectors: streaming_ann_filter),
+    closing the multimodal ingest gap. Stateless AND verified: 7
+    stream-static left joins on per-band bucketed signature lists
+    (one row per band value — stream rows never multiply) + a JVM
+    exists() Hamming check; pigeonhole-exact for hamming <= 4 < 7
+    bands, so the oracle is the plain quadratic anti-join. Available-
+    Now drain into a memory sink."""
+    import tempfile
+
+    from datacamp_etl_spark.operators.multimodal import (
+        image_dhash,
+        streaming_image_near_dup_filter,
+        synthetic_bmp_media,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    idx = image_dhash(
+        synthetic_bmp_media(docs.where(F.col("doc_id") % 50 < 25))
+    )
+    stream_docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.expr("(doc_id DIV 50) % 2 = 1"))
+    )
+    media_stream = synthetic_bmp_media(stream_docs)
+    survivors = streaming_image_near_dup_filter(media_stream, idx)
+    _STREAM_RUN[0] += 1
+    sink = f"stream_img_dup_{_STREAM_RUN[0]}"
+    q = (
+        survivors.select("media_id")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sgckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("media_id")
+
+
+# =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================
 # The round driver oracle-checks the FIRST-50 prefix of this registry

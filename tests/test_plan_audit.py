@@ -110,6 +110,10 @@ ALLOWED_BNLJ = {
     "url_host_stats": "1-row grand-total scalar crossJoined onto the "
     "bounded per-host aggregate table (host-domain cardinality, "
     "already reduced from the URL rows)",
+    "band_index_staleness": "1-row grand-total scalar crossJoined "
+    "onto the bounded per-band table (<= bands rows — banding "
+    "configuration, not data size; the direct twin of "
+    "ann_index_staleness's per-cell shape)",
 }
 
 #: Partitionless-Window allowlist: query -> why the window's input is

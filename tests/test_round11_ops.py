@@ -248,3 +248,177 @@ def test_anomaly_zscore_rejects_unknown_accumulator(spark):
         anomaly_zscore(
             _series(spark, [1.0]), "k", ["i"], "v", accumulator="float"
         )
+
+
+# --------------------------------------- band-index append + staleness
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_band_index_append_and_stats_hand_case(spark):
+    from datacamp_etl_spark.operators.dedup import (
+        band_index_append,
+        band_index_stats,
+        band_signatures,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+            (3, "iota kappa lambda mu"),
+        ],
+    )
+    batch = _docs(
+        spark,
+        [
+            (4, "alpha beta gamma delta"),  # exact dup of doc 1
+            (5, "nu xi omicron pi"),
+        ],
+    )
+    idx = band_index_append(band_signatures(corpus), batch)
+    got = {r["band"]: r for r in band_index_stats(idx).collect()}
+    assert sorted(got) == [0, 1, 2, 3]
+    for r in got.values():
+        assert (r["n_base"], r["n_appended"], r["n_total"]) == (3, 2, 5)
+        # 5 postings over a 20-posting index -> exactly 250000 ppm
+        assert r["share_ppm"] == 250_000
+        # doc 4 shares doc 1's signature -> 4 buckets, largest holds 2
+        assert r["n_buckets"] == 4 and r["max_bucket"] == 2
+        assert r["n_over_cap"] == 0
+
+
+def test_band_index_stats_no_generation_is_all_base(spark):
+    from datacamp_etl_spark.operators.dedup import (
+        band_index_stats,
+        band_signatures,
+    )
+
+    idx = band_signatures(
+        _docs(spark, [(1, "alpha beta gamma delta")])
+    )
+    for r in band_index_stats(idx).collect():
+        assert r["n_appended"] == 0 and r["n_base"] == r["n_total"]
+
+
+def test_band_index_stats_over_cap_counted(spark):
+    from datacamp_etl_spark.operators.dedup import band_index_stats
+
+    # hand-built index: band 0 has one bucket of 3 postings
+    idx = spark.createDataFrame(
+        [(i, 0, "sig_x") for i in range(3)] + [(9, 0, "sig_y")],
+        "doc_id long, band int, band_sig string",
+    )
+    r = band_index_stats(idx, max_bucket_size=2).collect()[0]
+    assert r["n_over_cap"] == 1 and r["max_bucket"] == 3
+
+
+def test_band_index_append_feeds_incremental_dedup(spark):
+    from datacamp_etl_spark.operators.dedup import (
+        band_index_append,
+        band_signatures,
+        incremental_dedup,
+    )
+
+    corpus = _docs(spark, [(1, "alpha beta gamma delta")])
+    gen1 = _docs(spark, [(2, "nu xi omicron pi")])
+    idx = band_index_append(band_signatures(corpus), gen1)
+    # a later batch duplicating the APPENDED doc must be caught
+    batch = _docs(
+        spark,
+        [(10, "nu xi omicron pi"), (11, "rho sigma tau upsilon")],
+    )
+    survivors = {
+        r["doc_id"]
+        for r in incremental_dedup(
+            batch, idx.select("doc_id", "band", "band_sig")
+        ).collect()
+    }
+    assert survivors == {11}
+
+
+# ------------------------------------------- streaming image gate
+
+def _media_ids(spark, ids):
+    from datacamp_etl_spark.operators.multimodal import synthetic_bmp_media
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    return synthetic_bmp_media(df)
+
+
+def test_image_gate_batch_drops_and_passes(spark):
+    from datacamp_etl_spark.operators.multimodal import (
+        image_dhash,
+        streaming_image_near_dup_filter,
+    )
+
+    # id 3201 is class 1 flip 1 == id 1's exact image; id 2 is another
+    # class (dHash far). Index holds id 1 only.
+    idx = image_dhash(_media_ids(spark, [1]))
+    stream = _media_ids(spark, [3201, 2])
+    got = {
+        r["media_id"]
+        for r in streaming_image_near_dup_filter(stream, idx).collect()
+    }
+    assert got == {2}
+
+
+def test_image_gate_non_image_rows_pass(spark):
+    from datacamp_etl_spark.operators.multimodal import (
+        image_dhash,
+        streaming_image_near_dup_filter,
+    )
+
+    idx = image_dhash(_media_ids(spark, [1]))
+    other = spark.createDataFrame(
+        [(77, "video", None, None)],
+        "media_id long, kind string, mime string, content binary",
+    )
+    stream = _media_ids(spark, [2]).unionByName(other)
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in streaming_image_near_dup_filter(stream, idx).collect()
+    }
+    assert set(got) == {2, 77} and got[77] is None
+
+
+def test_image_gate_mega_bucket_cap(spark):
+    from datacamp_etl_spark.operators.multimodal import (
+        image_dhash,
+        streaming_image_near_dup_filter,
+    )
+
+    sig1 = image_dhash(_media_ids(spark, [1])).collect()[0]["dhash"]
+    idx = spark.createDataFrame(
+        [(10, sig1), (11, sig1), (12, sig1)], "media_id long, dhash long"
+    )
+    stream = _media_ids(spark, [3201])  # identical image to id 1
+    # default cap: every band bucket (3 sigs) under cap -> dropped
+    assert (
+        streaming_image_near_dup_filter(stream, idx).count() == 0
+    )
+    # cap 2: all buckets over cap -> gate has no index left -> passes
+    assert (
+        streaming_image_near_dup_filter(
+            stream, idx, max_bucket_size=2
+        ).count()
+        == 1
+    )
+
+
+def test_image_gate_rejects_bad_banding(spark):
+    from datacamp_etl_spark.operators.multimodal import (
+        streaming_image_near_dup_filter,
+    )
+
+    idx = spark.createDataFrame([], "media_id long, dhash long")
+    with pytest.raises(ValueError, match="divide"):
+        streaming_image_near_dup_filter(
+            _media_ids(spark, [1]), idx, bands=5
+        )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        streaming_image_near_dup_filter(
+            _media_ids(spark, [1]), idx, max_hamming=7, bands=7
+        )
