@@ -281,6 +281,18 @@ def main() -> None:
             start = time.perf_counter()
             _execute(fn(spark, sf_dir))
             series[name] = round(time.perf_counter() - start, 3)
+            # Release operator-scoped caches / localCheckpoint blocks
+            # AFTER each query's timer (round 11, closing VERDICT r10
+            # item #8): left to accumulate across a ~170-query pass
+            # they fill the storage pool, the unified memory manager
+            # squeezes execution memory, and cache-heavy queries late
+            # in the sequence spill — the measured in-sequence
+            # inflation (dsir_weights 38.6 s in-seq vs 4.0 s
+            # standalone in r10; basket_pair_lift 65 vs 10.1 at sf1).
+            # The standalone/sentinel series always released per
+            # query; this makes the in-sequence methodology match.
+            if not smoke:
+                release_engine_caches()
     release_engine_caches()
 
     # Standalone re-measure of the worst N warm queries: single-query
@@ -340,7 +352,10 @@ def main() -> None:
             "queries_standalone": standalone,
             "queries_sentinel": sentinel,
             "methodology": (
-                "value/queries = pass 2 after release_engine_caches() "
+                "value/queries = pass 2, operator-scoped caches "
+                "released AFTER EVERY query's timer (r11: in-sequence "
+                "now matches the standalone methodology — cross-query "
+                "cache accumulation no longer inflates late queries); "
                 "(JIT+page-cache warm, operator caches rebuilt in-pass); "
                 "value_cold/queries_cold = pass 1 first-execution; "
                 "queries_standalone = worst-10 warm queries re-measured "

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datacamp_etl_spark.operators.spread import scoped_cache
+
 __all__ = [
     "connected_components",
     "connected_components_star",
@@ -497,8 +499,25 @@ def triangle_counts(
     lib/etl/loading.rb:232-250) — [EXT] north-star operator.
     """
     e = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
-    deg = degrees(e, src="a", dst="b")
-    o = _oriented(e, deg)
+    deg = scoped_cache(degrees(e, src="a", dst="b"))
+    return _triangle_counts_from(e, deg)
+
+
+def _triangle_counts_from(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Triangle counts from a canonical edge set and its (scoped-
+    cached) degree table — shared by :func:`triangle_counts` and
+    :func:`clustering_coefficient` so the coefficient never builds
+    the degree table twice.
+
+    deg is consumed twice (orientation + the final left join) and the
+    oriented set o three times (both wedge legs + the closing join):
+    without a materialization each consumer re-executes the FULL
+    upstream lineage (parquet scan -> edge derivation -> canon ->
+    degree), which is what made the cold/first-execution pass pay ~3x
+    the warm time (VERDICT r10 watch item #1). Both are scoped_cache'd
+    — bounded tables (one row per node / per edge), released by the
+    bench/driver host between queries."""
+    o = scoped_cache(_oriented(e, deg))
     o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
     o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
     wedges = o1.join(o2, "u").where(
@@ -525,10 +544,12 @@ def clustering_coefficient(
     ``(node, deg, n_triangles, coeff)`` with
     coeff = 2*T(v) / (deg(v) * (deg(v)-1)), 0.0 for degree < 2.
     Reuses :func:`triangle_counts`' bounded-fan-out plan plus one
-    broadcast-sized join to the degree table (same shuffle key)."""
+    broadcast-sized join to the degree table (same shuffle key); the
+    degree table is built ONCE (scoped-cached) and shared with the
+    triangle core."""
     e = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
-    deg = degrees(e, src="a", dst="b")
-    tc = triangle_counts(e, src="a", dst="b")
+    deg = scoped_cache(degrees(e, src="a", dst="b"))
+    tc = _triangle_counts_from(e, deg)
     return tc.join(deg, "node").select(
         "node",
         "deg",

@@ -42,6 +42,12 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Always re-measured in isolation, suspect or not (VERDICT r10 item
+#: #1): the named bench-anomaly watch items. Their standalone numbers
+#: ship in every capture so a driver-cold excursion can be adjudicated
+#: against a same-round controlled number without archaeology.
+ALWAYS_STANDALONE = ["clustering_coefficient", "dsir_weights"]
+
 
 def run_bench(sf_dir: str, only: list[str] | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
@@ -205,14 +211,21 @@ def main() -> int:
     )
     standalone = dict(payload.get("queries_standalone", {}))
     adjusted: dict[str, float] = {}
-    if suspects:
-        for name in suspects:
+    iso_names = list(
+        dict.fromkeys(
+            suspects
+            + [n for n in ALWAYS_STANDALONE if n in payload["queries"]]
+        )
+    )
+    if iso_names:
+        for name in iso_names:
             iso = run_bench(sf_dir, only=[name])
             standalone[name] = iso["queries"][name]
-        for name in suspects:
-            adjusted[name] = round(
-                (standalone[name] / base_q[name]) / factor, 3
-            )
+        for name in iso_names:
+            if base_q.get(name):
+                adjusted[name] = round(
+                    (standalone[name] / base_q[name]) / factor, 3
+                )
     payload["queries_standalone"] = standalone
     payload["suspects_adjusted_standalone"] = adjusted
     payload["gates"] = gates
