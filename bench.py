@@ -212,6 +212,13 @@ HEADLINE = [
     "bm25_mrr_eval",
     "band_index_staleness",
     "streaming_image_near_dup",
+    "theil_sen_slope_events",
+    "user_survival_hazard",
+    "correlation_matrix_lineitem",
+    "kcore_membership",
+    "prf_expansion_terms",
+    "effective_corpus_size",
+    "hard_negative_mining",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

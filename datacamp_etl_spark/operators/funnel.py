@@ -497,6 +497,75 @@ def attribution_position_based(
     )
 
 
+def survival_hazard(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+) -> DataFrame:
+    """Discrete-time survival / hazard table of user lifetimes — the
+    Kaplan–Meier life table (Kaplan & Meier 1958) in its exact-integer
+    per-step form: for every lifetime ``t_days`` (days between a
+    user's first and last event), the number still at risk entering
+    ``t``, the churn events at ``t``, the right-censored users at
+    ``t`` (last seen within ``censor_days`` of the observation window
+    end — they may still be alive, so they leave the risk set without
+    counting as churn), and the discrete hazard ``1e6·d_t div n_t`` in
+    exact millionths. This is churn_rates' one-number verdict expanded
+    into the full retention curve a lifecycle model actually fits.
+
+    The cumulative KM survival PRODUCT is deliberately NOT emitted:
+    a float product (or exp-of-log-sum) accumulates in partition
+    order and would flake a bit-replay gate; every emitted column is
+    a single exact-integer expression per row (same per-cell-over-
+    scalar choice as lang_source_association), and S(t) folds from
+    the hazards driver-side if needed.
+
+    Scale shape: one per-user min/max aggregation over the facts
+    (the only fact-sized shuffle), a 1-row window-end scalar
+    broadcast onto the per-user table, then everything runs on the
+    lifetime aggregate — at most observation-window-days rows, so
+    its ordered at-risk window is calendar-bounded. Returns
+    ``(t_days, n_at_risk, n_churned, n_censored, hazard_ppm)``
+    ordered by ``t_days``.
+    """
+    from pyspark.sql import Window as W
+
+    if censor_days < 0:
+        raise ValueError("censor_days must be >= 0")
+    per = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(F.to_date(ts_col)).alias("__first"),
+        F.max(F.to_date(ts_col)).alias("__last"),
+    )
+    end = per.agg(F.max("__last").alias("__end"))
+    lab = per.crossJoin(F.broadcast(end)).select(
+        F.datediff("__last", "__first").alias("__t"),
+        (F.datediff("__end", "__last") < censor_days).alias("__cen"),
+    )
+    g = lab.groupBy("__t").agg(
+        F.sum(F.when(~F.col("__cen"), 1).otherwise(0)).alias("__d"),
+        F.sum(F.when(F.col("__cen"), 1).otherwise(0)).alias("__c"),
+    )
+    w_risk = (
+        W.orderBy(F.col("__t").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        g.withColumn("__n", F.sum(F.col("__d") + F.col("__c")).over(w_risk))
+        .select(
+            F.col("__t").cast("long").alias("t_days"),
+            F.col("__n").cast("long").alias("n_at_risk"),
+            F.col("__d").cast("long").alias("n_churned"),
+            F.col("__c").cast("long").alias("n_censored"),
+            F.expr("(1000000 * __d) DIV __n").cast("long").alias(
+                "hazard_ppm"
+            ),
+        )
+        .orderBy("t_days")
+    )
+
+
 def churn_rates(
     events: DataFrame,
     *,

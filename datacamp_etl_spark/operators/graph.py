@@ -723,6 +723,60 @@ def personalized_pagerank(
     return ranks
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983; Matula & Beck 1983) with a FIXED
+    round budget: repeatedly drop nodes whose degree in the surviving
+    subgraph is < ``k``, ``iterations`` times, and return the
+    surviving nodes with their core-subgraph degree ``(node,
+    core_deg)``. The k-core is the classic spam/engagement filter —
+    a link farm's periphery peels away while genuinely embedded
+    communities survive — and the budgeted form converges to the
+    exact k-core whenever the peel stabilizes within the budget
+    (peeling is monotone: extra rounds after convergence are no-ops,
+    so a caller can raise ``iterations`` without changing converged
+    results).
+
+    Fixed iterations, not a convergence loop, for the same reason as
+    :func:`pagerank`: the round count is part of the operator's
+    replayable contract (the oracle unrolls the identical rounds).
+
+    Scale shape: per round, one map-side-combined degree aggregation
+    plus two semi-joins restricting the edge list (all equi-shuffles
+    on node keys), localCheckpoint between rounds to pin lineage.
+    O(iterations) shuffles regardless of graph size; no collect.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = _canon(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).localCheckpoint()
+    for _ in range(iterations):
+        keep = (
+            degrees(e, src="a", dst="b")
+            .where(F.col("deg") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(keep, e.a == keep.node, "left_semi")
+            .join(keep, F.col("b") == keep.node, "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        _sym(e)
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").cast("long").alias("core_deg"))
+    )
+
+
 def degree_distribution(
     edges: DataFrame,
     *,

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "column_profile",
     "numeric_histogram",
+    "numeric_correlations",
     "psi_drift",
     "ks_drift",
     "mad_outliers",
@@ -90,6 +91,82 @@ def numeric_histogram(
             "n",
         )
     )
+
+
+def numeric_correlations(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns — the
+    profiling step that finds redundant measures and leakage-shaped
+    relationships before a feature set ships: one row per unordered
+    column pair ``(col_a, col_b, n_rows, r)``.
+
+    Exactness: values are fixed-pointed (``floor(v·scale + 0.5)``,
+    pairwise-complete rows only) and all six sums per pair (n, Σx,
+    Σy, Σxy, Σx², Σy²) accumulate in DECIMAL(38,0); r is assembled
+    with the same fixed IEEE order as
+    :func:`~datacamp_etl_spark.operators.timeseries.cross_correlation`
+    and rounded once — bit-replayable. Pairs with < 2 complete rows
+    or zero variance on either side carry NULL.
+
+    Scale shape: ONE aggregation pass over the facts computes every
+    pair's six sums map-side-combined (6·C(k,2) accumulators in a
+    single 1-row result — schema-bounded, never a per-pair rescan);
+    the per-pair rows are then bounded selects off that cached 1-row
+    frame. No joins, no windows, no second fact pass.
+    """
+    if len(cols) < 2:
+        raise ValueError("numeric_correlations needs at least 2 columns")
+    from functools import reduce
+
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = [
+        (a, b, f"{i}_{j}")
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+        if i < j
+    ]
+    aggs = []
+    for a, b, p in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        xa = F.when(both, F.floor(F.col(a) * scale + F.lit(0.5)).cast("long"))
+        xb = F.when(both, F.floor(F.col(b) * scale + F.lit(0.5)).cast("long"))
+        aggs += [
+            F.sum(F.when(both, 1).otherwise(0)).alias(f"n_{p}"),
+            F.sum(d(xa)).alias(f"sx_{p}"),
+            F.sum(d(xb)).alias(f"sy_{p}"),
+            F.sum(d(xa) * d(xb)).alias(f"sxy_{p}"),
+            F.sum(d(xa) * d(xa)).alias(f"sxx_{p}"),
+            F.sum(d(xb) * d(xb)).alias(f"syy_{p}"),
+        ]
+    row = scoped_cache(df.agg(*aggs))
+    dd = lambda name: F.col(name).cast("double")  # noqa: E731
+    outs = []
+    for a, b, p in pairs:
+        vx = dd(f"n_{p}") * dd(f"sxx_{p}") - dd(f"sx_{p}") * dd(f"sx_{p}")
+        vy = dd(f"n_{p}") * dd(f"syy_{p}") - dd(f"sy_{p}") * dd(f"sy_{p}")
+        num = dd(f"n_{p}") * dd(f"sxy_{p}") - dd(f"sx_{p}") * dd(f"sy_{p}")
+        outs.append(
+            row.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"n_{p}").cast("long").alias("n_rows"),
+                F.round(
+                    F.when(
+                        (F.col(f"n_{p}") >= 2) & (vx > 0) & (vy > 0),
+                        num / F.sqrt(vx) / F.sqrt(vy),
+                    ),
+                    decimals,
+                ).alias("r"),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), outs)
 
 
 def psi_drift(

@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 from datacamp_etl_spark.operators.spread import ensure_parallelism, scoped_cache
 from datacamp_etl_spark.operators.text import tokens
 
-__all__ = ["tfidf_topk_terms", "bm25_search", "mmr_rerank", "phrase_match"]
+__all__ = [
+    "tfidf_topk_terms",
+    "bm25_search",
+    "prf_expansion_terms",
+    "mmr_rerank",
+    "phrase_match",
+]
 
 
 def tfidf_topk_terms(
@@ -148,6 +154,89 @@ def bm25_search(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(top_k)
         .select(F.col("id").alias(id_col), "n_hit_terms", "score")
+    )
+
+
+def prf_expansion_terms(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    fb_k: int = 10,
+    top_n: int = 8,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    Buckley et al. TREC-3): take the BM25 top-``fb_k`` documents as
+    assumed-relevant feedback, score every term they contain by its
+    summed TF-IDF against the FULL corpus (``fb_tf · ln(N/df)`` — the
+    :func:`tfidf_topk_terms` convention), drop the original query
+    terms and stopwords, and return the ``top_n`` expansion
+    candidates ``(term, fb_tf, fb_docs, df, score, rank)`` — the
+    terms a second-pass retrieval adds to sharpen recall. Ranking
+    ties break (score desc, df asc, term asc), so both engines pick
+    identical terms.
+
+    Scale shape: the feedback set is a TakeOrdered top-``fb_k`` (the
+    gated BM25 plan), so the feedback postings explode only ``fb_k``
+    documents (a semi-join on the id); the corpus df table is the
+    vocabulary-bounded aggregate every retrieval stage already
+    maintains; the final top-``top_n`` is a TakeOrdered. The re-search
+    with the expanded terms is a driver-side composition
+    (``bm25_search(docs, original + expansion)``) — the expansion
+    list is ``top_n`` rows, the same bounded-collect contract as the
+    MMR pool.
+    """
+    from datacamp_etl_spark.operators.text import STOPWORDS, tokens
+
+    fb = bm25_search(
+        df, query_terms, id_col, text_col, k1=k1, b=b, top_k=fb_k
+    ).select(F.col(id_col).alias("id"))
+    posting = scoped_cache(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+    )
+    fb_posting = posting.join(F.broadcast(fb), "id", "left_semi").where(
+        ~F.col("term").isin(*[F.lit(t) for t in query_terms])
+        & ~F.col("term").isin(*[F.lit(w) for w in STOPWORDS])
+        & (F.col("term") != "")
+    )
+    fb_stats = fb_posting.groupBy("term").agg(
+        F.count("*").alias("fb_tf"),
+        F.countDistinct("id").alias("fb_docs"),
+    )
+    dfreq = posting.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        fb_stats.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "fb_tf",
+            "fb_docs",
+            "df",
+            F.round(
+                F.col("fb_tf")
+                * F.log(F.col("__n").cast("double") / F.col("df")),
+                4,
+            ).alias("score"),
+        )
+    )
+    ranked = scored.orderBy(
+        F.desc("score"), F.asc("df"), F.asc("term")
+    ).limit(top_n)
+    w = Window.orderBy(F.desc("score"), F.asc("df"), F.asc("term"))
+    return ranked.select(
+        "term",
+        F.col("fb_tf").cast("long").alias("fb_tf"),
+        F.col("fb_docs").cast("long").alias("fb_docs"),
+        F.col("df").cast("long").alias("df"),
+        "score",
+        F.row_number().over(w).cast("int").alias("rank"),
     )
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "normalize_vector",
     "brute_force_topk",
     "knn_join_topk",
+    "hard_negatives",
     "random_hyperplane_lsh",
     "lsh_topk",
     "ivf_topk",
@@ -160,6 +161,107 @@ def knn_join_topk(
     return (
         joined.select(
             "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hard_negatives(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    max_inline_anchors: int = 128,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    SimCLR recipe, Karpukhin et al. 2020): for each anchor, the
+    ``k`` MOST SIMILAR corpus rows with a DIFFERENT label — close in
+    embedding space yet known non-matches, the negatives that
+    actually shape a contrastive margin (random negatives are too
+    easy to teach anything).
+
+    The label filter applies BEFORE the rank, so every anchor yields
+    ``k`` negatives whenever that many cross-label rows exist — a
+    post-filtered k-NN would return fewer. Same exact-path contract
+    as :func:`knn_join_topk`: the anchor set is bounded
+    (``max_inline_anchors``) and folded into the plan as literals —
+    one narrow corpus scan, no join operator, never a cartesian; a
+    larger anchor set should go through LSH candidates + an anti-join
+    on the label instead. Ranking on rounded cosine + id tiebreak
+    (cross-engine deterministic). Returns
+    ``(query_id, neighbor_id, neighbor_label, cosine, rank)``.
+    """
+    arows = (
+        anchors.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("__ql"),
+        )
+        .limit(max_inline_anchors + 1)
+        .collect()
+    )
+    if len(arows) > max_inline_anchors:
+        raise ValueError(
+            f"hard_negatives inlines the anchor set into the plan; got "
+            f">{max_inline_anchors} anchors. Mine large anchor sets via "
+            "LSH candidates + a label anti-join, or raise "
+            "max_inline_anchors deliberately."
+        )
+    ca = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cv"),
+    )
+    if not arows:
+        joined = ca.crossJoin(
+            anchors.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                F.col(label_col).alias("__ql"),
+            )
+        )
+    else:
+        qlits = F.array(
+            *[
+                F.struct(
+                    F.lit(r["query_id"]).alias("query_id"),
+                    F.array(
+                        *[F.lit(float(x)) for x in r["__qv"]]
+                    ).alias("__qv"),
+                    F.lit(r["__ql"]).alias("__ql"),
+                )
+                for r in arows
+            ]
+        )
+        joined = ca.select(
+            F.explode(qlits).alias("__q"),
+            "neighbor_id",
+            "neighbor_label",
+            "__cv",
+        ).select(
+            F.col("__q.query_id").alias("query_id"),
+            F.col("__q.__qv").alias("__qv"),
+            F.col("__q.__ql").alias("__ql"),
+            "neighbor_id",
+            "neighbor_label",
+            "__cv",
+        )
+    joined = joined.where(
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("__ql") != F.col("neighbor_label"))
+    )
+    cos = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        joined.select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cos, 6).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

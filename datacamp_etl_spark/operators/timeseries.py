@@ -348,6 +348,103 @@ def trend_slope(
     )
 
 
+def theil_sen_slope(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    *,
+    scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend slope of the daily total —
+    the median of all pairwise day-to-day slopes (Theil 1950; Sen
+    1968): the robust twin of :func:`trend_slope`'s OLS line. One
+    corrupted day drags an OLS slope arbitrarily far; Theil–Sen
+    tolerates up to ~29% outlying points before breaking down, which
+    is what a drift monitor wants when the series itself contains the
+    anomalies it is guarding against.
+
+    Exactness: daily totals are integer cents and each pairwise slope
+    is ONE fixed-order double expression over exact integers
+    (``(yb−ya)/(xb−xa)/scale``) — bit-identical cross-engine; the
+    median is selected by RANK over ``(slope, xa, xb)`` (deterministic
+    total order, no float accumulation), averaging the two middle
+    slopes for even counts (2-term IEEE addition is commutative, so
+    partition order cannot flake the hash).
+
+    Scale shape: one map-side-combined (group, day) rollup over the
+    facts, then the pairwise self-join and rank window run on THAT
+    bounded table (pairs per group = C(days, 2) — bounded by the
+    calendar window, not data size; 2 years daily = ~266k pairs).
+    Never a fact-sized pair join. Groups with < 2 days carry NULL.
+    Returns ``(group_col, n_days, n_pairs, slope)``.
+    """
+    daily = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, F.to_date(ts_col).alias("__day"))
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+            ).alias("__y")
+        )
+    )
+    wg = W.partitionBy(group_col)
+    pts = daily.select(
+        group_col,
+        F.datediff(F.col("__day"), F.min("__day").over(wg)).alias("__x"),
+        "__y",
+    )
+    a = pts.select(
+        group_col, F.col("__x").alias("__xa"), F.col("__y").alias("__ya")
+    )
+    b = pts.select(
+        F.col(group_col).alias("__g2"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col(group_col) == F.col("__g2")) & (F.col("__xa") < F.col("__xb")),
+    ).select(
+        group_col,
+        "__xa",
+        "__xb",
+        (
+            (F.col("__yb") - F.col("__ya")).cast("double")
+            / (F.col("__xb") - F.col("__xa")).cast("double")
+            / F.lit(float(scale))
+        ).alias("__s"),
+    )
+    wrk = W.partitionBy(group_col).orderBy("__s", "__xa", "__xb")
+    ranked = pairs.select(
+        group_col,
+        "__s",
+        F.row_number().over(wrk).alias("__rn"),
+        F.count("*").over(wg).alias("__np"),
+    )
+    # middle ranks: lower = (n+1) div 2, upper = n div 2 + 1 (equal
+    # when n is odd) — integer shift-rights, no float rank math
+    mid = ranked.where(
+        (F.col("__rn") == F.shiftright((F.col("__np") + 1).cast("long"), 1))
+        | (
+            F.col("__rn")
+            == F.shiftright(F.col("__np").cast("long"), 1) + 1
+        )
+    )
+    med = mid.groupBy(group_col).agg(
+        F.max("__np").alias("__np"),
+        (F.sum("__s") / F.count("*")).alias("__med"),
+    )
+    counts = pts.groupBy(group_col).agg(F.count("*").alias("n_days"))
+    return counts.join(med, group_col, "left").select(
+        group_col,
+        F.col("n_days").cast("long").alias("n_days"),
+        F.coalesce(F.col("__np"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.round("__med", decimals).alias("slope"),
+    )
+
+
 def cusum_changepoint(
     df: DataFrame,
     ts_col: str,

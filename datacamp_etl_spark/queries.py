@@ -11368,6 +11368,407 @@ def q_streaming_image_near_dup(
     return spark.table(sink).select("media_id")
 
 
+@register(
+    "theil_sen_slope_events",
+    """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                              AS y
+                   FROM events WHERE value IS NOT NULL
+                   GROUP BY 1, 2),
+    pts AS (SELECT event_type,
+                   date_diff('day',
+                             min(day) OVER (PARTITION BY event_type),
+                             day) AS x,
+                   y
+            FROM daily),
+    pr AS (SELECT a.event_type, a.x AS xa, b.x AS xb,
+                  CAST(b.y - a.y AS DOUBLE)
+                  / CAST(b.x - a.x AS DOUBLE) / 100.0 AS s
+           FROM pts a JOIN pts b ON a.event_type = b.event_type
+                                AND a.x < b.x),
+    rk AS (SELECT event_type, s, xa, xb,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY s, xa, xb) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS np
+           FROM pr),
+    mid AS (SELECT event_type, s, np FROM rk
+            WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1),
+    med AS (SELECT event_type, max(np) AS np,
+                   sum(s) / count(*) AS m
+            FROM mid GROUP BY event_type),
+    cnt AS (SELECT event_type, count(*) AS n_days FROM pts
+            GROUP BY event_type)
+    SELECT cnt.event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
+           round(m, 6) AS slope
+    FROM cnt LEFT JOIN med USING (event_type)
+    """,
+)
+def q_theil_sen_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-type Theil–Sen robust trend slope
+    (timeseries.theil_sen_slope, Sen 1968): the median of all
+    pairwise daily-total slopes — the outlier-proof twin of
+    trend_slope_events (one corrupted day cannot drag it), completing
+    the drift trio's direction member with a robust estimator. Each
+    pairwise slope is one fixed-order double over exact integer
+    cents; the median is a deterministic rank selection (ties on day
+    indices), so the SQL replays bit-for-bit. The pair join runs on
+    the bounded (type, day) rollup — C(days,2) per type, calendar-
+    bounded, never a fact-sized join."""
+    from datacamp_etl_spark.operators.timeseries import theil_sen_slope
+
+    return theil_sen_slope(
+        t(spark, sf_dir, "events"), "ts", "value", "event_type"
+    )
+
+
+@register(
+    "user_survival_hazard",
+    """
+    WITH per AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
+                        max(CAST(ts AS DATE)) AS l
+                 FROM events GROUP BY user_id),
+    e AS (SELECT max(l) AS endd FROM per),
+    lab AS (SELECT date_diff('day', f, l) AS t,
+                   date_diff('day', l, e.endd) < 7 AS cen
+            FROM per CROSS JOIN e),
+    g AS (SELECT t,
+                 sum(CASE WHEN cen THEN 0 ELSE 1 END) AS d,
+                 sum(CASE WHEN cen THEN 1 ELSE 0 END) AS c
+          FROM lab GROUP BY t),
+    r AS (SELECT t, d, c,
+                 sum(d + c) OVER (ORDER BY t DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS n
+          FROM g)
+    SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_churned, CAST(c AS BIGINT) AS n_censored,
+           CAST((1000000 * d) // n AS BIGINT) AS hazard_ppm
+    FROM r ORDER BY t_days
+    """,
+)
+def q_user_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] discrete-time survival / hazard life table
+    (funnel.survival_hazard, Kaplan & Meier 1958): per lifetime day,
+    users still at risk, churn events, right-censored users (last
+    seen within 7 days of the window end) and the exact-millionth
+    discrete hazard — churn_rates' verdict expanded into the full
+    retention curve. Every column is one exact-integer expression
+    per row (the KM survival PRODUCT is deliberately folded
+    driver-side — a float product chain would flake the bit-replay
+    gate). One per-user fact aggregation; the at-risk window runs
+    over the calendar-bounded lifetime aggregate."""
+    from datacamp_etl_spark.operators.funnel import survival_hazard
+
+    return survival_hazard(t(spark, sf_dir, "events"), censor_days=7)
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    """One correlation pair as a standalone aggregate SELECT — the
+    same fixed-point sums and fixed IEEE assembly order as
+    profile.numeric_correlations."""
+    both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+    xa = f"CAST(floor({a} * 100 + 0.5) AS HUGEINT)"
+    xb = f"CAST(floor({b} * 100 + 0.5) AS HUGEINT)"
+    return f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CAST(n AS BIGINT) AS n_rows,
+           round(CASE WHEN n >= 2
+                       AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                 END, 6) AS r
+    FROM (SELECT sum(CASE WHEN {both} THEN 1 ELSE 0 END) AS n,
+                 sum(CASE WHEN {both} THEN {xa} END) AS sx,
+                 sum(CASE WHEN {both} THEN {xb} END) AS sy,
+                 sum(CASE WHEN {both} THEN {xa} * {xb} END) AS sxy,
+                 sum(CASE WHEN {both} THEN {xa} * {xa} END) AS sxx,
+                 sum(CASE WHEN {both} THEN {xb} * {xb} END) AS syy
+          FROM lineitem)
+    """
+
+
+@register(
+    "correlation_matrix_lineitem",
+    " UNION ALL ".join(
+        _corr_pair_sql(a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for j, b in enumerate(_CORR_COLS)
+        if i < j
+    ),
+)
+def q_correlation_matrix_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] pairwise Pearson correlation matrix
+    (profile.numeric_correlations) over lineitem's four measures —
+    the redundant-feature / leakage-shape profiling pass. ONE
+    aggregation computes all six pairs' fixed-point DECIMAL(38,0)
+    sums map-side-combined (6 pairs x 6 accumulators in a single
+    1-row result); r is assembled in cross_correlation's fixed IEEE
+    order and rounded once, so the per-pair SQL replays bit-for-bit.
+    No joins, no windows, no second fact pass."""
+    from datacamp_etl_spark.operators.profile import numeric_correlations
+
+    return numeric_correlations(
+        t(spark, sf_dir, "lineitem"), _CORR_COLS
+    )
+
+
+def _kcore_round_sql(i: int, k: int) -> str:
+    """One unrolled k-core peel round: surviving nodes (degree >= k in
+    e{i}) and the edge set restricted to them."""
+    return f"""
+    n{i} AS (SELECT node
+             FROM (SELECT a AS node FROM e{i}
+                   UNION ALL SELECT b FROM e{i})
+             GROUP BY node HAVING count(*) >= {k}),
+    e{i + 1} AS (SELECT ed.a, ed.b FROM e{i} ed
+                 JOIN n{i} x ON ed.a = x.node
+                 JOIN n{i} y ON ed.b = y.node)"""
+
+
+@register(
+    "kcore_membership",
+    _GRAPH_SQL.replace("deg AS", "e0 AS (SELECT a, b FROM e), deg AS")
+    + ","
+    + ",".join(_kcore_round_sql(i, 3) for i in range(4))
+    + """
+    SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+    GROUP BY node
+    """,
+)
+def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] 3-core peeling over the doc chain+skip graph
+    (graph.kcore_peel, Seidman 1983): 4 fixed peel rounds drop
+    low-degree periphery (chain endpoints peel first, each round
+    exposing the next pair), returning surviving nodes with their
+    core-subgraph degree — the embeddedness filter that separates
+    link-farm periphery from genuinely connected communities. One
+    degree aggregation + two node semi-joins per round; the oracle
+    unrolls the identical 4 rounds."""
+    from datacamp_etl_spark.operators.graph import kcore_peel
+
+    return kcore_peel(
+        _doc_chain_edges(spark, sf_dir), 3, iterations=4
+    )
+
+
+@register(
+    "prf_expansion_terms",
+    f"""
+    WITH fb AS (SELECT doc_id FROM ({{BM25}})),
+    p AS (SELECT doc_id, unnest(toks) AS term FROM ({{TOKS_WRAP}})),
+    fbp AS (SELECT p.doc_id, p.term FROM p JOIN fb USING (doc_id)
+            WHERE p.term NOT IN {_BM25_TERMS} AND p.term <> ''
+              AND NOT list_contains({_STOPWORDS_SQL}, p.term)),
+    fbs AS (SELECT term, count(*) AS fb_tf,
+                   count(DISTINCT doc_id) AS fb_docs
+            FROM fbp GROUP BY term),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM p
+            GROUP BY term),
+    nn AS (SELECT count(DISTINCT doc_id) AS n FROM ({{TOKS_WRAP}})),
+    sc AS (SELECT term, fb_tf, fb_docs, df,
+                  round(fb_tf * ln(CAST(n AS DOUBLE) / df), 4) AS score
+           FROM fbs JOIN dfq USING (term) CROSS JOIN nn),
+    rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, df ASC,
+                                        term ASC) AS rank
+           FROM sc)
+    SELECT term, CAST(fb_tf AS BIGINT) AS fb_tf,
+           CAST(fb_docs AS BIGINT) AS fb_docs,
+           CAST(df AS BIGINT) AS df, score, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 8
+    """,
+)
+def q_prf_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] pseudo-relevance-feedback query expansion
+    (retrieval.prf_expansion_terms, Rocchio 1971 / Buckley TREC-3):
+    the BM25 top-10 for the 3-term query become assumed-relevant
+    feedback; every non-query, non-stopword term they contain is
+    scored fb_tf * ln(N/df) against the full corpus and the top-8
+    expansion candidates returned — the second-pass recall sharpener
+    between plain BM25 and the RRF hybrid. Feedback postings explode
+    only the 10 feedback docs (semi-join); the df table is the
+    vocabulary-bounded aggregate; both top-ks are TakeOrdered."""
+    from datacamp_etl_spark.operators.retrieval import (
+        prf_expansion_terms,
+    )
+
+    return prf_expansion_terms(
+        t(spark, sf_dir, "documents"), list(_BM25_TERMS),
+        fb_k=10, top_n=8,
+    )
+
+
+ORACLE["prf_expansion_terms"] = (
+    ORACLE["prf_expansion_terms"]
+    .replace("{BM25}", ORACLE["bm25_search"])
+    .replace("{TOKS_WRAP}", _TOKS_CTE + " SELECT doc_id, toks FROM tk")
+)
+
+
+@register(
+    "effective_corpus_size",
+    """
+    WITH RECURSIVE pairs AS ({LSH_PAIRS}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach
+             GROUP BY node),
+    b AS (SELECT doc_id, len(toks) AS nt, md5(norm) AS fp
+          FROM ({TOKS_NORM})),
+    ex AS (SELECT min(doc_id) AS kid FROM b GROUP BY fp),
+    tot AS (SELECT count(*) AS nd, sum(nt) AS ntok FROM b),
+    exs AS (SELECT count(*) AS ne, sum(b.nt) AS te
+            FROM ex JOIN b ON b.doc_id = ex.kid),
+    keepb AS (SELECT b.doc_id, b.nt FROM b
+              LEFT JOIN comp c ON b.doc_id = c.node
+              WHERE b.doc_id = coalesce(c.component, b.doc_id)),
+    nears AS (SELECT count(*) AS nn, sum(nt) AS tn FROM keepb)
+    SELECT CAST(nd AS BIGINT) AS n_docs,
+           CAST(ntok AS BIGINT) AS n_tokens,
+           CAST(ne AS BIGINT) AS n_exact_unique,
+           CAST(te AS BIGINT) AS exact_tokens,
+           CAST(nn AS BIGINT) AS n_near_unique,
+           CAST(tn AS BIGINT) AS near_tokens,
+           CAST((1000000 * (nd - ne)) // nd AS BIGINT) AS exact_dup_ppm,
+           CAST((1000000 * (nd - nn)) // nd AS BIGINT) AS near_dup_ppm,
+           CAST((1000000 * tn) // ntok AS BIGINT)
+               AS token_retention_ppm
+    FROM tot CROSS JOIN exs CROSS JOIN nears
+    """,
+)
+def q_effective_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] effective corpus size report: the one-row answer to "how
+    much data do I actually have?" — raw docs/tokens, survivors and
+    token mass after exact dedup (normalized-text MD5) and after the
+    gated near-dup clustering, with exact ppm duplication and
+    token-retention rates (Lee et al. 2022's headline table for a
+    corpus). Composes three gated oracles (tokens, dedup_exact's
+    fingerprint, dedup_clusters' components); the tokenized base is
+    cached once and each survivor set is a semi-join; the three 1-row
+    aggregates crossJoin into the report row."""
+    from datacamp_etl_spark.operators.dedup import (
+        dedup_exact,
+        lsh_candidate_pairs,
+    )
+    from datacamp_etl_spark.operators.graph import dedup_clusters
+    from datacamp_etl_spark.operators.spread import scoped_cache
+    from datacamp_etl_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    base = scoped_cache(
+        docs.select(
+            "doc_id", F.size(tokens("text")).alias("__nt")
+        )
+    )
+    tot = base.agg(
+        F.count("*").alias("__nd"), F.sum("__nt").alias("__ntok")
+    )
+    ex_ids = dedup_exact(docs).select("doc_id")
+    exs = base.join(ex_ids, "doc_id", "left_semi").agg(
+        F.count("*").alias("__ne"), F.sum("__nt").alias("__te")
+    )
+    keep = (
+        dedup_clusters(docs, lsh_candidate_pairs(docs))
+        .where("keep")
+        .select("doc_id")
+    )
+    nears = base.join(keep, "doc_id", "left_semi").agg(
+        F.count("*").alias("__nn"), F.sum("__nt").alias("__tn")
+    )
+    return (
+        tot.crossJoin(F.broadcast(exs))
+        .crossJoin(F.broadcast(nears))
+        .select(
+            F.col("__nd").cast("long").alias("n_docs"),
+            F.col("__ntok").cast("long").alias("n_tokens"),
+            F.col("__ne").cast("long").alias("n_exact_unique"),
+            F.col("__te").cast("long").alias("exact_tokens"),
+            F.col("__nn").cast("long").alias("n_near_unique"),
+            F.col("__tn").cast("long").alias("near_tokens"),
+            F.expr("(1000000 * (__nd - __ne)) DIV __nd")
+            .cast("long")
+            .alias("exact_dup_ppm"),
+            F.expr("(1000000 * (__nd - __nn)) DIV __nd")
+            .cast("long")
+            .alias("near_dup_ppm"),
+            F.expr("(1000000 * __tn) DIV __ntok")
+            .cast("long")
+            .alias("token_retention_ppm"),
+        )
+    )
+
+
+ORACLE["effective_corpus_size"] = (
+    ORACLE["effective_corpus_size"]
+    .replace("{LSH_PAIRS}", ORACLE["lsh_candidate_pairs"])
+    .replace(
+        "{TOKS_NORM}", _TOKS_CTE + " SELECT doc_id, toks, norm FROM tk"
+    )
+)
+
+
+@register(
+    "hard_negative_mining",
+    """
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               b.label AS neighbor_label,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                     6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                                CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                            b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id <> b.vec_id AND a.label <> b.label
+        WHERE a.vec_id < 3
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] hard-negative mining (similarity.hard_negatives, the
+    DPR/contrastive recipe): for each of 3 anchor vectors, the top-5
+    most-similar embeddings with a DIFFERENT label — near the anchor
+    yet known non-matches, the negatives that shape a contrastive
+    margin. Label filter BEFORE the rank (a post-filtered k-NN would
+    under-deliver); anchors fold into the plan as literals (bounded
+    exact path — one narrow corpus scan, no join operator); rank on
+    rounded cosine + id tiebreak."""
+    from datacamp_etl_spark.operators.similarity import hard_negatives
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb.where(F.col("vec_id") < 3), emb, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("neighbor_label").cast("int").alias("neighbor_label"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

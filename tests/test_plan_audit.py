@@ -114,6 +114,15 @@ ALLOWED_BNLJ = {
     "onto the bounded per-band table (<= bands rows — banding "
     "configuration, not data size; the direct twin of "
     "ann_index_staleness's per-cell shape)",
+    "user_survival_hazard": "1-row observation-window-end scalar "
+    "crossJoined onto the per-user min/max aggregate (the PSI/KS/"
+    "churn split-bound shape) to label right-censoring",
+    "effective_corpus_size": "three 1-row scalar aggregates (raw / "
+    "exact-survivor / near-survivor counts+token sums) crossJoined "
+    "into the single report row",
+    "prf_expansion_terms": "1-row corpus-size scalar crossJoined "
+    "onto the feedback-term aggregate (terms of 10 feedback docs — "
+    "fb_k-bounded, the tfidf N-scalar shape)",
 }
 
 #: Partitionless-Window allowlist: query -> why the window's input is
@@ -130,6 +139,12 @@ ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
     "at any data size",
     "bm25_mrr_eval": "row_number over the TakeOrdered-bounded BM25 "
     "top-10 (<= top_k rows at any corpus size)",
+    "user_survival_hazard": "reverse-cumulative at-risk counts over "
+    "the lifetime aggregate (<= observation-window-days rows — "
+    "calendar-bounded, not data-sized)",
+    "prf_expansion_terms": "row_number over the TakeOrdered-bounded "
+    "expansion candidates (<= top_n rows at any corpus size — the "
+    "bm25_mrr_eval shape)",
 }
 
 
