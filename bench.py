@@ -219,6 +219,7 @@ HEADLINE = [
     "prf_expansion_terms",
     "effective_corpus_size",
     "hard_negative_mining",
+    "basket_triple_lift",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

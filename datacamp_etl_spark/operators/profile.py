@@ -125,6 +125,11 @@ def numeric_correlations(
 
     from datacamp_etl_spark.operators.spread import scoped_cache
 
+    # Column-prune BEFORE the wide aggregation (the 6·C(k,2)
+    # DECIMAL(38,0) accumulators are the cost; no repartition — the
+    # agg is map-side partial, so an extra exchange only adds work)
+    df = df.select(*cols)
+
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     pairs = [
         (a, b, f"{i}_{j}")

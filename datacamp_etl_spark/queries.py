@@ -11769,6 +11769,56 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "basket_triple_lift",
+    """
+    WITH it AS (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    nb AS (SELECT count(DISTINCT b) AS N FROM it),
+    ic AS (SELECT i, count(*) AS n FROM it GROUP BY i),
+    tr AS (SELECT a.i AS item_a, c.i AS item_b, e.i AS item_c,
+                  count(*) AS n_triple
+           FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+                     JOIN it e ON a.b = e.b AND c.i < e.i
+           GROUP BY 1, 2, 3
+           HAVING count(*) >= 25)
+    SELECT item_a, item_b, item_c,
+           CAST(n_triple AS BIGINT) AS n_triple,
+           round(CAST(n_triple AS DOUBLE) / CAST(nb.N AS DOUBLE), 6)
+             AS support,
+           round(CAST(nb.N AS DOUBLE) * CAST(nb.N AS DOUBLE)
+                 * CAST(n_triple AS DOUBLE)
+                 / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)
+                    * CAST(cc.n AS DOUBLE)), 6) AS lift
+    FROM tr JOIN ic ca ON tr.item_a = ca.i
+            JOIN ic cb ON tr.item_b = cb.i
+            JOIN ic cc ON tr.item_c = cc.i
+            CROSS JOIN nb
+    """,
+)
+def q_basket_triple_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] frequent brand TRIPLES with three-way lift
+    (basket.basket_triple_lift, Agrawal & Srikant 1994's L1 -> C3
+    Apriori level): orders as baskets of distinct part BRANDS (a
+    25-value domain, so the triple space is bounded at C(25,3) rows
+    at any scale), triples co-occurring in >= 25 orders, lift =
+    N^2*n_abc/(n_a*n_b*n_c) — the bundle signal pairwise rules
+    cannot see. The engine prunes baskets to L1-frequent items
+    BEFORE the cubic join (downward closure: no frequent triple
+    lost); the oracle replays the unpruned equivalent. All counts
+    exact; support/lift single fixed-order doubles."""
+    from datacamp_etl_spark.operators.basket import basket_triple_lift
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return basket_triple_lift(
+        joined, "l_orderkey", "p_brand", min_count=25
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

@@ -93,6 +93,9 @@ ALLOWED_BNLJ = {
     "basket_pair_lift": "1-row basket-count scalar (the lift "
     "denominator N) crossJoined onto the bounded pair-aggregate table "
     "— same shape as tfidf's corpus-stats broadcast",
+    "basket_triple_lift": "1-row basket-count scalar (the lift "
+    "denominator N) crossJoined onto the domain-bounded triple "
+    "aggregate (<= C(25,3) brand combos at any scale)",
     "kmv_users_set_ops": "group-pairs scaffold: a `<` self-join over "
     "the per-group sketch-summary table (|event types| rows — "
     "label-domain cardinality, not data size); every fact-sized "

@@ -285,3 +285,64 @@ def test_hard_negatives_anchor_cap_raises(spark):
     emb = _emb(spark, [(i, [1.0, 0.0], i % 2) for i in range(10)])
     with pytest.raises(ValueError, match="inlines the anchor set"):
         hard_negatives(emb, emb, max_inline_anchors=5)
+
+
+# ------------------------------------------------------ basket triples
+
+def _baskets(spark, rows):
+    return spark.createDataFrame(rows, "b long, i string")
+
+
+def test_basket_triple_hand_case(spark):
+    from datacamp_etl_spark.operators.basket import basket_triple_lift
+
+    # baskets: {a,b,c} x2, {a,b,d}, {d} -> triple (a,b,c) n=2;
+    # (a,b,d) n=1 < min_count
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "b"), (3, "d"),
+        (4, "d"),
+    ]
+    got = basket_triple_lift(
+        _baskets(spark, rows), "b", "i", min_count=2
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["item_a"], r["item_b"], r["item_c"], r["n_triple"]) == (
+        "a", "b", "c", 2,
+    )
+    # N=4, n_a=3, n_b=3, n_c=2: lift = 16*2/(3*3*2)
+    assert r["support"] == pytest.approx(0.5)
+    assert r["lift"] == pytest.approx(round(16 * 2 / 18, 6))
+
+
+def test_basket_triple_l1_prune_preserves_results(spark):
+    from datacamp_etl_spark.operators.basket import basket_triple_lift
+
+    # an item below min_count can never be in a frequent triple: the
+    # L1 prune must not change the surviving set
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"), (1, "x"),
+        (2, "a"), (2, "b"), (2, "c"),
+    ]
+    got = basket_triple_lift(
+        _baskets(spark, rows), "b", "i", min_count=2
+    ).collect()
+    assert [(r["item_a"], r["item_b"], r["item_c"]) for r in got] == [
+        ("a", "b", "c")
+    ]
+
+
+def test_basket_triple_mega_basket_cap(spark):
+    from datacamp_etl_spark.operators.basket import basket_triple_lift
+
+    rows = [(1, f"i{j}") for j in range(6)] + [
+        (2, "i0"), (2, "i1"), (2, "i2"),
+        (3, "i0"), (3, "i1"), (3, "i2"),
+    ]
+    # cap 5 drops basket 1 (6 items); triples from baskets 2,3 remain
+    got = basket_triple_lift(
+        _baskets(spark, rows), "b", "i", min_count=2, max_basket_size=5
+    ).collect()
+    assert len(got) == 1 and got[0]["n_triple"] == 2
