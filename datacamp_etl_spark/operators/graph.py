@@ -661,7 +661,19 @@ def personalized_pagerank(
         .localCheckpoint()
     )
     sd = seeds.select(F.col(seed_col).alias("node")).distinct()
-    n_seeds = sd.count()
+    # ONE pre-flight job computes both the seed count and the
+    # conservation guard's matched count: left-join the seeds to the
+    # (checkpointed) endpoint node set and aggregate count(*) /
+    # count(match flag) together.
+    pre = (
+        sd.join(nodes.withColumn("__hit", F.lit(1)), "node", "left")
+        .agg(
+            F.count("*").alias("__n"),
+            F.count("__hit").alias("__m"),
+        )
+        .collect()[0]
+    )
+    n_seeds, n_matched = pre["__n"], pre["__m"]
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     # Conservation guard: the restart vector is materialized over the
@@ -670,7 +682,6 @@ def personalized_pagerank(
     # would no longer sum to 1 (the docstring's conservation claim).
     # Raise instead of leaking; callers with isolated seeds should add
     # self-loops or drop them explicitly.
-    n_matched = sd.join(nodes, "node", "left_semi").count()
     if n_matched != n_seeds:
         raise ValueError(
             f"personalized_pagerank: {n_seeds - n_matched} seed(s) are "

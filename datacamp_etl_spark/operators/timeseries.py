@@ -214,13 +214,18 @@ def anomaly_zscore(
     (default) runs the full documented range on DECIMAL(38,0);
     ``"bigint"`` is a VALIDATED-BOUND fast path — native long window
     sums and products (~2x faster: the r9 DECIMAL correctness fix
-    doubled this operator's warm time) that first verifies, with one
-    cheap max(abs(x)) aggregate, that every term of the identity fits
-    int64: max|x·scale| <= floor(sqrt((2^63-1) / max(4, 2·t^2)) /
-    lookback) (num^2 <= (2·L·M)^2 and t^2·var·n^2 <= 2t^2·L^2·M^2 are
-    the binding terms). Out-of-bound data raises with instructions to
-    use ``"decimal"`` — it never silently overflows, and both paths
-    flag identical rows inside the validated range.
+    doubled this operator's warm time) whose bound is enforced
+    LAZILY inside the plan: a per-row guard column raises (Spark
+    ``raise_error``, surfacing as a runtime exception at the first
+    action) on any row where |x·scale| exceeds
+    floor(sqrt((2^63-1) / max(4, 2·t^2)) / lookback) (num^2 <=
+    (2·L·M)^2 and t^2·var·n^2 <= 2t^2·L^2·M^2 are the binding
+    terms). The guard rides the existing scan — no extra job, no
+    eager action at plan-construction time (every operator here
+    builds plans lazily) — and it never silently overflows: both
+    paths flag identical rows inside the validated range, and
+    out-of-bound data fails loudly with instructions to use
+    ``"decimal"``.
     """
     if lookback < min_history or min_history < 2:
         raise ValueError("need lookback >= min_history >= 2")
@@ -239,18 +244,26 @@ def anomaly_zscore(
             math.isqrt((2**63 - 1) // max(4, 2 * threshold * threshold))
             // lookback
         )
-        probe = (
-            df.where(F.col(value_col).isNotNull())
-            .agg(F.max(F.abs(x)).alias("__m"))
-            .collect()[0]["__m"]
+        # lazy per-row bound guard: rides the existing scan (no eager
+        # probe job at plan-construction time) and fails loudly at the
+        # first action touching an out-of-bound row
+        x = F.when(F.abs(x) <= F.lit(bound), x).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "anomaly_zscore(accumulator='bigint'): "
+                        "|value*scale| = "
+                    ),
+                    F.abs(x).cast("string"),
+                    F.lit(
+                        f" exceeds the int64-safe bound {bound} for "
+                        f"lookback={lookback}, threshold={threshold}; "
+                        "use accumulator='decimal' (exact to ~2.4e17) "
+                        "instead"
+                    ),
+                )
+            ).cast("long")
         )
-        if probe is not None and probe > bound:
-            raise ValueError(
-                f"anomaly_zscore(accumulator='bigint'): max |value*scale|"
-                f" = {probe} exceeds the int64-safe bound {bound} for "
-                f"lookback={lookback}, threshold={threshold}; use "
-                "accumulator='decimal' (exact to ~2.4e17) instead"
-            )
         dec = lambda c: c.cast("long")  # noqa: E731
     else:
         dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731

@@ -8265,23 +8265,38 @@ def q_image_dhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "image_dhash_near_pairs",
-    _DHASH_SIG_SQL + """
-    SELECT a.media_id AS id_a, b.media_id AS id_b,
+    _DHASH_SIG_SQL + """,
+    -- replay the engine's band decomposition INCLUDING the
+    -- max_bucket_size=10000 mega-bucket guard (lsh_candidate_pairs'
+    -- convention), so the scale cap itself is correctness-gated
+    bd AS (SELECT media_id, dhash, bi.band_i,
+                  (dhash >> (bi.band_i * 8)) & 255 AS band_v
+           FROM sig,
+                (SELECT unnest(generate_series(0, 6)) AS band_i) bi),
+    bn AS (SELECT band_i, band_v, count(*) AS n FROM bd GROUP BY 1, 2),
+    bd2 AS (SELECT bd.media_id, bd.dhash, bd.band_i, bd.band_v
+            FROM bd JOIN bn USING (band_i, band_v)
+            WHERE bn.n <= 10000)
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
            CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-    FROM sig a JOIN sig b ON a.media_id < b.media_id
+    FROM bd2 a JOIN bd2 b ON a.band_i = b.band_i AND a.band_v = b.band_v
+                          AND a.media_id < b.media_id
     WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
     """,
 )
 def q_image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] image near-duplicate pairs (multimodal.dhash_near_pairs):
     dHash signatures from the real BMP pipeline, paired via 7x8-bit
-    pigeonhole band blocking — EXACT for Hamming <= 4 (< 7 bands), so
-    the banded equi-join provably returns the quadratic scan's answer
-    (the oracle IS that quadratic scan — affordable on the gate
-    corpus, never run at scale). Same-class documents differ by two
-    single-cell flips (<= 2 gradient bits each), cross-class patterns
-    are far apart — the pair set is dense enough to hash-gate the
-    blocking, not vacuously empty."""
+    pigeonhole band blocking — EXACT for Hamming <= 4 (< 7 bands)
+    while every shared band bucket is under the cap, so the banded
+    equi-join provably returns the quadratic scan's answer. The
+    oracle replays the SAME band decomposition and mega-bucket guard
+    (max_bucket_size=10000) in DuckDB, so the cap semantics stay
+    oracle-aligned at every scale factor (the lsh_candidate_pairs
+    convention). Same-class documents differ by two single-cell
+    flips (<= 2 gradient bits each), cross-class patterns are far
+    apart — the pair set is dense enough to hash-gate the blocking,
+    not vacuously empty."""
     from datacamp_etl_spark.operators.multimodal import (
         dhash_near_pairs,
         image_dhash,
@@ -10024,9 +10039,16 @@ def q_common_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fs_linkage_scores",
     """
-    WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-                      c_acctbal, substr(c_name, 1, 16) AS blk
-               FROM customer),
+    WITH c0 AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                       c_acctbal, substr(c_name, 1, 16) AS blk
+                FROM customer),
+    -- mirror blocked_pairs' max_block_size=10000 mega-block guard so
+    -- engine and oracle keep identical semantics at every scale factor
+    c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                 c_acctbal, blk
+          FROM (SELECT c0.*, count(*) OVER (PARTITION BY blk) AS blkn
+                FROM c0)
+          WHERE blkn <= 10000),
     p AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
                  CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
                       THEN 1 ELSE 0 END AS name_agree,

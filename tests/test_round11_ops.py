@@ -233,12 +233,14 @@ def test_anomaly_zscore_bigint_matches_decimal(spark):
 def test_anomaly_zscore_bigint_out_of_bound_raises(spark):
     from datacamp_etl_spark.operators.timeseries import anomaly_zscore
 
-    # |v*scale| = 1e17 is beyond the int64-safe bound for lookback=20
+    # |v*scale| = 1e17 is beyond the int64-safe bound for lookback=20.
+    # The bound is enforced LAZILY (a raise_error guard inside the
+    # plan — no eager probe job), so the failure surfaces at the
+    # first action as a Spark runtime exception.
     df = _series(spark, [1e15] * 30)
-    with pytest.raises(ValueError, match="int64-safe bound"):
-        anomaly_zscore(
-            df, "k", ["i"], "v", accumulator="bigint"
-        ).collect()
+    q = anomaly_zscore(df, "k", ["i"], "v", accumulator="bigint")
+    with pytest.raises(Exception, match="int64-safe bound"):
+        q.collect()
 
 
 def test_anomaly_zscore_rejects_unknown_accumulator(spark):
