@@ -192,9 +192,10 @@ def sequential_poisson_sample(
 
 def epoch_plan(
     docs: DataFrame,
-    weights_ppm: dict[str, int],
+    weights_ppm: dict[str, int] | None,
     token_budget: int,
     *,
+    weights_expr: Column | None = None,
     source_col: str = "source",
     tokens_col: str | None = None,
     text_col: str = "text",
@@ -220,16 +221,31 @@ def epoch_plan(
       source cannot fill its share without exceeding the epoch cap —
       re-weight or find more data).
 
-    Sources absent from ``weights_ppm`` get weight 0 (planned out);
-    weights need not sum to 1e6 — they are normalized by their sum.
-    One map-side-combined groupBy over the corpus + a broadcast of
-    the bounded weight table; the corpus is scanned once.
+    Weights come from exactly ONE of two places:
+
+    - ``weights_ppm``: a literal dict (trained offline / policy file)
+      — sources absent from it get weight 0 (planned out); weights
+      need not sum to 1e6 — they are normalized by their Python-side
+      sum.
+    - ``weights_expr``: a Column over the per-source row (e.g. a
+      rule derived from the source name or a joined-in policy
+      column) — the normalizing total is computed IN THE PLAN as a
+      1-row scalar aggregate over the bounded per-source table and
+      broadcast back, so the whole plan is collect-free: no
+      data-derived driver action anywhere (VERDICT r11 #6).
+
+    One map-side-combined groupBy over the corpus (+ in the expr
+    path a scoped_cache on the bounded per-source table so its
+    corpus-scan lineage runs once despite the two consumers); the
+    corpus is scanned once either way.
     """
     if token_budget < 0 or epoch_cap_milli < 0:
         raise ValueError("token_budget and epoch_cap_milli must be >= 0")
-    w_total = sum(weights_ppm.values())
-    if w_total <= 0:
-        raise ValueError("weights_ppm must contain a positive weight")
+    if (weights_ppm is None) == (weights_expr is None):
+        raise ValueError(
+            "pass exactly one of weights_ppm (literal dict) or "
+            "weights_expr (per-source weight Column)"
+        )
     if tokens_col is None:
         from datacamp_etl_spark.operators.text import token_count
 
@@ -240,19 +256,54 @@ def epoch_plan(
         F.count("*").alias("n_docs"),
         F.sum(tok).cast("long").alias("n_tokens"),
     )
-    w_items = sorted(weights_ppm.items())
-    w_col = F.lit(0)
-    for s, w in w_items:
-        w_col = F.when(F.col(source_col) == s, F.lit(int(w))).otherwise(
-            w_col
+    if weights_expr is not None:
+        from datacamp_etl_spark.operators.spread import scoped_cache
+
+        planned = scoped_cache(
+            per_source.select(
+                source_col,
+                "n_docs",
+                "n_tokens",
+                weights_expr.cast("long").alias("weight_ppm"),
+            )
         )
-    planned = per_source.select(
-        source_col,
-        "n_docs",
-        "n_tokens",
-        w_col.cast("long").alias("weight_ppm"),
-    )
-    target = F.expr(f"(CAST({token_budget} AS BIGINT) * weight_ppm) DIV {w_total}")
+        wtot = planned.agg(F.sum("weight_ppm").alias("__wt"))
+        planned = planned.crossJoin(F.broadcast(wtot))
+        # positive-total guard enforced lazily inside the plan (the
+        # dict path validates eagerly on the literal sum)
+        target = F.when(
+            F.col("__wt") > 0,
+            F.expr(
+                f"(CAST({token_budget} AS BIGINT) * weight_ppm)"
+                " DIV __wt"
+            ),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "epoch_plan(weights_expr=...): per-source weights "
+                    "must sum to a positive total"
+                )
+            ).cast("long")
+        )
+    else:
+        w_total = sum(weights_ppm.values())
+        if w_total <= 0:
+            raise ValueError("weights_ppm must contain a positive weight")
+        w_items = sorted(weights_ppm.items())
+        w_col = F.lit(0)
+        for s, w in w_items:
+            w_col = F.when(F.col(source_col) == s, F.lit(int(w))).otherwise(
+                w_col
+            )
+        planned = per_source.select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            w_col.cast("long").alias("weight_ppm"),
+        )
+        target = F.expr(
+            f"(CAST({token_budget} AS BIGINT) * weight_ppm) DIV {w_total}"
+        )
     out = planned.select(
         source_col,
         "n_docs",

@@ -126,6 +126,10 @@ ALLOWED_BNLJ = {
     "prf_expansion_terms": "1-row corpus-size scalar crossJoined "
     "onto the feedback-term aggregate (terms of 10 feedback docs — "
     "fb_k-bounded, the tfidf N-scalar shape)",
+    "mixture_epoch_plan": "1-row weight-total scalar (sum over the "
+    "bounded per-source table) crossJoined back onto that same "
+    "source-cardinality table — the collect-free normalization of "
+    "the plan-side weights_expr path (VERDICT r11 #6)",
 }
 
 #: Partitionless-Window allowlist: query -> why the window's input is

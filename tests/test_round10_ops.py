@@ -235,6 +235,51 @@ def test_epoch_plan_rejects_bad_args(spark):
         epoch_plan(df, {}, 100)
     with _pytest.raises(ValueError):
         epoch_plan(df, {"a": 1}, -1)
+    # exactly one of weights_ppm / weights_expr
+    with _pytest.raises(ValueError, match="exactly one"):
+        epoch_plan(df, None, 100)
+    with _pytest.raises(ValueError, match="exactly one"):
+        epoch_plan(df, {"a": 1}, 100, weights_expr=F.lit(1))
+
+
+def test_epoch_plan_weights_expr_matches_dict_path(spark):
+    from datacamp_etl_spark.operators.mixture import epoch_plan
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "t1 t2 t3 t4"),
+            (2, "a", "t1 t2 t3 t4"),
+            (3, "b", "t1 t2"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    # same weights expressed as a plan-side rule: a=750k, b=250k
+    expr = F.when(F.col("source") == "a", 750_000).otherwise(250_000)
+    via_dict = sorted(
+        map(tuple, epoch_plan(
+            df, {"a": 750_000, "b": 250_000}, 100, epoch_cap_milli=4000
+        ).collect())
+    )
+    via_expr = sorted(
+        map(tuple, epoch_plan(
+            df, None, 100, weights_expr=expr, epoch_cap_milli=4000
+        ).collect())
+    )
+    assert via_dict == via_expr
+
+
+def test_epoch_plan_weights_expr_zero_total_raises_lazily(spark):
+    import pytest as _pytest
+
+    from datacamp_etl_spark.operators.mixture import epoch_plan
+
+    df = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id long, source string, text string"
+    )
+    # plan construction succeeds (lazy guard); the action raises
+    q = epoch_plan(df, None, 100, weights_expr=F.lit(0))
+    with _pytest.raises(Exception, match="positive total"):
+        q.collect()
 
 
 # ---------------------------------------------------------------------
