@@ -220,6 +220,8 @@ HEADLINE = [
     "effective_corpus_size",
     "hard_negative_mining",
     "basket_triple_lift",
+    "hard_negative_mining_lsh",
+    "html_extract",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

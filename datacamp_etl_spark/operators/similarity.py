@@ -37,6 +37,7 @@ __all__ = [
     "brute_force_topk",
     "knn_join_topk",
     "hard_negatives",
+    "hard_negatives_lsh",
     "random_hyperplane_lsh",
     "lsh_topk",
     "ivf_topk",
@@ -207,9 +208,11 @@ def hard_negatives(
     if len(arows) > max_inline_anchors:
         raise ValueError(
             f"hard_negatives inlines the anchor set into the plan; got "
-            f">{max_inline_anchors} anchors. Mine large anchor sets via "
-            "LSH candidates + a label anti-join, or raise "
-            "max_inline_anchors deliberately."
+            f">{max_inline_anchors} anchors. Use "
+            "datacamp_etl_spark.operators.similarity.hard_negatives_lsh "
+            "(LSH bucket candidates + label anti-join — a distributed "
+            "equi-join, no inlining bound) for large anchor sets, or "
+            "raise max_inline_anchors deliberately."
         )
     ca = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -262,6 +265,86 @@ def hard_negatives(
             "neighbor_id",
             "neighbor_label",
             F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hard_negatives_lsh(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    num_planes: int = 8,
+    decimals: int = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining at scale — the LSH-candidates + label
+    anti-join path :func:`hard_negatives`' inlining bound points at:
+    for each anchor, the ``k`` most similar SAME-BUCKET corpus rows
+    with a DIFFERENT label. Candidates must share the anchor's
+    sign-projection bucket (``random_hyperplane_lsh``, md5-derived
+    deterministic planes), so pair generation is a plain distributed
+    EQUI-JOIN on the bucket id — no anchor inlining, no cross join,
+    anchor sets of any size. Approximate like :func:`lsh_topk`:
+    recall rises with fewer planes (bigger buckets).
+
+    The label filter applies with the join (before the rank), same
+    contract as the exact path. ``max_bucket_size`` (opt-in, default
+    None) drops corpus rows in over-cap buckets — the mega-bucket
+    guard for degenerate embedding clumps; leave None when the
+    oracle/caller does not model the cap. Ranking on rounded cosine
+    + id tiebreak. Returns
+    ``(query_id, neighbor_id, neighbor_label, cosine, rank)``.
+    """
+    a = random_hyperplane_lsh(
+        anchors.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("__ql"),
+        ),
+        vec_col="__qv",
+        dim=dim,
+        num_planes=num_planes,
+        out_col="__qb",
+    )
+    c = random_hyperplane_lsh(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            F.col(vec_col).alias("__cv"),
+        ),
+        vec_col="__cv",
+        dim=dim,
+        num_planes=num_planes,
+        out_col="__cb",
+    )
+    if max_bucket_size is not None:
+        wcnt = W.partitionBy("__cb")
+        c = (
+            c.withColumn("__n", F.count("*").over(wcnt))
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    joined = a.join(
+        c,
+        (F.col("__qb") == F.col("__cb"))
+        & (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("__ql") != F.col("neighbor_label")),
+    )
+    cos = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        joined.select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cos, decimals).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

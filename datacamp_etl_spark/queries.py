@@ -6075,6 +6075,144 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic HTML wrapping: the documents fixture is clean word
+# salad, so every doc is wrapped in a crawl-shaped page — head with
+# title/style, a comment banner, a body script (with a '<' inside),
+# a pure-link nav, a heading, the doc text paragraph, an
+# entity-laden paragraph on even ids, a mixed prose+link paragraph,
+# and a pure-link footer — in BOTH engines; html_extract then
+# exercises real tag stripping, block segmentation, link-density
+# boilerplate cuts and entity decode with a varied oracle.
+def _html_inject(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id").cast("string")
+    ent = F.lit(
+        "<p>Fish &amp; chips &lt;b&gt; &quot;quoted&quot;"
+        " &#39;s&#39;&nbsp;end</p>"
+    )
+    html = F.concat(
+        F.lit(
+            "<html><head><title>Doc</title>"
+            "<style>p { color: red; }</style></head><body>"
+        ),
+        F.lit(
+            '<!-- boilerplate banner --><script type="text/javascript">'
+            "var x = 1; if (x < 2) { x++; }</script>"
+        ),
+        F.lit(
+            '<nav><a href="/">Home</a> <a href="/about">About</a> '
+            '<a href="/contact">Contact</a></nav>'
+        ),
+        F.lit("<h1>Doc "),
+        d,
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(F.col("doc_id") % 2 == 0, ent).otherwise(F.lit("")),
+        F.lit(
+            '<p>Visit <a href="/more">this link</a> for more of the '
+            "plain prose words written here</p>"
+        ),
+        F.lit(
+            '<footer><a href="/privacy">Privacy</a> '
+            '<a href="/terms">Terms</a></footer></body></html>'
+        ),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+_HTML_INJ_SQL = """
+    h AS (SELECT doc_id,
+                 '<html><head><title>Doc</title>'
+                 || '<style>p { color: red; }</style></head><body>'
+                 || '<!-- boilerplate banner -->'
+                 || '<script type="text/javascript">'
+                 || 'var x = 1; if (x < 2) { x++; }</script>'
+                 || '<nav><a href="/">Home</a> <a href="/about">About</a> '
+                 || '<a href="/contact">Contact</a></nav>'
+                 || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+                 || text || '</p>'
+                 || CASE WHEN doc_id % 2 = 0 THEN
+                        '<p>Fish &amp; chips &lt;b&gt; &quot;quoted&quot;'
+                        || ' &#39;s&#39;&nbsp;end</p>'
+                    ELSE '' END
+                 || '<p>Visit <a href="/more">this link</a> for more of the '
+                 || 'plain prose words written here</p>'
+                 || '<footer><a href="/privacy">Privacy</a> '
+                 || '<a href="/terms">Terms</a></footer></body></html>'
+                     AS html
+          FROM documents)
+"""
+
+
+def _html_oracle_sql(max_link_density_ppm: int = 500_000) -> str:
+    """DuckDB replay of html.html_extract's fixed rule order over the
+    injected fixture — patterns taken from the SAME module constants
+    the engine folds into its plan (the pii_redact convention)."""
+    from datacamp_etl_spark.operators.html import (
+        BLOCK_TAG_PATTERN,
+        CONTENT_STRIP_PATTERNS,
+        ENTITY_DECODE_ORDER,
+    )
+
+    def bt(x: str) -> str:  # _block_text replay
+        return (
+            f"trim(regexp_replace(regexp_replace({x}, '<[^>]*>', ' ', "
+            "'g'), '\\s+', ' ', 'g'))"
+        )
+
+    def at(x: str) -> str:  # _anchor_text replay
+        # coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        # array_join([]) is '' — normalize to the Spark semantics
+        inner = (
+            f"coalesce(array_to_string(regexp_extract_all({x}, "
+            "'(?is)<a\\b[^>]*>(.*?)</a>', 1), ''), '')"
+        )
+        return bt(inner)
+
+    strip = "html"
+    for pat in CONTENT_STRIP_PATTERNS:
+        strip = f"regexp_replace({strip}, '{pat}', '', 'g')"
+    keep = (
+        f"length({bt('x')}) > 0 AND length({at('x')}) * 1000000 "
+        f"<= {int(max_link_density_ppm)} * length({bt('x')})"
+    )
+    decode = "text"
+    for ent, repl in ENTITY_DECODE_ORDER:
+        r = repl.replace("'", "''")
+        decode = f"replace({decode}, '{ent}', '{r}')"
+    return f"""
+    WITH {_HTML_INJ_SQL.strip()},
+    b AS (SELECT doc_id,
+                 string_split_regex(regexp_replace({strip},
+                     '{BLOCK_TAG_PATTERN}', chr(10), 'g'), '\\n+') AS bl
+          FROM h),
+    k AS (SELECT doc_id, list_filter(bl, x -> {keep}) AS bl FROM b),
+    t AS (SELECT doc_id,
+                 array_to_string(list_transform(bl, x -> {bt('x')}),
+                                 chr(10)) AS text
+          FROM k)
+    SELECT doc_id, {decode} AS text FROM t
+    """
+
+
+@register("html_extract", _html_oracle_sql())
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] HTML -> text extraction (html.html_extract,
+    trafilatura/jusText-lite; VERDICT r11 missing #1): fixed-order
+    regex rule list — comment/head/script/style/noscript/template
+    strip, block segmentation on structural tags, per-block inline
+    strip + whitespace collapse, link-density boilerplate cut (exact
+    integer-ppm compare, 0.5 threshold drops the nav and footer but
+    keeps the mixed prose+link paragraph), entity decode LAST with
+    &amp; last. Zero UDFs — pure JVM regex/HOF scan-stage kernel;
+    the oracle replays every rule from the same module constants, so
+    the full extracted text is value-hashed per document."""
+    from datacamp_etl_spark.operators.html import html_extract
+
+    docs = t(spark, sf_dir, "documents")
+    return html_extract(_html_inject(docs)).select("doc_id", "text")
+
+
 @register(
     "lm_perplexity_scores",
     f"""
@@ -11790,6 +11928,55 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     out = hard_negatives(emb.where(F.col("vec_id") < 3), emb, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("neighbor_label").cast("int").alias("neighbor_label"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "hard_negative_mining_lsh",
+    f"""
+    WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                      {_bucket_sql("CAST(embedding AS DOUBLE[])", num_planes=4)}
+                          AS bucket
+               FROM embeddings),
+    a AS (SELECT * FROM b WHERE vec_id < 200)
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+               c.label AS neighbor_label,
+               round(list_cosine_similarity(a.v, c.v), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, c.v), 6)
+                                DESC,
+                            c.vec_id) AS rank
+        FROM a JOIN b c
+          ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+                                 AND a.label <> c.label
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negative_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] hard-negative mining at scale
+    (similarity.hard_negatives_lsh — the path hard_negatives' exact
+    inlining bound points at): for each of 200 anchors, the top-5
+    most-similar SAME-BUCKET embeddings with a DIFFERENT label.
+    Candidates come from a distributed equi-join on the md5-derived
+    sign-projection bucket (4 planes -> 16 buckets; no anchor
+    inlining, no cross join, anchor sets of any size); the oracle
+    replays the same hyperplanes, so blocking AND scoring are
+    value-gated. Label filter rides the join (before the rank);
+    rank on rounded cosine + id tiebreak."""
+    from datacamp_etl_spark.operators.similarity import hard_negatives_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = hard_negatives_lsh(
+        emb.where(F.col("vec_id") < 200), emb, dim=64, k=5, num_planes=4
+    )
     return out.select(
         "query_id",
         "neighbor_id",
