@@ -222,6 +222,7 @@ HEADLINE = [
     "basket_triple_lift",
     "hard_negative_mining_lsh",
     "html_extract",
+    "image_index_staleness",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

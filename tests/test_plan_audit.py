@@ -130,6 +130,10 @@ ALLOWED_BNLJ = {
     "bounded per-source table) crossJoined back onto that same "
     "source-cardinality table — the collect-free normalization of "
     "the plan-side weights_expr path (VERDICT r11 #6)",
+    "image_index_staleness": "1-row grand-total scalar crossJoined "
+    "onto the bounded per-band table (<= 7 rows — dHash banding "
+    "configuration, not data size; the image twin of "
+    "band_index_staleness's shape)",
 }
 
 #: Partitionless-Window allowlist: query -> why the window's input is

@@ -178,3 +178,85 @@ def test_html_extract_threshold_validation(spark):
     df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
     with _pytest.raises(ValueError, match="max_link_density_ppm"):
         html_extract(df, max_link_density_ppm=2_000_000)
+
+
+# ------------------------------------- image index append + staleness
+
+def _media_ids(spark, ids):
+    from datacamp_etl_spark.operators.multimodal import synthetic_bmp_media
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    return synthetic_bmp_media(df)
+
+
+def test_image_index_append_stamps_generations(spark):
+    from datacamp_etl_spark.operators.multimodal import (
+        image_dhash,
+        image_index_append,
+    )
+
+    base = image_dhash(_media_ids(spark, [1, 2]))  # no generation col
+    appended = image_index_append(base, _media_ids(spark, [3]))
+    rows = {r["media_id"]: r["generation"] for r in appended.collect()}
+    assert rows == {1: 0, 2: 0, 3: 1}
+    # appending again with an explicit generation stacks correctly
+    g2 = image_index_append(appended, _media_ids(spark, [4]), generation=2)
+    rows = {r["media_id"]: r["generation"] for r in g2.collect()}
+    assert rows == {1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_image_index_stats_counts_and_shares(spark):
+    from datacamp_etl_spark.operators.multimodal import (
+        image_dhash,
+        image_index_append,
+        image_index_stats,
+    )
+
+    # media 3201 is the IDENTICAL image to media 1 (class 1, flip 1),
+    # so their signatures agree on every band; media 2 is another
+    # class. Base = {1, 2}; append = {3201}.
+    base = image_dhash(_media_ids(spark, [1, 2]))
+    appended = image_index_append(base, _media_ids(spark, [3201]))
+    rows = image_index_stats(appended).collect()
+    assert [r["band"] for r in rows] == list(range(7))
+    for r in rows:
+        assert r["n_base"] == 2 and r["n_appended"] == 1
+        assert r["n_total"] == 3
+        # 3 of 21 postings -> exact integer ppm
+        assert r["share_ppm"] == (1_000_000 * 3) // 21
+        # the duplicate pair always shares its band bucket
+        assert r["max_bucket"] >= 2 and r["n_buckets"] in (1, 2)
+        assert r["n_over_cap"] == 0
+
+
+def test_image_index_stats_without_generation_is_all_base(spark):
+    from datacamp_etl_spark.operators.multimodal import (
+        image_dhash,
+        image_index_stats,
+    )
+
+    rows = image_index_stats(image_dhash(_media_ids(spark, [1]))).collect()
+    assert all(
+        r["n_base"] == 1 and r["n_appended"] == 0 for r in rows
+    )
+
+
+def test_streaming_gate_reads_appended_index(spark):
+    from datacamp_etl_spark.operators.multimodal import (
+        image_dhash,
+        image_index_append,
+        streaming_image_near_dup_filter,
+    )
+
+    # index: base covers image 1; the append adds image 2. Stream:
+    # 3201 duplicates the BASE image, 1602 duplicates the APPENDED
+    # image (class 2, flip 2 == id 2), 5 is a fresh class.
+    idx = image_index_append(
+        image_dhash(_media_ids(spark, [1])), _media_ids(spark, [2])
+    )
+    stream = _media_ids(spark, [3201, 1602, 5])
+    got = {
+        r["media_id"]
+        for r in streaming_image_near_dup_filter(stream, idx).collect()
+    }
+    assert got == {5}
