@@ -46,7 +46,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: #1): the named bench-anomaly watch items. Their standalone numbers
 #: ship in every capture so a driver-cold excursion can be adjudicated
 #: against a same-round controlled number without archaeology.
-ALWAYS_STANDALONE = ["clustering_coefficient", "dsir_weights"]
+#: r12 adds the r11-capture watch items (VERDICT r11 #1/#2): their
+#: in-sequence excursions were adjudicated ambient (time-clustered,
+#: non-stationary — docs/evidence/SEQ_PROFILE_r12.jsonl), so every
+#: capture now carries their controlled numbers.
+ALWAYS_STANDALONE = [
+    "clustering_coefficient",
+    "dsir_weights",
+    "vocab_growth_curve",
+    "dedup_cluster_stats",
+    "ngram_novelty_scores",
+]
 
 
 def run_bench(sf_dir: str, only: list[str] | None = None) -> dict:

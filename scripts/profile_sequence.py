@@ -164,6 +164,23 @@ def main() -> None:
             release_engine_caches()
             if mode == "quiesce":
                 quiesce()
+            elif mode == "jitdrain":
+                # wait (outside the next timer) for the C2 queue to
+                # drain: poll total compile time until it stops moving
+                deadline = time.time() + 10.0
+                mf = (
+                    spark.sparkContext._jvm.java.lang.management
+                    .ManagementFactory
+                )
+                prev = mf.getCompilationMXBean().getTotalCompilationTime()
+                while time.time() < deadline:
+                    time.sleep(0.25)
+                    cur = (
+                        mf.getCompilationMXBean().getTotalCompilationTime()
+                    )
+                    if cur - prev < 40:
+                        break
+                    prev = cur
             rows.append(
                 {
                     "pass": pnum,
