@@ -223,6 +223,7 @@ HEADLINE = [
     "hard_negative_mining_lsh",
     "html_extract",
     "image_index_staleness",
+    "html_outlinks",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

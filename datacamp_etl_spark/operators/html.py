@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["html_extract", "ENTITY_DECODE_ORDER"]
+__all__ = ["html_extract", "html_outlinks", "ENTITY_DECODE_ORDER"]
 
 #: stripped WITH their content, in this order (all RE2-safe)
 CONTENT_STRIP_PATTERNS: tuple[str, ...] = (
@@ -130,3 +130,58 @@ def html_extract(
     for ent, repl in ENTITY_DECODE_ORDER:
         text = F.replace(text, F.lit(ent), F.lit(repl))
     return df.withColumn(out_col, text)
+
+
+#: double-quoted href attribute + the anchor's inner text, as two
+#: group matches of ONE pattern (RE2-safe: no backreferences)
+_A_HREF_TEXT = r'(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+
+#: scheme://host prefix of an absolute URL (group 1 = authority)
+_URL_HOST = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+
+def html_outlinks(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Outlink extraction — the crawl-graph feed that pairs with
+    :func:`html_extract`'s text feed: one row per ``<a href="...">``
+    anchor with the link target, its lowercased target HOST (empty
+    string for relative/internal links — no authority component) and
+    the anchor text (inner tags stripped, whitespace collapsed). The
+    (doc -> host) edges drive frontier prioritization, host-graph
+    PageRank and link-spam signals downstream.
+
+    Zero-UDF plan: href and anchor text are the two group matches of
+    ONE RE2-safe pattern, extracted with two ``regexp_extract_all``
+    passes (same match sequence by construction) and zipped
+    positionally — scan-stage expression work, one explode, nothing
+    shuffles. Anchors without an href (or with single-quoted ones —
+    out of the fixed contract) are not emitted. Returns
+    ``(id_col, href, host, anchor_text)``.
+    """
+    c = F.col(html_col)
+    # strip comments and script/style first so commented-out or
+    # scripted markup can't emit links (same rule order as
+    # html_extract's content strip)
+    for pat in CONTENT_STRIP_PATTERNS:
+        c = F.regexp_replace(c, pat, "")
+    hrefs = F.regexp_extract_all(c, F.lit(_A_HREF_TEXT), 1)
+    texts = F.regexp_extract_all(c, F.lit(_A_HREF_TEXT), 2)
+    pair = F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("txt")))
+    out = df.select(F.col(id_col), pair.alias("__a")).select(
+        id_col,
+        F.col("__a.href").alias("href"),
+        F.lower(
+            F.regexp_extract(F.col("__a.href"), _URL_HOST, 1)
+        ).alias("host"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("__a.txt"), _ANY_TAG, " "),
+                _WS,
+                " ",
+            )
+        ).alias("anchor_text"),
+    )
+    return out

@@ -6195,6 +6195,107 @@ def _html_oracle_sql(max_link_density_ppm: int = 500_000) -> str:
     """
 
 
+#: outlinks fixture: per doc, an absolute mirror link (20 hosts), an
+#: internal relative link, a mixed-case-host link on doc_id % 3 == 0,
+#: plus a scripted and a commented anchor that MUST NOT be emitted
+_HTML_LINKS_INJ_SQL = """
+    h AS (SELECT doc_id,
+                 '<div><a href="https://src'
+                 || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+                 || CAST(doc_id AS VARCHAR) || '">Doc '
+                 || CAST(doc_id AS VARCHAR) || ' <b>mirror</b></a></div>'
+                 || '<p><a href="/local/' || CAST(doc_id AS VARCHAR)
+                 || '">internal anchor</a></p>'
+                 || CASE WHEN doc_id % 3 = 0 THEN
+                        '<p><a href="HTTPS://Mixed.Example.ORG/x">mixed'
+                        || ' case host</a></p>'
+                    ELSE '' END
+                 || '<script>var s = "<a href="https://ghost.example.net/">'
+                 || 'ghost</a>";</script>'
+                 || '<!-- <a href="https://commented.example.com/">'
+                 || 'hidden</a> -->'
+                     AS html
+          FROM documents)
+"""
+
+
+def _html_links_inject(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<div><a href="https://src'),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/p/"),
+        d,
+        F.lit('">Doc '),
+        d,
+        F.lit(" <b>mirror</b></a></div>"),
+        F.lit('<p><a href="/local/'),
+        d,
+        F.lit('">internal anchor</a></p>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(
+                '<p><a href="HTTPS://Mixed.Example.ORG/x">mixed'
+                " case host</a></p>"
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(
+            '<script>var s = "<a href="https://ghost.example.net/">'
+            'ghost</a>";</script>'
+        ),
+        F.lit(
+            '<!-- <a href="https://commented.example.com/">'
+            "hidden</a> -->"
+        ),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def _html_outlinks_oracle_sql() -> str:
+    """DuckDB replay of html.html_outlinks over the links fixture —
+    same content-strip rule order, same href/text group pattern."""
+    from datacamp_etl_spark.operators.html import CONTENT_STRIP_PATTERNS
+
+    strip = "html"
+    for pat in CONTENT_STRIP_PATTERNS:
+        strip = f"regexp_replace({strip}, '{pat}', '', 'g')"
+    a_pat = '(?is)<a\\b[^>]*\\bhref\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>'
+    host_pat = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    return f"""
+    WITH {_HTML_LINKS_INJ_SQL.strip()},
+    s AS (SELECT doc_id, {strip} AS s FROM h),
+    z AS (SELECT doc_id,
+                 list_zip(regexp_extract_all(s, '{a_pat}', 1),
+                          regexp_extract_all(s, '{a_pat}', 2)) AS prs
+          FROM s),
+    u AS (SELECT doc_id, unnest(prs) AS pr FROM z)
+    SELECT doc_id, pr[1] AS href,
+           lower(regexp_extract(pr[1], '{host_pat}', 1)) AS host,
+           trim(regexp_replace(regexp_replace(pr[2], '<[^>]*>', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS anchor_text
+    FROM u
+    """
+
+
+@register("html_outlinks", _html_outlinks_oracle_sql())
+def q_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] outlink extraction (html.html_outlinks) — the crawl-graph
+    feed pairing with html_extract's text feed: one row per anchor
+    with href, lowercased target host ('' for relative/internal
+    links) and tag-stripped collapsed anchor text. The fixture plants
+    an absolute mirror link over 20 hosts, an internal link, a
+    mixed-case host on every third doc, and a scripted + a
+    commented-out anchor that the shared content-strip rule order
+    must suppress (both engines replay the same rules, so the
+    suppression itself is value-gated). Zero-UDF: two group
+    extractions of one RE2-safe pattern zipped positionally, one
+    explode — scan-stage work, nothing shuffles."""
+    from datacamp_etl_spark.operators.html import html_outlinks
+
+    docs = t(spark, sf_dir, "documents")
+    return html_outlinks(_html_links_inject(docs))
+
+
 @register("html_extract", _html_oracle_sql())
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] HTML -> text extraction (html.html_extract,

@@ -260,3 +260,48 @@ def test_streaming_gate_reads_appended_index(spark):
         for r in streaming_image_near_dup_filter(stream, idx).collect()
     }
     assert got == {5}
+
+
+# ------------------------------------------------------ html_outlinks
+
+def test_html_outlinks_extracts_href_host_and_text(spark):
+    from datacamp_etl_spark.operators.html import html_outlinks
+
+    html = (
+        '<p><a href="https://A.Example.COM/x">Read <b>this</b></a>'
+        ' and <a href="/rel/1">a local one</a></p>'
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    rows = sorted(
+        map(tuple, html_outlinks(df).collect())
+    )
+    assert rows == [
+        (7, "/rel/1", "", "a local one"),
+        (7, "https://A.Example.COM/x", "a.example.com", "Read this"),
+    ]
+
+
+def test_html_outlinks_suppresses_script_and_comment_anchors(spark):
+    from datacamp_etl_spark.operators.html import html_outlinks
+
+    html = (
+        '<script>var s = "<a href="https://ghost.net/">g</a>";</script>'
+        '<!-- <a href="https://hidden.net/">h</a> -->'
+        '<p><a href="https://real.net/">real</a></p>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = html_outlinks(df).collect()
+    assert [(r["host"], r["anchor_text"]) for r in rows] == [
+        ("real.net", "real")
+    ]
+
+
+def test_html_outlinks_skips_anchor_without_href(spark):
+    from datacamp_etl_spark.operators.html import html_outlinks
+
+    html = '<p><a name="top">no link</a><a href="https://x.io/">y</a></p>'
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = html_outlinks(df).collect()
+    assert [(r["href"], r["host"]) for r in rows] == [
+        ("https://x.io/", "x.io")
+    ]
