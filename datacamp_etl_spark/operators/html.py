@@ -134,7 +134,7 @@ def html_extract(
 
 #: double-quoted href attribute + the anchor's inner text, as two
 #: group matches of ONE pattern (RE2-safe: no backreferences)
-_A_HREF_TEXT = r'(?is)<a\b[^>]*\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+_A_HREF_TEXT = r'(?is)<a\b[^>]*\shref\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
 
 #: scheme://host prefix of an absolute URL (group 1 = authority)
 _URL_HOST = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"

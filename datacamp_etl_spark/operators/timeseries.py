@@ -226,6 +226,18 @@ def anomaly_zscore(
     paths flag identical rows inside the validated range, and
     out-of-bound data fails loudly with instructions to use
     ``"decimal"``.
+
+    .. versionchanged:: round 12
+       The ``"bigint"`` bound check moved from an eager pre-flight
+       scan (which raised ``ValueError`` at call time) to the lazy
+       in-plan ``raise_error`` guard above. Out-of-bound data now
+       surfaces as a **pyspark runtime exception at the first
+       action** (``pyspark.errors.PySparkRuntimeError`` /
+       ``Py4JJavaError`` wrapping the guard message), not
+       ``ValueError`` — catch pyspark errors, not ``ValueError``.
+       Because the failure happens mid-job, non-atomic sinks may
+       hold partial output; validate upstream or use ``"decimal"``
+       when the input range is unknown.
     """
     if lookback < min_history or min_history < 2:
         raise ValueError("need lookback >= min_history >= 2")

@@ -6259,7 +6259,7 @@ def _html_outlinks_oracle_sql() -> str:
     strip = "html"
     for pat in CONTENT_STRIP_PATTERNS:
         strip = f"regexp_replace({strip}, '{pat}', '', 'g')"
-    a_pat = '(?is)<a\\b[^>]*\\bhref\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>'
+    a_pat = '(?is)<a\\b[^>]*\\shref\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>'
     host_pat = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
     return f"""
     WITH {_HTML_LINKS_INJ_SQL.strip()},

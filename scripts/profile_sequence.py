@@ -21,6 +21,14 @@ Modes (env SEQ_MODE):
 - quiesce   — same, but after the release WAIT for the block-manager
               dir to stop shrinking (ContextCleaner drain, max 10 s)
               before starting the next timer.
+- jitdrain  — same as asis, but after the release WAIT (outside the
+              next timer, max 10 s) for the JIT C2 compile queue to
+              drain: polls CompilationMXBean total compile time until
+              it stops moving. Isolates compile-thread CPU steal.
+- twopass   — asis methodology, but the whole window runs TWICE in
+              one session; pass 2 is fully JIT/IO-warm, so a pass-1
+              excursion that vanishes in pass 2 is warm-up, and one
+              that persists is real accumulation.
 Then each mode re-measures the LAST query standalone (bench's
 standalone methodology) for the in-seq / standalone ratio.
 
