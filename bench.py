@@ -224,6 +224,7 @@ HEADLINE = [
     "html_extract",
     "image_index_staleness",
     "html_outlinks",
+    "outlink_host_pagerank",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

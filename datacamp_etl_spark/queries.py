@@ -12200,6 +12200,121 @@ def q_basket_triple_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _outlink_host_pagerank_oracle_sql() -> str:
+    """DuckDB replay of the full crawl-graph chain (VERDICT r12 #4),
+    spliced from the already-gated per-stage oracles exactly like
+    image_dedup_clusters: html_outlinks' strip+extract rules for the
+    hrefs, the canonical-urls decomposition for the per-doc source
+    host, url_host's decomposition for the target host, then the
+    SAME 3 chained PageRank CTE rounds the `pagerank` entry gates."""
+    from datacamp_etl_spark.operators.html import CONTENT_STRIP_PATTERNS
+
+    strip = "html"
+    for pat in CONTENT_STRIP_PATTERNS:
+        strip = f"regexp_replace({strip}, '{pat}', '', 'g')"
+    a_pat = '(?is)<a\\b[^>]*\\shref\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>'
+    return f"""
+    WITH {_HTML_LINKS_INJ_SQL.strip()},
+    st AS (SELECT doc_id, {strip} AS s FROM h),
+    lk AS (SELECT doc_id, unnest(regexp_extract_all(s, '{a_pat}', 1))
+               AS href
+           FROM st),
+    {_URL_SYN_SQL.strip()},
+    {_url_canon_sql()},
+    dh AS (SELECT doc_id,
+             CASE WHEN regexp_matches(href,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://')
+                  THEN lower(regexp_replace(regexp_replace(
+                         regexp_extract(href,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                         '^.*@', ''), ':[0-9]*$', ''))
+             END AS dst
+           FROM lk),
+    edges AS (SELECT DISTINCT c.host AS src, d.dst
+              FROM dh d JOIN canon c USING (doc_id)
+              WHERE d.dst IS NOT NULL AND c.host <> d.dst),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE)
+               / (SELECT count(*) FROM nodes) AS rank FROM nodes),
+    r1 AS ({_pagerank_iter_sql('r0')}),
+    r2 AS ({_pagerank_iter_sql('r1')}),
+    r3 AS ({_pagerank_iter_sql('r2')}),
+    ind AS (SELECT dst, count(*) AS n FROM edges GROUP BY dst)
+    SELECT r3.node AS host, round(r3.rank, 6) AS rank,
+           CAST(coalesce(deg.deg, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(ind.n, 0) AS BIGINT) AS in_deg
+    FROM r3 LEFT JOIN deg ON deg.src = r3.node
+            LEFT JOIN ind ON ind.dst = r3.node
+    """
+
+
+@register("outlink_host_pagerank", _outlink_host_pagerank_oracle_sql())
+def q_outlink_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] crawl-graph composition (VERDICT r12 #4): the full
+    outlink-to-authority chain a crawl-curation pipeline runs —
+    html_outlinks extracts the anchors (scripted/commented anchors
+    suppressed by the shared strip rules), canonicalize_url dedups
+    the link targets at the canonical-URL level (tracking params,
+    fragments, default ports off), url_host collapses both ends to
+    canonical hosts (the per-doc source host comes from the SAME
+    synthetic messy URLs the canonical_urls entry gates), and
+    graph.pagerank (3 fixed iterations) ranks the resulting distinct
+    host graph; out/in degree ride along for the degree
+    distribution. Every target host is dangling (no outlinks of its
+    own), so the dangling-mass redistribution is exercised on an
+    organic edge set rather than the pagerank entry's star forest.
+
+    Scale shape: the host graph is bounded by host-domain
+    cardinality, not corpus size — the doc-keyed equi-join (links x
+    source urls) reduces via a map-side-combined DISTINCT to host
+    pairs BEFORE any iteration, the edge list is scoped_cache'd (one
+    lineage run for pagerank's node/degree/contribution consumers +
+    the two degree aggregates), and each PageRank round is ONE
+    shuffle with the dangling mass folded into the same action as
+    the round checkpoint. The oracle splices the per-stage gated
+    oracles (html_outlinks strip+extract, canonical_urls
+    decomposition, the 3 chained PageRank CTE rounds)."""
+    from datacamp_etl_spark.operators.graph import pagerank
+    from datacamp_etl_spark.operators.html import html_outlinks
+    from datacamp_etl_spark.operators.spread import scoped_cache
+    from datacamp_etl_spark.operators.urls import (
+        canonicalize_url,
+        url_host,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    links = (
+        html_outlinks(_html_links_inject(docs))
+        .select("doc_id", canonicalize_url("href").alias("canon"))
+        .where(F.col("canon").isNotNull())
+    )
+    src = _synthetic_urls(spark, sf_dir).select(
+        "doc_id", url_host("url").alias("src")
+    )
+    edges = scoped_cache(
+        links.select("doc_id", url_host(F.col("canon")).alias("dst"))
+        .join(src, "doc_id")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=3)
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ind = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    return (
+        pr.join(outd, pr.node == outd.src, "left")
+        .join(ind, pr.node == ind.dst, "left")
+        .select(
+            F.col("node").alias("host"),
+            F.round("rank", 6).alias("rank"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

@@ -69,6 +69,10 @@ ALLOWED_BNLJ = {
     "into each round's rank update - folding it into the same "
     "action as the checkpoint removed a per-iteration driver "
     "round-trip (round-8 judge note)",
+    "outlink_host_pagerank": "inherits pagerank's 1-row dangling-mass "
+    "scalar crossJoin per round; the graph it iterates over is the "
+    "DISTINCT host-pair table (host-domain cardinality, not corpus "
+    "size)",
     "funnel_latency_signup_purchase": "1-row entered-count x 1-row "
     "latency-stats scalar cross join - both global aggregates",
     "key_skew_events_users": "1-row stats x 1-row top-k-sum scalar "

