@@ -20,6 +20,13 @@ sf0.1, then:
    bench subprocess; the isolated number is authoritative (single
    measurements in an N-query sequence swing ~2.4x on this box —
    VERDICT r9).
+4. **standalone sanity gate** (VERDICT r12 #2) — a standalone
+   reading above ``2 x`` its own in-sequence twin is
+   self-contradictory (same plan, same sf, and the in-sequence pass
+   even pays cache-release overhead): the isolated subprocess ran
+   inside an ambient-contention window. Re-measure up to twice and
+   ship the minimum; every retry series is recorded under
+   ``standalone_remeasured`` in the artifact.
 
 Writes the artifact to ``--out`` ONLY when both gates pass; exits 1
 otherwise, leaving the rejected payload in ``<out>.rejected`` for
@@ -56,7 +63,22 @@ ALWAYS_STANDALONE = [
     "vocab_growth_curve",
     "dedup_cluster_stats",
     "ngram_novelty_scores",
+    # r13 (VERDICT r12 #2): the r12 accepted capture shipped
+    # contaminated standalone numbers for these (standalone 4.3-9.1x
+    # their own in-sequence twin — the isolated subprocess ran inside
+    # an ambient-contention window); carry controlled numbers always.
+    "scd2_point_in_time_join",
+    "trim_by_source",
+    "domain_cap",
+    "variant_props_stats",
 ]
+
+#: A standalone reading more than this many times its own
+#: in-sequence number is self-contradictory (both run the same plan
+#: at the same sf; the in-sequence pass even pays cache-release
+#: overhead) — re-measure instead of shipping it (VERDICT r12 #2).
+STANDALONE_SANITY_RATIO = 2.0
+STANDALONE_RETRIES = 2
 
 
 def run_bench(sf_dir: str, only: list[str] | None = None) -> dict:
@@ -175,6 +197,38 @@ def suspect_queries(
     return out
 
 
+def measure_standalone_sane(
+    measure,
+    in_seq: float | None,
+    *,
+    sanity_ratio: float = STANDALONE_SANITY_RATIO,
+    retries: int = STANDALONE_RETRIES,
+) -> tuple[float, list[float]]:
+    """Standalone-vs-in-seq sanity gate (VERDICT r12 #2, pure +
+    unit-tested): call ``measure()`` once; while the reading exceeds
+    ``sanity_ratio x`` its own in-sequence twin (they share a plan
+    and sf — standalone slower than 2x in-seq means the isolated
+    subprocess hit an ambient-contention window, e.g. r12's
+    scd2_point_in_time_join 4.85 s standalone vs 1.14 s in-seq,
+    controlled re-run 1.05 s), re-measure up to ``retries`` more
+    times. Returns ``(min_of_all_tries, tries)`` — contention only
+    ever inflates, so the minimum is the controlled number; ``tries``
+    is empty when no re-measure was needed (first reading shipped
+    as-is)."""
+    val = measure()
+    tries = [val]
+    while (
+        in_seq
+        and val > sanity_ratio * in_seq
+        and len(tries) <= retries
+    ):
+        val = measure()
+        tries.append(val)
+    if len(tries) > 1:
+        return min(tries), tries
+    return val, []
+
+
 def main() -> int:
     argv = sys.argv[1:]
 
@@ -227,16 +281,23 @@ def main() -> int:
             + [n for n in ALWAYS_STANDALONE if n in payload["queries"]]
         )
     )
+    remeasured: dict[str, list[float]] = {}
     if iso_names:
         for name in iso_names:
-            iso = run_bench(sf_dir, only=[name])
-            standalone[name] = iso["queries"][name]
+            val, tries = measure_standalone_sane(
+                lambda n=name: run_bench(sf_dir, only=[n])["queries"][n],
+                payload["queries"].get(name),
+            )
+            if tries:
+                remeasured[name] = [round(t, 3) for t in tries]
+            standalone[name] = val
         for name in iso_names:
             if base_q.get(name):
                 adjusted[name] = round(
                     (standalone[name] / base_q[name]) / factor, 3
                 )
     payload["queries_standalone"] = standalone
+    payload["standalone_remeasured"] = remeasured
     payload["suspects_adjusted_standalone"] = adjusted
     payload["gates"] = gates
 

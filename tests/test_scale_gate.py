@@ -85,3 +85,26 @@ def test_capture_bench_gates():
     assert sus == ["a"]  # b is sub-0.3s, c/d are under 1.5x
     # machine factor divides out: same ratios at factor 2 -> none
     assert cb.suspect_queries(payload, baseline, 2.0) == []
+
+    # standalone sanity gate (VERDICT r12 #2): a standalone reading
+    # > 2x its own in-seq twin is contaminated -> re-measure, ship min
+    readings = iter([4.85, 4.6, 1.05])  # r12's actual scd2 series
+    val, tries = cb.measure_standalone_sane(
+        lambda: next(readings), 1.14
+    )
+    assert val == 1.05 and tries == [4.85, 4.6, 1.05]
+    # retries exhausted while still insane: min still ships (best
+    # available controlled number), full series recorded
+    readings = iter([5.0, 4.0, 4.5])
+    val, tries = cb.measure_standalone_sane(lambda: next(readings), 1.0)
+    assert val == 4.0 and tries == [5.0, 4.0, 4.5]
+    # sane first reading: single measurement, no retry recorded
+    val, tries = cb.measure_standalone_sane(lambda: 1.2, 1.0)
+    assert val == 1.2 and tries == []
+    # no in-seq twin (query absent from the sequence): no gate
+    val, tries = cb.measure_standalone_sane(lambda: 9.9, None)
+    assert val == 9.9 and tries == []
+    # the r12 watch items are pinned ALWAYS_STANDALONE now
+    for n in ("scd2_point_in_time_join", "trim_by_source",
+              "domain_cap", "variant_props_stats"):
+        assert n in cb.ALWAYS_STANDALONE
