@@ -71,6 +71,30 @@ def _events_ts_is_long(sf_dir: str) -> bool:
     return _EVENTS_TS_KIND[sf_dir]
 
 
+#: Inferred parquet schema per (sf_dir, table). ``spark.read.parquet``
+#: re-sniffs the file footer on EVERY call (~0.2-0.3 s of driver-side
+#: py4j + Hadoop path work even warm, measured by
+#: scripts/profile_constant.py) — the dominant term of the grown
+#: per-query bench constant VERDICT r12 #1 flagged. A real deployment
+#: holds table schemas in a catalog/metastore and never pays this per
+#: query; caching the first inference and replaying it via
+#: ``.schema(...)`` (~0.1 s) models exactly that. The fixtures are
+#: read-only, so a cached schema can never go stale; the cache is
+#: process-global on purpose (schemas are metadata, not engine state —
+#: ``release_engine_caches`` must NOT drop them).
+_TABLE_SCHEMAS: dict = {}
+
+
+def _read_cached(spark: SparkSession, sf_dir: str, name: str, path: str):
+    key = (sf_dir, name)
+    schema = _TABLE_SCHEMAS.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _TABLE_SCHEMAS[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table. The events table's ts physical type has
     varied across fixture generations (TIMESTAMP(NANOS) vs
@@ -80,15 +104,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         if _events_ts_is_long(sf_dir):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path)
+            df = _read_cached(spark, sf_dir, name, path)
             return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         # timestamp[us] reads as TIMESTAMP_NTZ; cast to TIMESTAMP so
         # watermarks/unix_micros work. NTZ->TS->pandas round-trips the
         # naive wall-clock value in any session tz, matching DuckDB.
-        return spark.read.parquet(path).withColumn(
+        return _read_cached(spark, sf_dir, name, path).withColumn(
             "ts", F.col("ts").cast("timestamp")
         )
-    return spark.read.parquet(path)
+    return _read_cached(spark, sf_dir, name, path)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
