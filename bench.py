@@ -225,6 +225,8 @@ HEADLINE = [
     "image_index_staleness",
     "html_outlinks",
     "outlink_host_pagerank",
+    "url_template_traps",
+    "robots_gate",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

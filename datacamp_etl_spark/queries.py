@@ -12339,6 +12339,262 @@ def q_outlink_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic crawl-shaped URL fixture for the template/robots
+    entries: one URL per document across 22 clean hosts (one trap
+    host, 20 per-source news hosts, one static host) and five path
+    families — calendar paths (/cal/Y/M/D), md5 session ids (/sess/
+    <32 hex>), a small bounded article space (/article/0..7), one
+    static page (/about) and query-keyed pagination (/page?id=N).
+    Same expression replayed in the oracle CTE ``syn``."""
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 3 == 0, F.lit("trap.example.com"))
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("news."), F.col("source"), F.lit(".org")),
+        )
+        .otherwise(F.lit("static.example.com"))
+    )
+    path = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("/cal/"),
+                (d % 30 + 2000).cast("string"),
+                F.lit("/"),
+                (d % 12 + 1).cast("string"),
+                F.lit("/"),
+                (d % 28 + 1).cast("string"),
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("/sess/"), F.md5(d.cast("string").cast("binary"))
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("/article/"), (d % 8).cast("string")),
+        )
+        .when(d % 5 == 3, F.lit("/about"))
+        .otherwise(F.concat(F.lit("/page?id="), d.cast("string")))
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+
+
+_TRAP_SYN_SQL = """
+    syn AS (SELECT doc_id,
+        'https://' ||
+        CASE WHEN doc_id % 3 = 0 THEN 'trap.example.com'
+             WHEN doc_id % 3 = 1 THEN 'news.' || source || '.org'
+             ELSE 'static.example.com' END ||
+        CASE WHEN doc_id % 5 = 0
+                THEN '/cal/' || CAST(doc_id % 30 + 2000 AS VARCHAR)
+                     || '/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+                     || '/' || CAST(doc_id % 28 + 1 AS VARCHAR)
+             WHEN doc_id % 5 = 1
+                THEN '/sess/' || md5(CAST(doc_id AS VARCHAR))
+             WHEN doc_id % 5 = 2
+                THEN '/article/' || CAST(doc_id % 8 AS VARCHAR)
+             WHEN doc_id % 5 = 3 THEN '/about'
+             ELSE '/page?id=' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents)"""
+
+#: url_path replay: fragment off, extract the path, '' -> '/'.
+_PATH_SQL = (
+    "CASE WHEN regexp_extract(regexp_replace(trim(url), '#.*', ''),"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/'"
+    " ELSE regexp_extract(regexp_replace(trim(url), '#.*', ''),"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END"
+)
+
+
+@register(
+    "url_template_traps",
+    f"""
+    WITH {_TRAP_SYN_SQL},
+    {_url_canon_sql()},
+    tpl AS (SELECT doc_id,
+            regexp_replace(regexp_replace({_PATH_SQL},
+                '[0-9a-fA-F]{{8,}}', '{{h}}', 'g'),
+                '[0-9]+', '{{n}}', 'g') AS template
+        FROM syn),
+    agg AS (SELECT c.host, t.template,
+                   count(*) AS n_urls,
+                   count(DISTINCT c.canonical_url) AS n_distinct
+        FROM canon c JOIN tpl t ON c.doc_id = t.doc_id
+        WHERE c.host IS NOT NULL AND c.host <> ''
+        GROUP BY c.host, t.template)
+    SELECT host, template,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST((1000000 * n_distinct) // n_urls AS BIGINT)
+               AS distinct_ppm,
+           (n_urls >= 20
+            AND (1000000 * n_distinct) // n_urls >= 990000) AS is_trap
+    FROM agg
+    """,
+)
+def q_url_template_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] crawler-trap detection (urls.template_stats): collapse
+    every URL path to its structural template (hex runs >= 8 chars ->
+    {{h}} first, then digit runs -> {{n}}) and profile each (host,
+    template) cell — URL rows, distinct canonical URLs, the exact
+    millionth distinct ratio and the trap verdict (>= 20 URLs,
+    >= 99% distinct: a template enumerating an unbounded space —
+    calendars, session ids, query pagination). On the fixture the
+    session and pagination templates flag as traps while the bounded
+    article space and the static page do not (the calendar template
+    sits at ~82-85% distinct from date collisions — under the bar,
+    the right call at this population). Pure
+    regexp_replace template derivation fused into the scan, one
+    map-side-combined aggregate on the bounded (host, template) key;
+    the oracle replays the same two RE2 passes with DuckDB's 'g'
+    flag (Spark regexp_replace is global by default)."""
+    from datacamp_etl_spark.operators.urls import template_stats
+
+    return template_stats(_trap_urls(spark, sf_dir), trap_min_urls=20)
+
+
+#: robots.txt fixtures shared verbatim by the Spark entry and the
+#: oracle literal (the pii_redact convention: one constant, two
+#: engines). The trap host exercises the most-specific-group rule
+#: (its graftbot group makes the * group inert for our agent), a
+#: comment line, an empty-value Disallow (no restriction, dropped)
+#: and consecutive User-agent lines sharing one group; the news
+#: hosts exercise the block-all + longest-match-allow carve-out.
+_ROBOTS_TRAP = (
+    "# crawler policy\n"
+    "User-Agent: *\n"
+    "Disallow: /sess/\n"
+    "Disallow: /cal/\n"
+    "Allow: /cal/2020/\n"
+    "Disallow:\n"
+    "\n"
+    "User-agent: graftbot\n"
+    "User-agent: otherbot\n"
+    "Disallow: /article\n"
+    "Allow: /article/1\n"
+)
+_ROBOTS_NEWS = (
+    "User-agent: *\n"
+    "Disallow: /\n"
+    "Allow: /article\n"
+)
+
+
+@register(
+    "robots_gate",
+    f"""
+    WITH {_TRAP_SYN_SQL},
+    u AS (SELECT doc_id, url,
+          lower(regexp_replace(regexp_replace(regexp_extract(
+              regexp_replace(trim(url), '#.*', ''),
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+              '^.*@', ''), ':[0-9]*$', '')) AS host,
+          {_PATH_SQL} AS path
+      FROM syn),
+    robots AS (SELECT host,
+          CASE WHEN host = 'trap.example.com' THEN '{_ROBOTS_TRAP}'
+               WHEN host LIKE 'news.%' THEN '{_ROBOTS_NEWS}'
+          END AS txt
+      FROM (SELECT DISTINCT host FROM u)),
+    lraw AS (SELECT host,
+          generate_subscripts(
+              string_split(coalesce(txt, ''), chr(10)), 1) AS line_no,
+          unnest(string_split(coalesce(txt, ''), chr(10))) AS raw
+      FROM robots),
+    lines AS (SELECT host, line_no,
+          trim(regexp_replace(raw, '#.*', '')) AS line FROM lraw),
+    fields AS (SELECT host, line_no,
+          lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS field,
+          trim(regexp_extract(line,
+              '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) AS value
+      FROM lines
+      WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+            IN ('user-agent', 'allow', 'disallow')),
+    glag AS (SELECT *, coalesce(lag(field) OVER (
+              PARTITION BY host ORDER BY line_no), '') AS prev_field
+      FROM fields),
+    grouped AS (SELECT *, sum(CASE WHEN field = 'user-agent'
+                  AND prev_field <> 'user-agent' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host ORDER BY line_no
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS group_id
+      FROM glag),
+    headers AS (SELECT host, group_id,
+          max(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END)
+              AS names_agent,
+          max(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS names_star
+      FROM grouped WHERE field = 'user-agent' GROUP BY host, group_id),
+    spec AS (SELECT host, max(names_agent) AS has_spec
+      FROM headers GROUP BY host),
+    applicable AS (SELECT h.host, h.group_id
+      FROM headers h JOIN spec s ON h.host = s.host
+      WHERE h.names_agent = 1
+         OR (s.has_spec = 0 AND h.names_star = 1)),
+    rules AS (SELECT g.host, g.value AS path_prefix,
+                     g.field = 'allow' AS is_allow,
+                     length(g.value) AS prefix_len
+      FROM grouped g JOIN applicable a
+        ON g.host = a.host AND g.group_id = a.group_id
+      WHERE g.field IN ('allow', 'disallow') AND g.value <> ''),
+    m AS (SELECT u.doc_id, r.path_prefix, r.is_allow, r.prefix_len
+      FROM u JOIN rules r
+        ON u.host = r.host AND starts_with(u.path, r.path_prefix)),
+    best AS (SELECT doc_id, path_prefix, is_allow,
+          row_number() OVER (PARTITION BY doc_id
+              ORDER BY prefix_len DESC, is_allow DESC,
+                       path_prefix DESC) AS rn
+      FROM m)
+    SELECT u.doc_id, u.url, u.host, u.path,
+           coalesce(b.is_allow, TRUE) AS allowed,
+           b.path_prefix AS matched_prefix
+    FROM u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON u.doc_id = b.doc_id
+    """,
+)
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] robots.txt crawl gate (urls.parse_robots +
+    urls.crawl_allowed, RFC 9309 prefix subset): per-host robots
+    texts are parsed IN-PLAN (line split + posexplode, two bounded
+    per-host windows for the group structure — robots.txt is capped
+    at 500 KiB by the RFC, so the per-host window is bounded input
+    by contract) into the rule table governing agent 'graftbot',
+    then every fixture URL is gated — longest matching prefix wins,
+    Allow wins length ties, no match means allowed. The trap host's
+    graftbot-specific group makes its * group inert
+    (most-specific-group rule); the news hosts block everything but
+    the /article carve-out; the static host has no robots.txt at
+    all. Scale shape: ONE broadcast equi-join on the host key + one
+    aggregated max-struct per URL — no window touches the unbounded
+    URL side, so the gate composes into a streaming crawl frontier
+    unchanged. The oracle replays parse + gate from the SAME robots
+    constants (zipped unnest/generate_subscripts for line numbers,
+    row_number replaying the max-struct tiebreak)."""
+    from datacamp_etl_spark.operators.urls import (
+        crawl_allowed,
+        parse_robots,
+        url_host,
+    )
+
+    urls = _trap_urls(spark, sf_dir)
+    hosts = urls.select(url_host("url").alias("host")).distinct()
+    robots = hosts.select(
+        "host",
+        F.when(F.col("host") == "trap.example.com", F.lit(_ROBOTS_TRAP))
+        .when(F.col("host").startswith("news."), F.lit(_ROBOTS_NEWS))
+        .alias("robots_txt"),
+    )
+    rules = parse_robots(robots, agent="graftbot")
+    return crawl_allowed(urls, rules)
+
+
 # =====================================================================
 # Driver adjudication window ordering (round 8) — keep this LAST
 # =====================================================================

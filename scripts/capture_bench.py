@@ -243,6 +243,13 @@ def main() -> int:
     )
     sf_dir = opt("--sf", "/root/testdata/sf0.1")
     suspect_ratio = float(opt("--suspect-ratio", 1.5))
+    # --standalone-all: isolate EVERY headline query, not just the
+    # suspects + watch items. Used to mint a paired-baseline artifact
+    # (BENCH_sf01_paired_v2.json): future captures then compare
+    # standalone-to-standalone on all queries instead of routing 85
+    # of 181 through a sentinel machine-factor estimate (VERDICT r12
+    # missing #1). ~181 fresh single-query JVMs; budget >= 1 h.
+    standalone_all = "--standalone-all" in argv
     warm_cold_max = float(opt("--warm-cold-max", 1.1))
     sentinel_max = float(opt("--sentinel-max", 1.3))
 
@@ -277,7 +284,8 @@ def main() -> int:
     adjusted: dict[str, float] = {}
     iso_names = list(
         dict.fromkeys(
-            suspects
+            (list(payload["queries"]) if standalone_all else [])
+            + suspects
             + [n for n in ALWAYS_STANDALONE if n in payload["queries"]]
         )
     )

@@ -101,3 +101,122 @@ def test_image_index_append_same_grid_passes_guard(spark):
     rows = {r["media_id"]: (r["generation"], r["grid"])
             for r in again.collect()}
     assert rows == {1: (0, 8), 2: (1, 8), 3: (2, 8)}
+
+
+# --------------------------------------------- URL path templates
+
+def test_url_path_template_hex_before_digits(spark):
+    from datacamp_etl_spark.operators.urls import url_path_template
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://h.com/cal/2024/7/3"),
+            (2, "https://h.com/s/deadbeef01"),
+            (3, "https://h.com/a/12ab"),
+            (4, "https://h.com/x/DEADBEEF?p=1"),
+            (5, "https://h.com"),
+            (6, "not a url"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["tpl"]
+        for r in df.select(
+            "doc_id", url_path_template("url").alias("tpl")
+        ).collect()
+    }
+    assert got[1] == "/cal/{n}/{n}/{n}"
+    assert got[2] == "/s/{h}"          # 10 hex chars -> one {h}
+    assert got[3] == "/a/{n}ab"        # 4 hex chars: digits only
+    assert got[4] == "/x/{h}"          # uppercase hex; query excluded
+    assert got[5] == "/"               # empty path normalized
+    assert got[6] is None              # non-URL -> NULL
+
+
+def test_template_stats_trap_verdict(spark):
+    from datacamp_etl_spark.operators.urls import template_stats
+
+    rows = [(i, f"https://t.com/sess/{i:05d}") for i in range(100)]
+    rows += [(200 + i, "https://t.com/about") for i in range(100)]
+    rows += [(400, "https://t.com/k/123456789")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["template"]: (r["n_urls"], r["n_distinct"], r["is_trap"])
+        for r in template_stats(df, trap_min_urls=100).collect()
+    }
+    assert got["/sess/{n}"] == (100, 100, True)    # all-distinct trap
+    assert got["/about"] == (100, 1, False)        # one real page
+    # a >=8-char run from the hex alphabet collapses to {h} even when
+    # all-digit (RE2 has no lookahead to demand a letter; ids that
+    # long are ids either way)
+    assert got["/k/{h}"] == (1, 1, False)
+
+
+# --------------------------------------------------- robots parsing
+
+ROBOTS = """# policies
+User-Agent: *
+Disallow: /private
+Disallow:
+Allow: /private/ok
+
+user-agent: graftbot
+user-agent: otherbot
+Disallow: /only-graft
+"""
+
+
+def test_parse_robots_star_vs_specific(spark):
+    from datacamp_etl_spark.operators.urls import parse_robots
+
+    df = spark.createDataFrame(
+        [("h.com", ROBOTS)], "host string, robots_txt string"
+    )
+    star = {
+        (r["path_prefix"], r["is_allow"])
+        for r in parse_robots(df, agent="nobody").collect()
+    }
+    # empty-value Disallow dropped; only the * group applies
+    assert star == {("/private", False), ("/private/ok", True)}
+
+    spec = {
+        (r["path_prefix"], r["is_allow"])
+        for r in parse_robots(df, agent="GraftBot").collect()
+    }
+    # a specific group exists -> * groups ignored; agent match is
+    # case-insensitive; consecutive user-agent lines share one group
+    assert spec == {("/only-graft", False)}
+
+
+def test_crawl_allowed_longest_match_and_tie(spark):
+    from datacamp_etl_spark.operators.urls import crawl_allowed
+
+    rules = spark.createDataFrame(
+        [
+            ("h.com", "/a", False, 2),
+            ("h.com", "/a/ok", True, 5),
+            ("h.com", "/tie", False, 4),
+            ("h.com", "/tie", True, 4),
+        ],
+        "host string, path_prefix string, is_allow boolean,"
+        " prefix_len long",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://h.com/a/blocked"),
+            (2, "https://h.com/a/ok/page"),
+            (3, "https://h.com/free"),
+            (4, "https://other.com/a/x"),
+            (5, "https://h.com/tie"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["matched_prefix"])
+        for r in crawl_allowed(urls, rules).collect()
+    }
+    assert got[1] == (False, "/a")       # prefix match blocks
+    assert got[2] == (True, "/a/ok")     # longest match wins
+    assert got[3] == (True, None)        # no rule -> allowed
+    assert got[4] == (True, None)        # host without rules
+    assert got[5] == (True, "/tie")      # length tie -> Allow wins
