@@ -227,6 +227,9 @@ HEADLINE = [
     "outlink_host_pagerank",
     "url_template_traps",
     "robots_gate",
+    "hits_user_event",
+    "tokenizer_fertility",
+    "crawl_budget_plan",
 ]
 
 # Pinned machine-factor sentinels (VERDICT r7 item #3): three cheap

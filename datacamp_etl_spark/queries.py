@@ -12488,17 +12488,25 @@ _ROBOTS_NEWS = (
 )
 
 
-@register(
-    "robots_gate",
-    f"""
-    WITH {_TRAP_SYN_SQL},
+#: url+path decomposition of the ``syn`` fixture as the CTE ``u``
+#: (doc_id, url, host, path) — shared by every robots-family oracle.
+_ROBOTS_U_SQL = f"""
     u AS (SELECT doc_id, url,
           lower(regexp_replace(regexp_replace(regexp_extract(
               regexp_replace(trim(url), '#.*', ''),
               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
               '^.*@', ''), ':[0-9]*$', '')) AS host,
           {_PATH_SQL} AS path
-      FROM syn),
+      FROM syn)"""
+
+
+def _robots_rules_sql(agent: str) -> str:
+    """DuckDB replay of urls.parse_robots over the fixture robots
+    texts (CASE over the hosts of CTE ``u``), ending in the CTE
+    ``rules`` (host, path_prefix, is_allow, prefix_len). Same line
+    split (zipped unnest/generate_subscripts), comment strip, group
+    structure and most-specific-group rule as the operator."""
+    return f"""
     robots AS (SELECT host,
           CASE WHEN host = 'trap.example.com' THEN '{_ROBOTS_TRAP}'
                WHEN host LIKE 'news.%' THEN '{_ROBOTS_NEWS}'
@@ -12528,7 +12536,7 @@ _ROBOTS_NEWS = (
               AS group_id
       FROM glag),
     headers AS (SELECT host, group_id,
-          max(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 0 END)
+          max(CASE WHEN lower(value) = '{agent}' THEN 1 ELSE 0 END)
               AS names_agent,
           max(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS names_star
       FROM grouped WHERE field = 'user-agent' GROUP BY host, group_id),
@@ -12543,7 +12551,12 @@ _ROBOTS_NEWS = (
                      length(g.value) AS prefix_len
       FROM grouped g JOIN applicable a
         ON g.host = a.host AND g.group_id = a.group_id
-      WHERE g.field IN ('allow', 'disallow') AND g.value <> ''),
+      WHERE g.field IN ('allow', 'disallow') AND g.value <> '')"""
+
+
+#: urls.crawl_allowed replay over CTEs ``u`` + ``rules``, ending in
+#: CTE ``verdict`` (doc_id, url, host, path, allowed, matched_prefix).
+_ROBOTS_VERDICT_SQL = """
     m AS (SELECT u.doc_id, r.path_prefix, r.is_allow, r.prefix_len
       FROM u JOIN rules r
         ON u.host = r.host AND starts_with(u.path, r.path_prefix)),
@@ -12551,12 +12564,23 @@ _ROBOTS_NEWS = (
           row_number() OVER (PARTITION BY doc_id
               ORDER BY prefix_len DESC, is_allow DESC,
                        path_prefix DESC) AS rn
-      FROM m)
-    SELECT u.doc_id, u.url, u.host, u.path,
+      FROM m),
+    verdict AS (SELECT u.doc_id, u.url, u.host, u.path,
            coalesce(b.is_allow, TRUE) AS allowed,
            b.path_prefix AS matched_prefix
     FROM u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
-      ON u.doc_id = b.doc_id
+      ON u.doc_id = b.doc_id)"""
+
+
+@register(
+    "robots_gate",
+    f"""
+    WITH {_TRAP_SYN_SQL},
+    {_ROBOTS_U_SQL},
+    {_robots_rules_sql("graftbot")},
+    {_ROBOTS_VERDICT_SQL}
+    SELECT doc_id, url, host, path, allowed, matched_prefix
+    FROM verdict
     """,
 )
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12593,6 +12617,257 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = parse_robots(robots, agent="graftbot")
     return crawl_allowed(urls, rules)
+
+
+@register(
+    "crawl_budget_plan",
+    f"""
+    WITH {_TRAP_SYN_SQL},
+    {_ROBOTS_U_SQL},
+    {_robots_rules_sql("graftbot")},
+    {_ROBOTS_VERDICT_SQL},
+    {_url_canon_sql()},
+    tpl AS (SELECT doc_id,
+            regexp_replace(regexp_replace({_PATH_SQL},
+                '[0-9a-fA-F]{{8,}}', '{{h}}', 'g'),
+                '[0-9]+', '{{n}}', 'g') AS template
+        FROM syn),
+    tstats AS (SELECT c.host, t.template, count(*) AS n_urls,
+                      count(DISTINCT c.canonical_url) AS n_distinct
+        FROM canon c JOIN tpl t ON c.doc_id = t.doc_id
+        GROUP BY c.host, t.template),
+    traps AS (SELECT host,
+            sum(CASE WHEN n_urls >= 20
+                      AND (1000000 * n_distinct) // n_urls >= 990000
+                     THEN 1 ELSE 0 END) AS trap_templates
+        FROM tstats GROUP BY host),
+    ph AS (SELECT v.host, count(*) AS n_urls,
+            sum(CASE WHEN NOT v.allowed THEN 1 ELSE 0 END) AS n_blocked,
+            count(DISTINCT CASE WHEN v.allowed
+                                THEN c.canonical_url END)
+                AS allowed_distinct
+        FROM verdict v JOIN canon c ON v.doc_id = c.doc_id
+        GROUP BY v.host),
+    tot AS (SELECT sum(allowed_distinct) AS t FROM ph)
+    SELECT ph.host,
+           CAST(ph.n_urls AS BIGINT) AS n_urls,
+           CAST((1000000 * ph.n_blocked) // ph.n_urls AS BIGINT)
+               AS blocked_ppm,
+           CAST(coalesce(tr.trap_templates, 0) AS BIGINT)
+               AS trap_templates,
+           CAST(ph.allowed_distinct AS BIGINT) AS allowed_distinct,
+           CAST(CASE WHEN (SELECT t FROM tot) = 0 THEN NULL
+                ELSE (1000000 * ph.allowed_distinct)
+                     // (SELECT t FROM tot) END AS BIGINT)
+               AS budget_ppm
+    FROM ph LEFT JOIN traps tr ON ph.host = tr.host
+    """,
+)
+def q_crawl_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] per-host crawl budget plan — the frontier-allocation
+    table a crawler derives before spending fetch budget, splicing
+    THREE gated chains over one URL corpus: per host, total URLs,
+    the robots-blocked millionth share for our agent
+    (parse_robots + crawl_allowed), the crawler-trap template count
+    (template_stats verdicts), the distinct-canonical count among
+    ALLOWED urls (canonicalize_url — pages actually worth
+    fetching), and the host's exact-ppm share of the corpus-wide
+    allowed-distinct mass (the budget split). Scale shape: the URL
+    projection is scoped_cache'd (three consumers: gate, canon,
+    templates — one documents-scan lineage run); everything
+    aggregates onto host/template keys (bounded domains); the one
+    crossJoin is the 1-row allowed-distinct total. The oracle
+    splices the per-stage oracles verbatim (robots CTEs shared with
+    robots_gate, canon with canonical_urls, template replay with
+    url_template_traps)."""
+    from datacamp_etl_spark.operators.spread import scoped_cache
+    from datacamp_etl_spark.operators.urls import (
+        canonicalize_url,
+        crawl_allowed,
+        parse_robots,
+        template_stats,
+        url_host,
+    )
+
+    urls = scoped_cache(_trap_urls(spark, sf_dir))
+    hosts = urls.select(url_host("url").alias("host")).distinct()
+    robots = hosts.select(
+        "host",
+        F.when(F.col("host") == "trap.example.com", F.lit(_ROBOTS_TRAP))
+        .when(F.col("host").startswith("news."), F.lit(_ROBOTS_NEWS))
+        .alias("robots_txt"),
+    )
+    gated = crawl_allowed(
+        urls, parse_robots(robots, agent="graftbot")
+    )
+    canon = urls.select(
+        "doc_id", canonicalize_url("url").alias("canon")
+    )
+    per_host = (
+        gated.join(canon, "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum(F.when(~F.col("allowed"), 1).otherwise(0)).alias(
+                "n_blocked"
+            ),
+            F.countDistinct(
+                F.when(F.col("allowed"), F.col("canon"))
+            ).alias("allowed_distinct"),
+        )
+    )
+    traps = (
+        template_stats(urls, trap_min_urls=20)
+        .groupBy("host")
+        .agg(
+            F.sum(F.col("is_trap").cast("int")).alias("trap_templates")
+        )
+    )
+    total = per_host.agg(
+        F.sum("allowed_distinct").alias("__total")
+    )
+    return (
+        per_host.join(traps, "host", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "host",
+            F.col("n_urls").cast("long").alias("n_urls"),
+            F.expr("(1000000 * n_blocked) DIV n_urls")
+            .cast("long")
+            .alias("blocked_ppm"),
+            F.coalesce("trap_templates", F.lit(0))
+            .cast("long")
+            .alias("trap_templates"),
+            F.col("allowed_distinct").cast("long").alias(
+                "allowed_distinct"
+            ),
+            F.when(F.col("__total") == 0, F.lit(None))
+            .otherwise(
+                F.expr("(1000000 * allowed_distinct) DIV __total")
+            )
+            .cast("long")
+            .alias("budget_ppm"),
+        )
+    )
+
+
+def _hits_round_sql(h_prev: str, rnd: int) -> str:
+    """One unrolled weighted-HITS iteration (authority from
+    ``h_prev``, then hub from the new authority), HUGEINT-exact — the
+    _ppr_iter_sql convention for fixed-iteration graph oracles."""
+    return f"""
+    a{rnd}r AS (SELECT e.b AS node,
+            CAST(sum(h.score * e.w) AS HUGEINT) AS raw
+        FROM e JOIN {h_prev} h ON e.a = h.node GROUP BY e.b),
+    a{rnd} AS (SELECT node, (raw * 1000000)
+            // (SELECT CAST(sum(raw) AS HUGEINT) FROM a{rnd}r) AS score
+        FROM a{rnd}r),
+    h{rnd}r AS (SELECT e.a AS node,
+            CAST(sum(a.score * e.w) AS HUGEINT) AS raw
+        FROM e JOIN a{rnd} a ON e.b = a.node GROUP BY e.a),
+    h{rnd} AS (SELECT node, (raw * 1000000)
+            // (SELECT CAST(sum(raw) AS HUGEINT) FROM h{rnd}r) AS score
+        FROM h{rnd}r)"""
+
+
+@register(
+    "hits_user_event",
+    f"""
+    WITH e AS (SELECT user_id AS a, event_type AS b,
+                      CAST(count(*) AS HUGEINT) AS w
+               FROM events GROUP BY user_id, event_type),
+    h0 AS (SELECT DISTINCT a AS node, CAST(1000000 AS HUGEINT) AS score
+           FROM e),
+    {_hits_round_sql("h0", 1)},
+    {_hits_round_sql("h1", 2)}
+    SELECT 'authority' AS side, CAST(node AS VARCHAR) AS node,
+           CAST(score AS BIGINT) AS score_ppm FROM a2
+    UNION ALL
+    SELECT 'hub' AS side, CAST(node AS VARCHAR) AS node,
+           CAST(score AS BIGINT) AS score_ppm FROM h2
+    """,
+)
+def q_hits_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] weighted HITS hub/authority scores (graph.hits,
+    Kleinberg 1999) over the user -> event-type engagement multigraph
+    (edge weight = event count): authority millionths rank event
+    types by the attention mass they receive, hub millionths rank
+    users by how much of their activity lands on authoritative types
+    — the link-analysis twin of pagerank on a bipartite behavior
+    graph. Weighted deliberately: the DISTINCT user x type graph is
+    near-complete at any SF, where unweighted HITS degenerates to
+    all-equal scores (a gate any symmetric bug would pass); the
+    count-weighted form recovers the real structure. Exact integer
+    fixed point: every half-step is one edge-key shuffle + a 1-row
+    L1-total scalar crossJoin (the pagerank dangling-mass shape),
+    normalizer is integer floor division so DECIMAL(38,0) and
+    HUGEINT replay bit-for-bit. 2 unrolled iterations in both
+    engines."""
+    from datacamp_etl_spark.operators.graph import hits
+
+    ev = t(spark, sf_dir, "events")
+    edges = ev.groupBy(
+        F.col("user_id").alias("src"),
+        F.col("event_type").alias("dst"),
+    ).agg(F.count("*").alias("w"))
+    return hits(edges, weight="w", iterations=2)
+
+
+@register(
+    "tokenizer_fertility",
+    f"""
+    {_bpe_enc_cte()},
+    per AS (SELECT d.lang, count(*) AS n_docs,
+                   sum(coalesce(e.n_words, 0)) AS n_words,
+                   sum(coalesce(e.n_tokens, 0)) AS n_tokens
+            FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+            GROUP BY d.lang)
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN n_words = 0 THEN NULL
+                     ELSE (1000000 * n_tokens) // n_words END
+                AS BIGINT) AS fertility_ppm
+    FROM per
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tokenizer fertility per language (tokens per whitespace
+    word in exact millionths) on REAL BPE counts (bpe.bpe_encode
+    under the pinned FIXTURE_MERGES_V1) — the standard multilingual
+    tokenizer-quality diagnostic: a language whose fertility runs
+    far above the corpus norm is under-served by the merge table
+    (more subwords per word = fewer effective context tokens and
+    higher serving cost for that language). The encode pass is the
+    same narrow memoized Arrow kernel as bpe_encode (no shuffle);
+    the only shuffle is the |langs|-key aggregate, map-side
+    combined. Integer-ppm ratio replays exactly in both engines;
+    the zero-word guard returns NULL rather than dividing."""
+    from datacamp_etl_spark.operators.bpe import (
+        FIXTURE_MERGES_V1,
+        bpe_encode,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, FIXTURE_MERGES_V1, carry_cols=("lang",))
+    per = enc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_words") == 0, F.lit(None).cast("long")
+        )
+        .otherwise(F.expr("(1000000 * n_tokens) DIV n_words"))
+        .cast("long")
+        .alias("fertility_ppm"),
+    )
 
 
 # =====================================================================

@@ -3,6 +3,10 @@
 
 One lifecycle-stamped run chains:
 
+0. **robots_gate** — when a ``(host, robots_txt)`` table exists, the
+   frontier is parsed through ``parse_robots`` and gated with
+   ``crawl_allowed`` (RFC 9309 prefix subset) BEFORE any fetch —
+   blocked URLs never reach the download manager.
 1. **download** — ``DownloadManager`` (O8, the reference's
    producer/consumer delegate protocol, ``download_manager.rb``)
    fetches ``url_specs`` into the per-job files directory (O9,
@@ -93,6 +97,11 @@ class CrawlIngestLoading(LoadingJob):
     staging_table = "crawl_raw"
     index_table = "crawl_band_index"
     dataset_table = "crawl_documents"
+    #: optional (host, robots_txt) dataset table; when present the
+    #: frontier is gated through parse_robots/crawl_allowed (RFC 9309
+    #: prefix subset) BEFORE any fetch — crawl politeness as a plan
+    robots_table = "crawl_robots"
+    crawl_agent = "graftbot"
     num_hashes = 16
     bands = 4
     shingle_k = 3
@@ -101,9 +110,48 @@ class CrawlIngestLoading(LoadingJob):
         spark = self.manager.spark
         files_dir = self.manager.files_directory_for(self.name)
 
+        # -- 0. robots gate on the frontier (RFC 9309) -----------------
+        # The frontier here is the driver-side url_specs list (the
+        # reference's download contract), so collecting the per-URL
+        # verdicts is bounded by construction — |url_specs| rows. At
+        # crawl scale the same two operators run frame-to-frame
+        # (rules broadcast onto the URL corpus) with no collect.
+        self.phase = "robots_gate"
+        specs = list(self.url_specs)
+        n_blocked = 0
+        if specs and self.robots_table and self.dataset.exists(
+            self.robots_table
+        ):
+            from datacamp_etl_spark.operators.urls import (
+                crawl_allowed,
+                parse_robots,
+            )
+
+            urls_df = spark.createDataFrame(
+                [(i, s["url"]) for i, s in enumerate(specs)],
+                "doc_id long, url string",
+            )
+            rules = parse_robots(
+                self.dataset.table(self.robots_table),
+                agent=self.crawl_agent,
+            )
+            allowed_ids = {
+                r["doc_id"]
+                for r in crawl_allowed(urls_df, rules)
+                .where("allowed")
+                .collect()
+            }
+            n_blocked = len(specs) - len(allowed_ids)
+            if n_blocked:
+                self.log(
+                    f"robots gate blocked {n_blocked} of {len(specs)} "
+                    f"urls for agent {self.crawl_agent}"
+                )
+            specs = [s for i, s in enumerate(specs) if i in allowed_ids]
+
         # -- 1. download (O8 + O9) ------------------------------------
         self.phase = "download"
-        delegate = _OneShotDelegate(self.url_specs)
+        delegate = _OneShotDelegate(specs)
         DownloadManager(
             delegate,
             download_directory=files_dir,
@@ -212,6 +260,7 @@ class CrawlIngestLoading(LoadingJob):
         self.finalize_dataset_loading(self.dataset_table)
 
         self.gate_counts = {
+            "robots_blocked": n_blocked,
             "urls": len(delegate.results),
             "downloaded": len(fetched),
             "pages": int(n_pages),

@@ -91,6 +91,7 @@ def test_crawl_ingest_bundle_end_to_end(manager, pages):
     # gated-document counts: 4 urls -> 4 pages -> 3 past quality
     # (p4 = lorem ipsum) -> 1 survivor (p1, p3 collide with the seed)
     assert job.gate_counts == {
+        "robots_blocked": 0,  # no crawl_robots table seeded
         "urls": 4,
         "downloaded": 4,
         "pages": 4,
@@ -145,3 +146,31 @@ def test_crawl_ingest_cold_start_builds_index(manager, pages):
     idx = manager.dataset.table("crawl_band_index")
     assert {r["generation"] for r in idx.collect()} == {1}
     assert manager.dataset.table("crawl_documents").count() == 2
+
+
+def test_crawl_ingest_robots_gate_blocks_before_fetch(manager, pages):
+    """Seeding a (host, robots_txt) table makes phase 0 gate the
+    frontier through parse_robots/crawl_allowed: the disallowed URL
+    is never fetched (urls count excludes it), and the rest of the
+    lifecycle runs untouched. file:// URIs carry an empty authority,
+    so the rule row's host is ''."""
+    from urllib.parse import urlparse
+
+    bm = JobBundleManager([BUNDLE_DIR])
+    cls = bm.job_class("crawl_ingest")
+    job = cls(manager)
+
+    p4_path = urlparse(pages[3]["url"]).path
+    robots_txt = f"User-agent: *\nDisallow: {p4_path}\n"
+    rdf = manager.spark.createDataFrame(
+        [("", robots_txt)], "host string, robots_txt string"
+    )
+    manager.dataset.save(rdf, "crawl_robots")
+
+    job.url_specs = pages
+    manager.run_job(job)
+    assert job.status == "ok", job.message
+    assert job.gate_counts["robots_blocked"] == 1
+    assert job.gate_counts["urls"] == 3          # p4 never fetched
+    assert job.gate_counts["quality_kept"] == 3  # the reject was p4
+    assert job.gate_counts["dedup_survivors"] == 3  # cold start

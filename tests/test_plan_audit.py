@@ -73,6 +73,12 @@ ALLOWED_BNLJ = {
     "scalar crossJoin per round; the graph it iterates over is the "
     "DISTINCT host-pair table (host-domain cardinality, not corpus "
     "size)",
+    "hits_user_event": "1-row L1-total scalar aggregate crossJoined "
+    "into each half-step's normalize - the pagerank dangling-mass "
+    "shape; every other join is an edge-key equi-join",
+    "crawl_budget_plan": "1-row allowed-distinct-total scalar "
+    "crossJoined onto the bounded per-host table (the host_stats "
+    "grand-total shape)",
     "funnel_latency_signup_purchase": "1-row entered-count x 1-row "
     "latency-stats scalar cross join - both global aggregates",
     "key_skew_events_users": "1-row stats x 1-row top-k-sum scalar "

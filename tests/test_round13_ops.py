@@ -220,3 +220,128 @@ def test_crawl_allowed_longest_match_and_tie(spark):
     assert got[3] == (True, None)        # no rule -> allowed
     assert got[4] == (True, None)        # host without rules
     assert got[5] == (True, "/tie")      # length tie -> Allow wins
+
+
+# ------------------------------------------------------------ HITS
+
+def test_hits_hand_case(spark):
+    """Hand-computed 2-iteration exact-integer HITS on a 4-edge
+    bipartite graph: u1->{x,y}, u2->{x}, u3->{y}.
+
+    Round 1: a_raw(x)=2e6, a_raw(y)=2e6 -> a=(500000, 500000);
+    h_raw(u1)=1e6, h_raw(u2)=5e5, h_raw(u3)=5e5
+      -> h=(500000, 250000, 250000).
+    Round 2: a_raw(x)=750000, a_raw(y)=750000 -> a=(500000, 500000);
+    h_raw(u1)=1e6, u2=5e5, u3=5e5 -> h=(500000, 250000, 250000).
+    """
+    from datacamp_etl_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (3, "y")],
+        "src long, dst string",
+    )
+    got = {
+        (r["side"], r["node"]): r["score_ppm"]
+        for r in hits(edges, iterations=2).collect()
+    }
+    assert got == {
+        ("authority", "x"): 500000,
+        ("authority", "y"): 500000,
+        ("hub", "1"): 500000,
+        ("hub", "2"): 250000,
+        ("hub", "3"): 250000,
+    }
+
+
+def test_hits_duplicate_edges_collapse(spark):
+    """The edge set is DISTINCT by contract: repeating an edge must
+    not change any score."""
+    from datacamp_etl_spark.operators.graph import hits
+
+    once = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (2, "y")], "src long, dst string"
+    )
+    twice = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (2, "y"), (2, "y")],
+        "src long, dst string",
+    )
+    as_set = lambda df: {  # noqa: E731
+        (r["side"], r["node"], r["score_ppm"]) for r in df.collect()
+    }
+    assert as_set(hits(once)) == as_set(hits(twice))
+
+
+def test_hits_l1_conservation(spark):
+    """Each side sums to scale minus only integer-floor dust
+    (0 <= dust < side cardinality)."""
+    from datacamp_etl_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(u, f"t{u % 3}") for u in range(17)]
+        + [(u, f"t{(u * 7) % 5}") for u in range(11)],
+        "src long, dst string",
+    )
+    rows = hits(edges, iterations=2).collect()
+    for side, n in (("hub", 17), ("authority", 5)):
+        total = sum(r["score_ppm"] for r in rows if r["side"] == side)
+        assert 1_000_000 - n < total <= 1_000_000
+
+
+def test_tokenizer_fertility_invariants(spark, sf_dir):
+    """Composition glue (bpe_encode carries its own oracle + hand
+    tests): every language bucket appears, fertility >= 1e6 ppm (BPE
+    emits at least one token per word), and doc counts fold back to
+    the corpus total."""
+    from datacamp_etl_spark.queries import QUERIES
+
+    rows = QUERIES["tokenizer_fertility"](spark, sf_dir).collect()
+    langs = {r["lang"] for r in rows}
+    assert langs == {"de", "en", "es", "fr", "zh"}
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert r["n_tokens"] >= r["n_words"] > 0
+        assert r["fertility_ppm"] >= 1_000_000
+
+
+def test_hits_weighted_hand_case(spark):
+    """Weighted HITS on u1->x(w=3), u1->y(w=1), u2->y(w=2).
+
+    R1: a_raw=(3e6, 3e6) -> a=(500000, 500000);
+        h_raw(u1)=2e6, h_raw(u2)=1e6 -> h=(666666, 333333).
+    R2: a_raw(x)=1999998, a_raw(y)=1333332 -> a=(600000, 400000)
+        (both divisions land exactly);
+        h_raw(u1)=2200000, h_raw(u2)=800000 -> h=(733333, 266666).
+    """
+    from datacamp_etl_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, "x", 3), (1, "y", 1), (2, "y", 2)],
+        "src long, dst string, w long",
+    )
+    got = {
+        (r["side"], r["node"]): r["score_ppm"]
+        for r in hits(edges, weight="w", iterations=2).collect()
+    }
+    assert got == {
+        ("authority", "x"): 600000,
+        ("authority", "y"): 400000,
+        ("hub", "1"): 733333,
+        ("hub", "2"): 266666,
+    }
+
+
+def test_crawl_budget_plan_invariants(spark, sf_dir):
+    """Composition glue (robots gate, template stats and
+    canonicalization each carry their own oracles + hand tests):
+    budget ppm sums to ~1e6 over hosts with nonzero allowed mass,
+    fully-blocked hosts get zero budget, and blocked_ppm is exact."""
+    from datacamp_etl_spark.queries import QUERIES
+
+    rows = QUERIES["crawl_budget_plan"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["budget_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) < total <= 1_000_000
+    for r in rows:
+        assert 0 <= r["blocked_ppm"] <= 1_000_000
+        if r["blocked_ppm"] == 1_000_000:
+            assert r["budget_ppm"] == 0 and r["allowed_distinct"] == 0
