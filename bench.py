@@ -323,7 +323,14 @@ def main() -> None:
     # but each query measured back-to-back with nothing else in flight.
     standalone: dict[str, float] = {}
     sentinel: dict[str, float] = {}
-    if not smoke:
+    # A single-query invocation (SPARK_GRAFT_ONLY=<one name>) IS the
+    # isolated measurement — its warm number is what the caller reads
+    # (capture_bench standalone extension). Re-measuring it a third
+    # time and re-running the 3 sentinels adds ~40% wall per spawn
+    # and produces data nothing consumes; gates always use the full
+    # pass's sentinels.
+    single = only is not None and len(headline) == 1
+    if not smoke and not single:
         n_worst = int(os.environ.get("SPARK_GRAFT_STANDALONE_N", "10"))
         for name in sorted(warm, key=warm.get, reverse=True)[:n_worst]:
             release_engine_caches()
