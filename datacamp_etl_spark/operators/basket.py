@@ -69,7 +69,12 @@ def basket_pair_lift(
     n_baskets = items.select("__b").distinct().agg(
         F.count("*").alias("__N")
     )
-    item_counts = items.groupBy("__i").agg(F.count("*").alias("__n"))
+    # item-vocabulary-bounded; consumed by the L1 prune and every lift
+    # denominator leg — cached so the groupBy shuffle over the items
+    # projection runs once, not once per consumer
+    item_counts = scoped_cache(
+        items.groupBy("__i").agg(F.count("*").alias("__n"))
+    )
     a = items.select("__b", F.col("__i").alias("item_a"))
     b = items.select("__b", F.col("__i").alias("item_b"))
     pairs = (
@@ -161,7 +166,12 @@ def basket_triple_lift(
     n_baskets = items.select("__b").distinct().agg(
         F.count("*").alias("__N")
     )
-    item_counts = items.groupBy("__i").agg(F.count("*").alias("__n"))
+    # item-vocabulary-bounded; consumed by the L1 prune and every lift
+    # denominator leg — cached so the groupBy shuffle over the items
+    # projection runs once, not once per consumer
+    item_counts = scoped_cache(
+        items.groupBy("__i").agg(F.count("*").alias("__n"))
+    )
     freq1 = item_counts.where(F.col("__n") >= min_count).select("__i")
     # Triple enumeration as a basket-keyed 3-way self equi-join over
     # the CACHED frequent-item projection — measured fastest at sf1

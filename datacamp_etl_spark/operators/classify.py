@@ -103,14 +103,25 @@ def nb_train(
     the same inner join. Pinned by
     ``test_nb_train_drops_tokenless_class``.
     """
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
     toks = _token_stream(
         docs, id_col=id_col, text_col=text_col, label_col=label_col
     )
+    # ONE pass over the token stream: fold it to the (token, label)
+    # count table and cache that (vocab x classes bounded) — the
+    # vocabulary scalar, per-class token totals and the likelihood
+    # table all derive from it, where computing each directly from
+    # ``toks`` re-ran the tokenizer + explode once per consumer
+    # (3 full corpus passes in the training plan alone).
+    tl = scoped_cache(
+        toks.groupBy("token", label_col).agg(F.count("*").alias("tc"))
+    )
     # |V| — global distinct-token count: a single scalar, broadcast as
     # a 1-row crossJoin (same bounded pattern as lm_perplexity_scores).
-    vocab = toks.agg(F.countDistinct("token").alias("v"))
-    class_tokens = toks.groupBy(label_col).agg(
-        F.count("*").alias("class_tokens")
+    vocab = tl.agg(F.countDistinct("token").alias("v"))
+    class_tokens = tl.groupBy(label_col).agg(
+        F.sum("tc").alias("class_tokens")
     )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     priors = (
@@ -131,9 +142,7 @@ def nb_train(
         )
     )
     likelihood = (
-        toks.groupBy("token", label_col)
-        .agg(F.count("*").alias("tc"))
-        .join(class_tokens, label_col)
+        tl.join(class_tokens, label_col)
         .crossJoin(vocab)
         .select(
             "token",

@@ -607,20 +607,35 @@ def dedup_recall(
             stratified_sample_exact_k,
         )
 
-        docs = stratified_sample_exact_k(
-            docs, strata_col, sample_per_stratum, id_col=id_col
+        # Pin the sample: the md5-rank sampling machinery would
+        # otherwise re-run for every consumer below (docs count, the
+        # exact-truth chain, the LSH chain).
+        docs = scoped_cache(
+            stratified_sample_exact_k(
+                docs, strata_col, sample_per_stratum, id_col=id_col
+            )
         )
-    exact = ngram_jaccard_pairs(
-        docs, id_col=id_col, text_col=text_col, threshold=threshold, k=k
-    ).select("id_a", "id_b")
-    cand = lsh_candidate_pairs(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        threshold=threshold if bands == "auto" else None,
-        k=k,
+    # Cache both pair sets: each feeds its own count AND the hits
+    # semi-join — without the pin the full shingle->minhash->band chain
+    # (cand) and the exact-Jaccard chain (exact) execute TWICE inside
+    # the one assembled plan (4 aggregate branches below). Both
+    # relations are pair lists (two longs per row), bounded by the
+    # candidate volume the harness exists to report on.
+    exact = scoped_cache(
+        ngram_jaccard_pairs(
+            docs, id_col=id_col, text_col=text_col, threshold=threshold, k=k
+        ).select("id_a", "id_b")
+    )
+    cand = scoped_cache(
+        lsh_candidate_pairs(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold if bands == "auto" else None,
+            k=k,
+        )
     )
     hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
     r = F.col("n_hits").cast("double") / F.col("n_true")

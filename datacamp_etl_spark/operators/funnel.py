@@ -598,8 +598,13 @@ def churn_rates(
         .cast("long")
         .alias("__mid")
     )
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
     with_mid = base.crossJoin(F.broadcast(bounds))
-    early = (
+    # early is consumed twice (the retention semi-join AND its own
+    # count) — cached so the fact scan + distinct shuffle behind it
+    # runs once; the pinned relation is one user id per row.
+    early = scoped_cache(
         with_mid.where(F.col("__us") <= F.col("__mid"))
         .select("__u")
         .distinct()

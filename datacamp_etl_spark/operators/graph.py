@@ -456,6 +456,14 @@ def degrees(edges: DataFrame, *, src: str = "src", dst: str = "dst") -> DataFram
     self-loop-free) edge set: ``(node, deg)``. One symmetric union +
     one map-side-combined groupBy."""
     e = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    return _degrees_canon(e)
+
+
+def _degrees_canon(e: DataFrame) -> DataFrame:
+    """:func:`degrees` over an ALREADY-canonical edge set — skips the
+    redundant second canon distinct (an extra full exchange) that
+    ``degrees(_canon(x))`` would pay, which matters when ``e`` is a
+    scoped-cached relation shared with other consumers."""
     return (
         _sym(e)
         .groupBy(F.col("a").alias("node"))
@@ -499,8 +507,12 @@ def triangle_counts(
     The reference has no graph surface (equijoins only,
     lib/etl/loading.rb:232-250) — [EXT] north-star operator.
     """
-    e = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
-    deg = scoped_cache(degrees(e, src="a", dst="b"))
+    # e is cached: its lineage (edge derivation + canon distinct)
+    # otherwise re-executes three times — both _sym legs of the degree
+    # build and the orientation join; _degrees_canon also skips the
+    # redundant second canon distinct degrees() would add.
+    e = scoped_cache(_canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))))
+    deg = scoped_cache(_degrees_canon(e))
     return _triangle_counts_from(e, deg)
 
 
@@ -548,8 +560,8 @@ def clustering_coefficient(
     broadcast-sized join to the degree table (same shuffle key); the
     degree table is built ONCE (scoped-cached) and shared with the
     triangle core."""
-    e = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
-    deg = scoped_cache(degrees(e, src="a", dst="b"))
+    e = scoped_cache(_canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))))
+    deg = scoped_cache(_degrees_canon(e))
     tc = _triangle_counts_from(e, deg)
     return tc.join(deg, "node").select(
         "node",
@@ -586,8 +598,13 @@ def common_neighbor_pairs(
     (standard practice — a hub's neighborhood is uninformative for
     link prediction and quadratic to expand). Degrees for the Jaccard
     denominator always use the full graph."""
+    # Measured (r13): sym deliberately NOT cached — the wedge legs
+    # consume narrow pruned projections and pinning the symmetric
+    # edge list cost more in materialization than the re-derivation
+    # (1.05 s -> 2.0 s standalone at sf0.1 when cached). Only the
+    # redundant second canon distinct inside degrees() is skipped.
     e = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
-    deg = degrees(e, src="a", dst="b")
+    deg = _degrees_canon(e)
     sym = _sym(e)
     if max_center_degree is not None:
         ok = deg.where(F.col("deg") <= max_center_degree).select(
@@ -772,8 +789,12 @@ def kcore_peel(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     ).localCheckpoint()
     for _ in range(iterations):
+        # e is canonical by construction (canon at entry, semi-joins
+        # preserve it): _degrees_canon skips the redundant per-round
+        # canon distinct (one full exchange per iteration) that
+        # degrees() would re-plan over the checkpointed edge list.
         keep = (
-            degrees(e, src="a", dst="b")
+            _degrees_canon(e)
             .where(F.col("deg") >= k)
             .select("node")
         )

@@ -78,11 +78,18 @@ def pq_train(
     n_iter: int = 1,
     dim: int | None = None,
     decimals: int = 6,
+    _init_rows: list | None = None,
 ) -> list[list[list[float]]]:
     """Train ``m`` subspace codebooks of ``k`` centroids each.
     Returns ``codebooks[s][c] = centroid vector (sub_dim doubles)``.
     ``n_iter=0`` keeps the deterministic init (sampled rows) as the
-    codebook — the oracle-replayable configuration."""
+    codebook — the oracle-replayable configuration.
+
+    ``_init_rows``: a caller that has ALREADY collected >= ``k`` rows
+    in the md5(id) sample order (``ivfpq_topk``'s coarse-centroid
+    collect uses the identical ordering) may pass them to skip the
+    init job — the first ``k`` rows of that order ARE this function's
+    init sample, so the codebooks are bit-identical."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     if dim % m:
@@ -90,7 +97,9 @@ def pq_train(
     sub_dim = dim // m
 
     init_rows = (
-        df.select(id_col, vec_col)
+        list(_init_rows)[:k]
+        if _init_rows is not None and len(_init_rows) >= k
+        else df.select(id_col, vec_col)
         .withColumn("__h", F.md5(F.col(id_col).cast("string")))
         .orderBy("__h")
         .limit(k)
@@ -286,8 +295,20 @@ def ivfpq_topk(
 
     # Fine quantizer: PQ codebooks trained on the FULL corpus (the
     # codebook must not depend on the query's probe set), ADC on the
-    # scanned subset only.
-    books = pq_train(df, id_col=id_col, vec_col=vec_col, m=m, k=k, n_iter=0)
+    # scanned subset only. The coarse-centroid collect above already
+    # fetched >= k rows in pq_train's exact md5(id) init order, so
+    # passing them skips pq_train's own init job AND its dim-probe
+    # first() — two driver round-trips removed, codebooks unchanged.
+    books = pq_train(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        k=k,
+        n_iter=0,
+        dim=len(centroids[0]) if centroids else None,
+        _init_rows=centroid_rows if len(centroid_rows) >= k else None,
+    )
     codes = pq_encode(scanned, books, id_col=id_col, vec_col=vec_col)
     return pq_topk(
         codes, books, q, id_col=id_col, topk=topk, decimals=decimals

@@ -741,6 +741,11 @@ def rfm_segments(
     """
     from datacamp_etl_spark.operators.ids import exact_ntile
 
+    # Measured (r13): NOT cached on purpose. Each exact_ntile ranking
+    # pass prunes to its single order column, so the recompute is a
+    # narrow codegen'd scan+agg; pinning the 3-col aggregate cost more
+    # in cache materialization than the three pruned re-runs saved
+    # (3.7 s -> 5.2 s standalone at sf0.1 when cached).
     per = orders.groupBy(cust_col).agg(
         F.max(date_col).alias("__last"),
         F.count("*").alias("__f"),

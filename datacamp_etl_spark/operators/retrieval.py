@@ -121,7 +121,12 @@ def bm25_search(
     df = ensure_parallelism(df)  # tokenization is CPU-bound
     # Cached: tf and df consume the same filtered postings; the
     # surviving rows are O(postings of |q| terms), so the cache is
-    # tiny while saving a full-corpus tokenizer pass.
+    # tiny while saving a full-corpus tokenizer pass. Measured (r13):
+    # the two inline tokens() references (dl + explode) are CHEAPER
+    # than an evaluate_once barrier here — two regex passes beat
+    # materializing every row's token array as a struct (2.2 s vs
+    # 3.0 s standalone at sf0.1); the barrier only wins at >= ~3
+    # references (see language_confusion_matrix).
     posting = scoped_cache(
         df.select(
             F.col(id_col).alias("id"),

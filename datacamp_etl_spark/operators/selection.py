@@ -88,17 +88,26 @@ def dsir_weights(
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
-    feats = scoped_cache(
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            target_pred.alias("__t"),
-            F.explode(hashed_ngram_features(text_col, buckets)).alias("__f"),
+    feats = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        target_pred.alias("__t"),
+        F.explode(hashed_ngram_features(text_col, buckets)).alias("__f"),
+    )
+    # Fold the exploded instances straight into the (doc, feature)
+    # count table and cache THAT: one map-side-combined shuffle over
+    # the explosion instead of materializing every feature instance
+    # in the cache and scanning it three times (raw margin, target
+    # margin, per-doc fold). ``__t`` is constant per document, so
+    # max() carries it through the fold unchanged and both margins
+    # are exact integer sums of the per-doc counts.
+    pf = scoped_cache(
+        feats.groupBy("__id", "__f").agg(
+            F.count("*").alias("__c"), F.max("__t").alias("__t")
         )
     )
-    raw = feats.groupBy("__f").agg(F.count("*").alias("__cr"))
+    raw = pf.groupBy("__f").agg(F.sum("__c").alias("__cr"))
     tgt = (
-        feats.where("__t").groupBy("__f").agg(F.count("*").alias("__ct"))
+        pf.where("__t").groupBy("__f").agg(F.sum("__c").alias("__ct"))
     )
     model = raw.join(tgt, "__f", "left").select(
         "__f",
@@ -120,9 +129,7 @@ def dsir_weights(
         ).alias("__lr"),
     )
     per_doc = (
-        feats.groupBy("__id", "__f")
-        .agg(F.count("*").alias("__c"))
-        .join(F.broadcast(ratio), "__f")
+        pf.join(F.broadcast(ratio), "__f")
         .groupBy("__id")
         .agg(
             F.sum("__c").cast("long").alias("n_feats"),

@@ -702,9 +702,15 @@ def ngram_novelty(
     document (short docs carry 0 grams and NULL novelty).
     """
     from datacamp_etl_spark.operators.dedup import shingles
+    from datacamp_etl_spark.operators.spread import scoped_cache
 
-    ex = docs.select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("gram")
+    # Cache the exploded shingles: the first-occurrence aggregate and
+    # the join-back both consume this relation — without the pin the
+    # normalize+shingle kernel runs twice over the corpus.
+    ex = scoped_cache(
+        docs.select(
+            F.col(id_col), F.explode(shingles(text_col, k)).alias("gram")
+        )
     )
     first = ex.groupBy("gram").agg(F.min(id_col).alias("__first"))
     per = (
@@ -759,19 +765,41 @@ def vocab_growth(
 
     from datacamp_etl_spark.operators.ids import exact_ntile
 
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
     binned = exact_ntile(
         docs.select(F.col(id_col), tokens(text_col).alias("__toks")),
         [id_col],
         buckets,
         bucket_col="bucket",
     )
-    vol = binned.groupBy("bucket").agg(
-        F.sum(F.size("__toks")).cast("long").alias("n_tokens")
+    # One tokenizer pass total: fold the exploded tokens straight into
+    # a (bucket, tok, count) table and cache THAT (vocab-bounded, two
+    # ints + one string per row) — `vol` and the first-occurrence
+    # aggregate both derive from it, where the previous shape ran the
+    # two-regex tokenizer once per consumer (and caching the raw token
+    # ARRAYS costs more in columnar materialization than it saves).
+    # Count without the != "" filter so sum(count) == sum(size(toks)).
+    g = scoped_cache(
+        binned.select("bucket", F.explode("__toks").alias("tok"))
+        .groupBy("bucket", "tok")
+        .agg(F.count("*").alias("__c"))
     )
-    types = binned.select(
-        "bucket", F.explode("__toks").alias("tok")
-    ).where(F.col("tok") != "")
-    first = types.groupBy("tok").agg(F.min("bucket").alias("__fb"))
+    # Bucket spine via the pruned ranking columns (tokenizer NOT
+    # evaluated: bucket depends only on id order), so a bucket whose
+    # documents are all token-free still reports n_tokens = 0 exactly
+    # as the per-binned-row aggregate did.
+    spine = binned.select("bucket").distinct()
+    vol = spine.join(
+        g.groupBy("bucket").agg(F.sum("__c").cast("long").alias("__nt")),
+        "bucket",
+        "left",
+    ).select("bucket", F.coalesce("__nt", F.lit(0)).alias("n_tokens"))
+    first = (
+        g.where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("bucket").alias("__fb"))
+    )
     new_types = first.groupBy(F.col("__fb").alias("bucket")).agg(
         F.count("*").cast("long").alias("new_types")
     )

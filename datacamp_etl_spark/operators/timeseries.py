@@ -655,7 +655,13 @@ def cross_correlation(
     daily series (2*max_lag+1 joins over day-count-sized tables) and
     one fold to a single row. Returns ``(lag, n_days, r)``.
     """
-    daily = (
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
+    # Cached: the two series legs below are each consumed once per
+    # lag, so without the pin the FACT scan + daily aggregation
+    # re-executes 2*(2*max_lag+1) times (14 at the default) — the
+    # cached relation is day-count-bounded (one row per group-day).
+    daily = scoped_cache(
         df.where(
             F.col(value_col).isNotNull()
             & F.col(group_col).isin([series_a, series_b])

@@ -1087,9 +1087,19 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] heuristic language ID (marker-word argmax; ties resolve in
     LANG_MARKERS order) next to the labeled lang column."""
     from datacamp_etl_spark.operators import text as X
+    from datacamp_etl_spark.operators.spread import evaluate_once
 
     docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", X.language_id("text").alias("lang_pred"))
+    # tokenize once (see language_confusion_matrix): the barrier keeps
+    # CollapseProject from re-inlining the tokenizer per marker filter
+    toked = evaluate_once(
+        docs.select("doc_id", "lang", "text"), {"__toks": X.tokens("text")}
+    )
+    return toked.select(
+        "doc_id",
+        "lang",
+        X.language_id_from_tokens(F.col("__toks")).alias("lang_pred"),
+    )
 
 
 @register(
@@ -10150,6 +10160,9 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FIXTURE_LOGISTIC_V1["weights"],
         FIXTURE_LOGISTIC_V1["bias"],
     ).select("doc_id", "margin_micros")
+    # Measured (r13): NOT cached on purpose — score_calibration's
+    # ranking pass prunes to margin_micros only, and pinning the
+    # scored+labeled relation cost more than the pruned re-run saved.
     labeled = scored.join(
         gopher_rules(docs).select("doc_id", "keep"), "doc_id"
     )
@@ -10930,9 +10943,14 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash,
         synthetic_bmp_media,
     )
+    from datacamp_etl_spark.operators.spread import scoped_cache
 
     docs = t(spark, sf_dir, "documents")
-    sig = image_dhash(synthetic_bmp_media(docs))
+    # Cache the signatures (two longs per image): the BMP encode +
+    # decode + dHash Python kernel chain otherwise runs TWICE — once
+    # under the banded pair join and again for the vertex side of the
+    # cluster assignment.
+    sig = scoped_cache(image_dhash(synthetic_bmp_media(docs)))
     pairs = dhash_near_pairs(sig, max_hamming=4, bands=7)
     out = dedup_clusters(
         sig.select(F.col("media_id").alias("doc_id")), pairs
@@ -11006,10 +11024,21 @@ def q_language_confusion_matrix(
     (which langs leak into 'und'? where does es/fr confuse?). One
     bounded groupBy over the scored docs + one |langs|-row join."""
     from datacamp_etl_spark.operators import text as X
+    from datacamp_etl_spark.operators.spread import evaluate_once
 
     docs = t(spark, sf_dir, "documents")
-    lid = docs.select(
-        "lang", X.language_id("text").alias("lang_pred")
+    # Tokenize ONCE behind the evaluate_once barrier: language_id
+    # references its token array once per language marker filter, and
+    # CollapseProject would otherwise re-inline the two-regex
+    # normalize+split chain into every one of those references
+    # (|langs| full tokenizer passes per row — the exact kernel
+    # language_id_from_tokens documents, measured 5x here).
+    toked = evaluate_once(
+        docs.select("lang", "text"), {"__toks": X.tokens("text")}
+    )
+    lid = toked.select(
+        "lang",
+        X.language_id_from_tokens(F.col("__toks")).alias("lang_pred"),
     )
     conf = lid.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
     tot = conf.groupBy("lang").agg(F.sum("n").alias("__n_lang"))

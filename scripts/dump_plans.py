@@ -1,0 +1,55 @@
+"""Dump .explain('formatted') for named queries() entries to
+plans/r13/<query>_<tag>.txt (judge-checkable plan evidence).
+
+Usage: python scripts/dump_plans.py <tag> <name> [name ...]
+       python scripts/dump_plans.py <tag> --all
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+Plan compilation only — nothing executes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datacamp_etl_spark.queries import QUERIES  # noqa: E402
+from datacamp_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    if names == ["--all"]:
+        names = list(QUERIES)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r13",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("plan-dump")
+    for name in names:
+        fn = QUERIES.get(name)
+        if fn is None:
+            print(f"SKIP {name}: not registered")
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: {exc}")
+            continue
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

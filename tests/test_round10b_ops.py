@@ -485,6 +485,22 @@ def test_vocab_growth_two_buckets(spark):
     assert got[2]["cum_tokens"] == 5 and got[2]["cum_types"] == 3
 
 
+def test_vocab_growth_token_free_bucket(spark):
+    # r13 single-tokenize restructure: a bucket whose documents carry
+    # zero tokens must still report a (bucket, 0, 0) row via the
+    # pruned bucket spine (the exploded count table has no row for it)
+    from datacamp_etl_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "")],  # bucket 2 = one token-free doc
+        "doc_id long, text string",
+    )
+    got = {r["bucket"]: r for r in vocab_growth(docs, buckets=2).collect()}
+    assert sorted(got) == [1, 2]
+    assert got[2]["n_tokens"] == 0 and got[2]["new_types"] == 0
+    assert got[2]["cum_tokens"] == 3 and got[2]["cum_types"] == 2
+
+
 # ----------------------------------------------------------- burstiness
 
 def test_burstiness_metronome_and_cutoff(spark):
