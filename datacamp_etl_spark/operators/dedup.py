@@ -153,9 +153,21 @@ def minhash_signature(
     One md5 per shingle (folded to a 60-bit int, reduced mod the
     Mersenne prime 2^31-1), then ``num_hashes`` universal-hash mixes
     ``(a_j*h + b_j) % p`` — integer-exact, reproducible in any engine.
+
     All mins are computed as parallel agg columns in a SINGLE
     groupBy (one shuffle, no seed-explosion row blowup), then
     unpivoted to the (id, seed, minhash) shape.
+
+    Measured (r13): a per-row array-kernel variant (16
+    ``array_min(transform(...))`` minima over :func:`shingle_hashes`
+    behind an ``evaluate_once`` barrier) was tried and REVERTED — it
+    still needs the same groupBy (callers may key by a NON-unique
+    group column, e.g. :func:`source_minhash_overlap`) and the 16
+    per-row array materializations measured ~1.5x SLOWER than this
+    exploded incremental aggregation (2.1-3.9 s vs 1.7-2.4 s warm at
+    sf0.1, same session). :func:`band_signatures` — where the row
+    kernel removes BOTH of its shuffles outright — is the shape that
+    keeps the row form.
     """
     a, b = minhash_constants(num_hashes)
     sh = ensure_parallelism(df).select(
@@ -312,24 +324,42 @@ def band_signatures(
 
     ``bands="auto"`` picks the banding via :func:`lsh_band_plan` at
     ``threshold`` (see :func:`_resolve_bands`).
+
+    r13 shape (guide §2.4 — remove shuffles outright): built from the
+    per-row kernel (:func:`shingle_hashes` behind an ``evaluate_once``
+    barrier + :func:`band_sigs_from_hashes` + ``posexplode``) instead
+    of the explode → groupBy(id) minima → stack → groupBy(id, band)
+    collect_list chain — ZERO shuffles where the old build paid two
+    full exchanges of exploded rows per use. Values are bit-identical
+    (same shingle hash, same universal-hash constants, same
+    sorted-minima digest — the parity the row/batch pytest pins);
+    docs with no shingles are absent on both paths (NULL band array
+    is dropped by ``posexplode``, exploded empty arrays never emitted
+    rows).
     """
+    from datacamp_etl_spark.operators.spread import evaluate_once
+
     bands = _resolve_bands(num_hashes, bands, threshold)
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes=num_hashes, k=k)
-    return (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list("minhash")),
-                        lambda x: x.cast("string"),
-                    ),
-                    "|",
-                )
-            ).alias("band_sig")
-        )
+    base = evaluate_once(
+        ensure_parallelism(df).select(F.col(id_col), F.col(text_col)),
+        {"__h": shingle_hashes(F.col(text_col), k)},
+    )
+    # SECOND barrier on the sig array: a generator expression is not
+    # whole-stage-codegen'd, so posexplode(band_sigs_from_hashes(...))
+    # inline evaluates the 16-transform kernel interpreted (measured
+    # 8.4 s vs 1.1 s warm at sf0.1); materialize the array in a
+    # codegen'd projection first and posexplode the plain column.
+    sigs = evaluate_once(
+        base,
+        {
+            "__sigs": band_sigs_from_hashes(
+                F.col("__h"), num_hashes=num_hashes, bands=bands
+            )
+        },
+    )
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode("__sigs").alias("band", "band_sig"),
     )
 
 

@@ -6409,9 +6409,17 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
     docs = t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    cand = lsh_candidate_pairs(docs)
+    # Cache both pair sets (same fix as dedup.dedup_recall, r13): each
+    # feeds its own count AND the hits semi-join — uncached, the full
+    # exact-Jaccard chain and the minhash->band chain execute TWICE
+    # inside the one assembled plan. Two longs per row, bounded.
+    exact = scoped_cache(
+        ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    )
+    cand = scoped_cache(lsh_candidate_pairs(docs))
     hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         exact.agg(F.count("*").alias("n_true"))
@@ -6598,9 +6606,15 @@ def q_dedup_recall_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
+    from datacamp_etl_spark.operators.spread import scoped_cache
+
     docs = t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    cand = lsh_candidate_pairs(docs, bands=8)
+    # Cache both pair sets (same fix as dedup.dedup_recall, r13): each
+    # feeds its own count AND the hits semi-join.
+    exact = scoped_cache(
+        ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    )
+    cand = scoped_cache(lsh_candidate_pairs(docs, bands=8))
     hits = exact.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         exact.agg(F.count("*").alias("n_true"))
