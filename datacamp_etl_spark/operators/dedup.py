@@ -487,6 +487,12 @@ def band_index_stats(
         ),
         F.count("*").alias("__n"),
     )
+    # NOT pinned (r13 measurement): per_band feeds both the output
+    # projection and the grand-total scalar — the plan SHOWS the
+    # posting lineage twice — but AQE's runtime exchange reuse already
+    # deduplicates the identical per-bucket Exchange, so a scoped_cache
+    # here measured neutral (probe: one-chain 1.6-2.0 s vs full query
+    # 2.2-2.4 s at sf0.1; a pin moved the warm number nowhere).
     per_band = per_bucket.groupBy("band").agg(
         F.sum("__b").alias("n_base"),
         F.sum("__a").alias("n_appended"),
@@ -775,19 +781,6 @@ def ngram_jaccard_pairs(
                 f"dedup_recall_eval) or raise max_expand_rows "
                 f"(currently {max_expand_rows}) to force the exact plan"
             )
-
-    def _score_counts(inter: DataFrame) -> DataFrame:
-        """Attach sizes to (id_a, id_b, n_common) and finish."""
-        sizes = ensure_parallelism(df).select(
-            F.col(id_col), F.size(shingles(text_col, k)).alias("n_sh")
-        )
-        sz_a = sizes.select(
-            F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
-        )
-        sz_b = sizes.select(
-            F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
-        )
-        return inter.join(sz_a, "id_a").join(sz_b, "id_b")
 
     if candidates is None and strategy == "expand":
         # Cache the exploded shingle index: it has THREE consumers

@@ -739,13 +739,20 @@ def rfm_segments(
     Returns ``(cust_col, r, f, m, segment)`` with segment = r*100 +
     f*10 + m.
     """
-    from datacamp_etl_spark.operators.ids import exact_ntile
+    from datacamp_etl_spark.operators.ids import exact_ntile_multi
 
-    # Measured (r13): NOT cached on purpose. Each exact_ntile ranking
-    # pass prunes to its single order column, so the recompute is a
-    # narrow codegen'd scan+agg; pinning the 3-col aggregate cost more
-    # in cache materialization than the three pruned re-runs saved
-    # (3.7 s -> 5.2 s standalone at sf0.1 when cached).
+    # Measured (r13): NOT cached on purpose — pinning the 3-col
+    # aggregate cost more in cache materialization than the pruned
+    # re-runs saved (3.7 s -> 5.2 s standalone at sf0.1 when cached).
+    # Instead (r13 cont.) all three axes rank in ONE
+    # exact_ntile_multi pass: the per-customer aggregate (a full
+    # fact-table groupBy) evaluates once for the ranking + once for
+    # the output projection, versus once per axis + output with
+    # sequential exact_ntile calls; range exchanges 3 -> 1, driver
+    # jobs 9 -> 3. The recency axis ranks through the exact
+    # tz-independent microsecond epoch offset (strictly monotone +
+    # injective on the timestamp domain, so bucket values are
+    # identical to ranking the timestamp itself).
     per = orders.groupBy(cust_col).agg(
         F.max(date_col).alias("__last"),
         F.count("*").alias("__f"),
@@ -753,9 +760,26 @@ def rfm_segments(
             F.floor(F.col(amount_col) * scale + F.lit(0.5)).cast("long")
         ).alias("__m"),
     )
-    binned = exact_ntile(per, ["__last", cust_col], ntiles, bucket_col="r")
-    binned = exact_ntile(binned, ["__f", cust_col], ntiles, bucket_col="f")
-    binned = exact_ntile(binned, ["__m", cust_col], ntiles, bucket_col="m")
+    # dtype-dispatched exact epoch offset: each branch is strictly
+    # monotone + injective on its own domain (NTZ/date never touch the
+    # session tz; LTZ maps the instant itself), so the ranked order
+    # and tie structure equal the raw column's.
+    last_dt = dict(per.dtypes)["__last"]
+    if last_dt == "timestamp_ntz":
+        last_us = F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', __last)"
+        )
+    elif last_dt == "date":
+        last_us = F.unix_date(F.col("__last")).cast("long")
+    else:  # timestamp (ltz)
+        last_us = F.unix_micros(F.col("__last"))
+    binned = exact_ntile_multi(
+        per,
+        [(last_us, "r"), (F.col("__f"), "f"), (F.col("__m"), "m")],
+        ntiles,
+        tiebreak_col=cust_col,
+    )
     return binned.select(
         cust_col,
         F.col("r").cast("int").alias("r"),

@@ -11522,6 +11522,7 @@ def q_bm25_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines rank identically; the metrics are single fixed-order
     ratios over exact counts."""
     from datacamp_etl_spark.operators.retrieval import bm25_search
+    from datacamp_etl_spark.operators.spread import scoped_cache
     from datacamp_etl_spark.operators.text import tokens
 
     docs = t(spark, sf_dir, "documents")
@@ -11530,11 +11531,18 @@ def q_bm25_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy(F.desc("score"), "doc_id")
     ranked = top.select("doc_id", F.row_number().over(w).alias("rnk"))
     tk = docs.select("doc_id", tokens("text").alias("__toks"))
-    rel = tk.where(
-        F.array_contains("__toks", terms[0])
-        & F.array_contains("__toks", terms[1])
-        & F.array_contains("__toks", terms[2])
-    ).select("doc_id")
+    # Cached (r13 cont., guide §1.2): rel feeds BOTH the n_relevant
+    # count and the hits join, and each recompute is a full corpus
+    # tokenizer pass while the cache is a handful of doc ids — the
+    # ">= expensive kernel per recompute, tiny cache" shape that wins
+    # (vs the 2-consumer narrow-recompute shapes that lost).
+    rel = scoped_cache(
+        tk.where(
+            F.array_contains("__toks", terms[0])
+            & F.array_contains("__toks", terms[1])
+            & F.array_contains("__toks", terms[2])
+        ).select("doc_id")
+    )
     nrel = rel.agg(F.count("*").alias("n_relevant"))
     hits = ranked.join(rel, "doc_id").agg(
         F.count("*").alias("n_hits"), F.min("rnk").alias("first_rank")

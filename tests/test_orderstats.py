@@ -154,3 +154,66 @@ def test_token_entropy_and_oov_rate(spark):
     assert oov[1]["n_oov"] == 0 and oov[1]["oov_rate"] == 0.0
     assert oov[2]["n_tokens"] == 4 and oov[2]["n_oov"] == 3
     assert oov[2]["oov_rate"] == 0.75
+
+
+def test_exact_ntile_multi_matches_sequential_exact_ntile(spark):
+    # the single-pass multi ranking must reproduce exact_ntile
+    # bucket-for-bucket on every metric, with ties in the values
+    # (v = id*37 % 1000 repeats) and n % buckets != 0
+    from datacamp_etl_spark.operators.ids import exact_ntile_multi
+
+    df = _shuffled(spark, n=103).select(
+        "id",
+        "v",
+        (F.col("id") * 13 % 7).alias("w"),
+        (1000 - F.col("id")).alias("u"),
+    )
+    multi = exact_ntile_multi(
+        df,
+        [(F.col("v"), "bv"), (F.col("w"), "bw"), (F.col("u"), "bu")],
+        5,
+        tiebreak_col="id",
+    )
+    got = {r["id"]: (r["bv"], r["bw"], r["bu"]) for r in multi.collect()}
+    seq = exact_ntile(df, ["v", "id"], 5, bucket_col="bv")
+    seq = exact_ntile(seq, ["w", "id"], 5, bucket_col="bw")
+    seq = exact_ntile(seq, ["u", "id"], 5, bucket_col="bu")
+    want = {r["id"]: (r["bv"], r["bw"], r["bu"]) for r in seq.collect()}
+    assert got == want
+
+
+def test_exact_ntile_multi_edge_cases(spark):
+    from datacamp_etl_spark.operators.ids import exact_ntile_multi
+
+    # fewer rows than buckets: ANSI semantics (one row per bucket)
+    df = spark.range(4).select(F.col("id"), F.col("id").alias("v"))
+    out = exact_ntile_multi(
+        df, [(F.col("v"), "b")], 10, tiebreak_col="id"
+    ).collect()
+    assert sorted(r["b"] for r in out) == [1, 2, 3, 4]
+    # buckets=1: constant bucket, no ranking pass
+    out1 = exact_ntile_multi(
+        df, [(F.col("v"), "b")], 1, tiebreak_col="id"
+    ).collect()
+    assert [r["b"] for r in out1] == [1, 1, 1, 1]
+    # empty input: NULL buckets, matching exact_ntile
+    empty = df.where(F.lit(False))
+    oute = exact_ntile_multi(
+        empty, [(F.col("v"), "b")], 3, tiebreak_col="id"
+    )
+    assert oute.count() == 0 and "b" in oute.columns
+    # NULL value on a boundary raises, like exact_ntile
+    rows = [(0, None), (1, None), (2, 10), (3, 20), (4, 30), (5, 40)]
+    dfn = spark.createDataFrame(rows, "id long, v int")
+    with pytest.raises(ValueError, match="NULL in"):
+        exact_ntile_multi(dfn, [(F.col("v"), "b")], 3, tiebreak_col="id")
+    # NULL value OFF the boundaries lands in bucket 1 deterministically
+    rows2 = [(0, None), (1, 10), (2, 20), (3, 30), (4, 40), (5, 50)]
+    dfn2 = spark.createDataFrame(rows2, "id long, v int")
+    got = {
+        r["id"]: r["b"]
+        for r in exact_ntile_multi(
+            dfn2, [(F.col("v"), "b")], 3, tiebreak_col="id"
+        ).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
