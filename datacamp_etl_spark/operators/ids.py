@@ -173,6 +173,7 @@ def exact_ntile(
     *,
     bucket_col: str = "bucket",
     num_partitions: int | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """EXACT SQL ``ntile(buckets)`` over a global order — without the
     partitionless WindowExec (single-task global sort) the naive
@@ -196,19 +197,33 @@ def exact_ntile(
     default) and land deterministically in the earliest bucket; a
     NULL landing exactly ON a boundary still raises (a boundary
     literal can't encode SQL null ordering).
+
+    ``carry_cols`` (r13, guide §1.2): when the CALLER's entire row is
+    narrow (e.g. score_calibration's (id, score, label)) and the
+    input lineage is expensive (a scorer chain), pass the non-order
+    columns here. They ride through the one range exchange and the
+    output is served FROM the ranking checkpoint — the input lineage
+    evaluates ONCE instead of once for the ranking and once for the
+    output projection. The returned frame then carries exactly
+    ``order_cols + carry_cols + bucket_col`` (range-partitioned, same
+    rows/values); bucket construction, boundary collection and the
+    NULL-boundary raise are the identical code path.
     """
     if buckets < 1:
         raise ValueError(f"exact_ntile: buckets must be >= 1, got {buckets}")
     if buckets == 1:
         # constant bucket — no ranking pass needed (on an empty input
         # the lit(1) vs lit(None) distinction is unobservable)
+        if carry_cols is not None:
+            df = df.select(*order_cols, *carry_cols)
         return df.withColumn(bucket_col, F.lit(1).cast("int"))
-    narrow = df.select(*order_cols)
+    narrow = df.select(*order_cols, *(carry_cols or []))
     ranked, n = global_row_number(
         narrow, order_cols, rn_col="__grn", num_partitions=num_partitions
     )
+    out_base = ranked.drop("__grn") if carry_cols is not None else df
     if n == 0:
-        return df.withColumn(bucket_col, F.lit(None).cast("int"))
+        return out_base.withColumn(bucket_col, F.lit(None).cast("int"))
     q, r = divmod(n, buckets)
     big = r * (q + 1)  # rows living in the q+1-sized buckets
     ends = []
@@ -242,7 +257,7 @@ def exact_ntile(
                 F.coalesce(F.col(c) == F.lit(v), F.lit(False)) & gt
             )
         bucket = bucket + gt.cast("int")
-    return df.withColumn(bucket_col, bucket.cast("int"))
+    return out_base.withColumn(bucket_col, bucket.cast("int"))
 
 
 def exact_ntile_multi(

@@ -614,6 +614,13 @@ def score_calibration(
     """
     from datacamp_etl_spark.operators.ids import exact_ntile
 
+    # carry_cols (r13 cont.): the whole row is 3 narrow columns, so
+    # the label rides through the one range exchange and the binned
+    # output is served from the ranking checkpoint — the scorer
+    # lineage feeding ``df`` evaluates ONCE instead of once for the
+    # ranking pass and once for the output projection (a scoped_cache
+    # of the scored relation was tried instead and REVERTED: it keeps
+    # both evaluations and adds a materialization; this removes one).
     binned = exact_ntile(
         df.select(
             F.col(id_col),
@@ -623,6 +630,7 @@ def score_calibration(
         ["__score", id_col],
         bins,
         bucket_col="bin",
+        carry_cols=["__y"],
     )
     return (
         binned.groupBy("bin")

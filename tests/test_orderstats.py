@@ -217,3 +217,30 @@ def test_exact_ntile_multi_edge_cases(spark):
         ).collect()
     }
     assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
+
+
+def test_exact_ntile_carry_cols_matches_default(spark):
+    # carry mode serves the output from the ranking checkpoint; rows,
+    # values and bucket assignment must equal the default path
+    df = _shuffled(spark, n=103).select(
+        "id", "v", (F.col("id") % 2).alias("y")
+    )
+    want = {
+        (r["id"], r["v"], r["y"]): r["bucket"]
+        for r in exact_ntile(df, ["v", "id"], 7, bucket_col="bucket").collect()
+    }
+    got_df = exact_ntile(
+        df, ["v", "id"], 7, bucket_col="bucket", carry_cols=["y"]
+    )
+    assert sorted(got_df.columns) == ["bucket", "id", "v", "y"]
+    got = {
+        (r["id"], r["v"], r["y"]): r["bucket"] for r in got_df.collect()
+    }
+    assert got == want
+    # buckets=1 and empty-input shapes hold in carry mode too
+    one = exact_ntile(df, ["v", "id"], 1, carry_cols=["y"])
+    assert sorted(one.columns) == ["bucket", "id", "v", "y"]
+    empty = exact_ntile(
+        df.where(F.lit(False)), ["v", "id"], 3, carry_cols=["y"]
+    )
+    assert empty.count() == 0 and "bucket" in empty.columns
