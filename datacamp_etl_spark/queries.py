@@ -5469,8 +5469,16 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datacamp_etl_spark.operators.ids import exact_ntile
 
     o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    # carry_cols=[] (r13 cont.): both needed columns ARE the order
+    # key, so the per-bucket aggregation reads the ranking
+    # localCheckpoint that exact_ntile materializes anyway instead of
+    # scanning orders a second time.
     binned = exact_ntile(
-        o, ["o_totalprice", "o_orderkey"], 10, bucket_col="bucket"
+        o,
+        ["o_totalprice", "o_orderkey"],
+        10,
+        bucket_col="bucket",
+        carry_cols=[],
     )
     return binned.groupBy("bucket").agg(
         F.count("*").alias("n"),
