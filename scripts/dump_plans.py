@@ -1,9 +1,10 @@
 """Dump .explain('formatted') for named queries() entries to
-plans/r13/<query>_<tag>.txt (judge-checkable plan evidence).
+plans/<round>/<query>_<tag>.txt (judge-checkable plan evidence).
 
 Usage: python scripts/dump_plans.py <tag> <name> [name ...]
        python scripts/dump_plans.py <tag> --all
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_PLANS_ROUND (default r14) — plans/<round>/ subdir.
 Plan compilation only — nothing executes.
 """
 
@@ -27,7 +28,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-dump")
